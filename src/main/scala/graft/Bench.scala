@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR` at local[32] and prints ONE JSON line
+  * `{"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * Headline set = the shuffle/join/agg-heavy queries that dominate at
+  * scale, not the whole inventory (Verify covers completeness; Bench
+  * tracks throughput).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val headline: Seq[String] = {
+      val all = SparkEntry.queries.keySet
+      val preferred = Seq(
+        "q1_agg", "q3_join_agg", "q5_unpivot", "q6_latest_per_key",
+        "q7_time_bucket", "d1_exact_dedup", "d2_minhash_lsh",
+        "s1_knn_cosine", "t1_quality_score").filter(all.contains)
+      if (preferred.nonEmpty) preferred else all.toSeq.sorted
+    }
+
+    // Warm-up pass at tiny scale so JIT/codegen/classloading doesn't
+    // pollute the measured numbers.
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
+corresponding oracle SQL from <outDir>/oracle_sql.json in DuckDB against
+views over the sf-dir parquet tables, sorts columns by name and rows by
+all columns, and compares values exactly. Usage:
+
+    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no parquet output")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        if name not in oracle:
+            print(f"weak {name}: no oracle, rows={len(got)}")
+            n_weak += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchall()
+            exp_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        gc, g = canon(got, got_cols)
+        ec, e = canon(exp, exp_cols)
+        if gc != ec:
+            print(f"FAIL {name}: schema {gc} != {ec}")
+            n_fail += 1
+        elif g != e:
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            extra = abs(len(g) - len(e))
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}; "
+                  f"first diffs: {diff} (+{extra} len mismatch)")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(g)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
