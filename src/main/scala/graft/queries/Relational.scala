@@ -108,6 +108,161 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
+  /** q8 — W4/P6 explode over a split string array + count per token. */
+  def q8Explode(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part")
+      .select(explode(split(col("p_type"), " ")).as("type_word"))
+      .groupBy("type_word")
+      .agg(count(lit(1)).as("n"))
+
+  /** q9 — A4 collect-set per group, sorted for deterministic compare. */
+  def q9CollectSet(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(sort_array(collect_set(col("p_type"))).as("types"),
+        countDistinct(col("p_type")).as("n_types"))
+
+  /** q10 — A8 mode with pandas' deterministic tie-break: highest count,
+    * then smallest value (SURVEY §7.4.6).
+    */
+  def q10Mode(s: SparkSession, dir: String): DataFrame = {
+    val counts = load(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+  }
+
+  /** q11 — A11 exact interpolated percentiles (p50/p95) per group. */
+  def q11Percentile(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+
+  /** q12 — O sort + limit top-k with a total order (ties broken by key). */
+  def q12TopK(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spent"))
+      .orderBy(col("total_spent").desc, col("o_custkey").asc)
+      .limit(10)
+
+  /** q14 — J11 semi join: customers with at least one open ('O') order. */
+  def q14SemiJoin(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .join(load(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** q15 — §2.7 union + distinct: nations that have customers or suppliers. */
+  def q15Union(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionByName(load(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** q16 — A10 distinct option domains over two columns. */
+  def q16Distinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+
+  /** q17 — §2.8 string surface: trim/upper/substring/concat/length/regexp. */
+  def q17StringFuncs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_devoweled"))
+
+  /** q18 — §2.8 date/time surface: extract parts, truncate, format. */
+  def q18Datetime(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("month_total"))
+
+  /** q19 — P8/P10 null handling: nullif → coalesce → fill. */
+  def q19NullHandling(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_tax"), lit(0.0)), lit(-1.0)).as("tax_or_flag"),
+        when(col("l_discount") > 0.05, col("l_discount")).as("big_discount"))
+      .na.fill(Map("big_discount" -> 0.0))
+
+  /** q20 — P19/§2.8 JSON: extract a field from the props payload, agg. */
+  def q20Json(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+
+  /** q21 — P12 conditional routing (case/when buckets). */
+  def q21CaseWhen(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .select(
+        when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("high").as("price_band"))
+      .groupBy("price_band")
+      .agg(count(lit(1)).as("n"))
+
+  /** q22 — P14 IN-list filter pushed to the scan. */
+  def q22InList(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** q23 — J6+P8: left join keeping unmatched rows, zeros load-bearing
+    * (ref extractor.py:307 + publisher.py:78-79).
+    */
+  def q23LeftJoinFill(s: SparkSession, dir: String): DataFrame = {
+    val rev = load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice")).as("ret_rev_raw"))
+    load(s, dir, "orders")
+      .join(rev, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"),
+        round(coalesce(col("ret_rev_raw"), lit(0.0)), 2).as("returned_revenue"))
+  }
+
+  /** q24 — J4/J5 composite-key self join: purchases after the same user's
+    * signup (ns-long timestamps compare exactly).
+    */
+  def q24CompositeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su_user"), col("ts").as("su_ts"))
+      .groupBy("su_user").agg(min(col("su_ts")).as("first_signup_ts"))
+    ev.filter(col("event_type") === "purchase")
+      .join(signup, col("user_id") === col("su_user"))
+      .filter(col("ts") >= col("first_signup_ts"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases_after_signup"),
+        round(sum(col("value")), 2).as("purchase_value"))
+  }
+
+  /** q25 — P15 array overlap filter over a derived token array. */
+  def q25ArraysOverlap(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part")
+      .filter(arrays_overlap(split(col("p_type"), " "),
+        array(lit("PROMO"), lit("ECONOMY"))))
+      .select(col("p_partkey"), col("p_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
@@ -116,7 +271,24 @@ object Relational {
     "q5_unpivot" -> q5Unpivot,
     "q6_latest_per_key" -> q6LatestPerKey,
     "q7_time_bucket" -> q7TimeBucket,
-    "q13_anti_join" -> q13AntiJoin)
+    "q8_explode" -> q8Explode,
+    "q9_collect_set" -> q9CollectSet,
+    "q10_mode" -> q10Mode,
+    "q11_percentile" -> q11Percentile,
+    "q12_topk" -> q12TopK,
+    "q13_anti_join" -> q13AntiJoin,
+    "q14_semi_join" -> q14SemiJoin,
+    "q15_union" -> q15Union,
+    "q16_distinct" -> q16Distinct,
+    "q17_string_funcs" -> q17StringFuncs,
+    "q18_datetime" -> q18Datetime,
+    "q19_null_handling" -> q19NullHandling,
+    "q20_json" -> q20Json,
+    "q21_case_when" -> q21CaseWhen,
+    "q22_in_list" -> q22InList,
+    "q23_left_join_fill" -> q23LeftJoinFill,
+    "q24_composite_join" -> q24CompositeJoin,
+    "q25_arrays_overlap" -> q25ArraysOverlap)
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -166,5 +338,94 @@ object Relational {
     "q13_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin)
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q8_explode" ->
+      """SELECT type_word, count(*) AS n
+        |FROM (SELECT unnest(string_split(p_type, ' ')) AS type_word FROM part) t
+        |GROUP BY type_word""".stripMargin,
+    "q9_collect_set" ->
+      """SELECT p_brand,
+        |  list_sort(list(DISTINCT p_type)) AS types,
+        |  count(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "q10_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+        |      FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+        |WHERE rn = 1""".stripMargin,
+    "q11_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q12_topk" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q14_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q15_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q16_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q17_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled
+        |FROM part""".stripMargin,
+    "q18_datetime" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS month_total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q19_null_handling" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_tax, 0.0), -1.0) AS tax_or_flag,
+        |  coalesce(CASE WHEN l_discount > 0.05 THEN l_discount END, 0.0)
+        |    AS big_discount
+        |FROM lineitem""".stripMargin,
+    "q20_json" ->
+      """SELECT event_type,
+        |  sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  count(CAST(props->>'k' AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q21_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |            WHEN o_totalprice < 300000 THEN 'mid'
+        |            ELSE 'high' END AS price_band,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q22_in_list" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag""".stripMargin,
+    "q23_left_join_fill" ->
+      """SELECT o_orderkey,
+        |  round(coalesce(r.ret_rev_raw, 0.0), 2) AS returned_revenue
+        |FROM orders
+        |LEFT JOIN (SELECT l_orderkey, sum(l_extendedprice) AS ret_rev_raw
+        |           FROM lineitem WHERE l_returnflag = 'R'
+        |           GROUP BY l_orderkey) r ON o_orderkey = r.l_orderkey""".stripMargin,
+    "q24_composite_join" ->
+      """SELECT e.user_id,
+        |  count(*) AS n_purchases_after_signup,
+        |  round(sum(e.value), 2) AS purchase_value
+        |FROM events e
+        |JOIN (SELECT user_id AS su_user, min(ts) AS first_signup_ts
+        |      FROM events WHERE event_type = 'signup' GROUP BY user_id) s
+        |  ON e.user_id = s.su_user
+        |WHERE e.event_type = 'purchase' AND e.ts >= s.first_signup_ts
+        |GROUP BY e.user_id""".stripMargin,
+    "q25_arrays_overlap" ->
+      """SELECT p_partkey, p_type FROM part
+        |WHERE list_has_any(string_split(p_type, ' '), ['PROMO', 'ECONOMY'])""".stripMargin)
 }
