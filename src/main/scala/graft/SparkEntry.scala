@@ -17,8 +17,16 @@ object SparkEntry {
     queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.ops.TextAnalysis.queries ++
+      graft.ops.Dedup.queries ++
+      graft.ops.Similarity.queries ++
+      graft.ops.Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+      graft.ops.TextAnalysis.oracle ++
+      graft.ops.Dedup.oracle ++
+      graft.ops.Similarity.oracle ++
+      graft.ops.Multimodal.oracle
 }

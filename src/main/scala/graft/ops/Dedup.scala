@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Deduplication operators for corpus curation over `documents` /
+  * `embeddings`: exact (hash group-by), MinHash+LSH banding, SimHash,
+  * blocked n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison —
+  * exact dedup is one hash aggregation; MinHash compares only within LSH
+  * band buckets; Jaccard and cosine compare only within a blocking key
+  * (source / label here; LSH band or IVF cell in production). All hashing
+  * is md5-based so the DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = TextAnalysis.toks(c)
+
+  /** Distinct 3-word shingles of the token array (requires ≥3 tokens). */
+  private def shingles(t: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+
+  private val shinglesSql =
+    """list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))""".stripMargin
+
+  /** d1 — exact dedup: one hash aggregation keyed by content hash; keeper
+    * is the smallest doc_id (deterministic survivor policy).
+    */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  private val NumHashes = 8
+  private val NumBands = 4 // 2 rows per band
+
+  /** MinHash signature: per seed j, min over shingles of the first 8 hex
+    * chars of md5("j:" + shingle). String min == unsigned hash min.
+    */
+  private def minhashSig(sh: Column): Column =
+    array((0 until NumHashes).map(j =>
+      array_min(transform(sh, x => substring(md5(concat(lit(s"$j:"), x)), 1, 8)))): _*)
+
+  /** d2 — MinHash + LSH near-dup candidate pairs: signature → band keys →
+    * explode → self-join per band → distinct pairs, with the estimated
+    * Jaccard = fraction of agreeing minhashes. Only band buckets are ever
+    * joined — no all-pairs pass — which is the property that survives a
+    * 100 TB corpus (bucket sizes are bounded by collision probability,
+    * and a skewed bucket is AQE-splittable).
+    */
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), minhashSig(shingles(col("t"))).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b =>
+        concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
+        .as(Seq("band_idx", "band_key")))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / NumHashes, 3).as("est_jaccard"))
+  }
+
+  /** d3 — SimHash (16-bit): per token md5, hex-digit parity at position i
+    * votes ±1 on bit i; the signed sums per document give the signature.
+    * One explode + one aggregation — linear in corpus size.
+    */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val tokHash = load(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val bitSums = (1 to 16).map(i =>
+      sum(when(substring(col("h"), i, 1).isin(oddHex.map(x => x: Any): _*), 1)
+        .otherwise(-1)).as(s"s_$i"))
+    tokHash.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (1 to 16).map(i => when(col(s"s_$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** d4 — n-gram Jaccard near-dup pairs within a blocking key (source):
+    * explode distinct shingles, self-join on (block, shingle) to count the
+    * intersection, then |A∩B| / (|A|+|B|-|A∩B|). The shingle join only
+    * compares documents sharing a shingle in the same block.
+    */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"), explode(shingles(col("t"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** d5 — embedding-cosine near-dup pairs within a blocking key (label;
+    * an LSH bucket or IVF cell at scale). Cosine in sequential double
+    * arithmetic so the oracle matches bit-for-bit.
+    */
+  def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_minhash_lsh" -> d2MinhashLsh,
+    "d3_simhash" -> d3Simhash,
+    "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d5_embedding_neardup" -> d5EmbeddingNearDup)
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_minhash_lsh" -> {
+      val sigSql = (0 until NumHashes).map(j =>
+        s"list_min(list_transform(sh, x -> substr(md5('$j:' || x), 1, 8)))")
+        .mkString("[", ",\n    ", "]")
+      val bandSql = (0 until NumBands).map(b =>
+        s"sig[${2 * b + 1}] || sig[${2 * b + 2}]").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(toks) >= 3),
+         |sigs AS (SELECT doc_id, $sigSql AS sig FROM sh),
+         |bands AS (SELECT doc_id, i - 1 AS band_idx, ($bandSql)[i] AS band_key
+         |          FROM sigs, generate_series(1, $NumBands) g(i)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |           AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(list_sum(list_transform(generate_series(1, $NumHashes),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |    / $NumHashes, 3) AS est_jaccard
+         |FROM pairs
+         |JOIN sigs sa ON sa.doc_id = doc_a
+         |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin
+    },
+    "d3_simhash" -> {
+      val sums = (1 to 16).map(i =>
+        s"sum(CASE WHEN substr(h, $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s_$i")
+        .mkString(",\n    ")
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN s_$i > 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM t),
+         |s AS (SELECT doc_id,
+         |    $sums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM s""".stripMargin
+    },
+    "d4_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, source, unnest($shinglesSql) AS sh
+         |       FROM t WHERE len(toks) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b
+         |            ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3""".stripMargin,
+    "d5_embedding_neardup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin)
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, decoded per-partition in batches.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked deterministic stub ([[decodeStub]]) — what is real and
+  * tested is the Spark-side shape a 100 TB media pipeline needs:
+  *   - payloads ride a `BinaryType` column next to typed metadata;
+  *   - decode runs via `mapPartitions` over an iterator (the Scala analog
+  *     of a batched pandas-UDF), so a real codec would amortize model /
+  *     codec init once per partition and stream batches without
+  *     materializing a partition in memory;
+  *   - output is a typed Dataset row (schema checked at compile time).
+  *
+  * The stub derives metadata purely from the md5 of the payload, so the
+  * DuckDB oracle reproduces it from hex math — the plumbing is
+  * correctness-gated even though the codec is fake.
+  */
+object Multimodal {
+
+  /** Typed decoded-media row. */
+  final case class MediaMeta(
+      doc_id: Long, width: Long, height: Long, n_frames: Long,
+      payload_bytes: Long)
+
+  /** STUB — stands in for a real image/video decode. Deterministic
+    * function of the payload's md5 so tests and the oracle can pin it.
+    */
+  private[ops] def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(payload)
+    def b(i: Int): Long = java.lang.Byte.toUnsignedLong(h(i))
+    MediaMeta(
+      doc_id = docId,
+      width = 64 + 8 * (b(0) % 64),
+      height = 64 + 8 * (b(1) % 64),
+      n_frames = 1 + (b(2) % 30),
+      payload_bytes = payload.length.toLong)
+  }
+
+  /** m1 — binary payload column → per-partition batched decode → typed
+    * metadata. The payload here is synthesized from `text` (UTF-8 bytes)
+    * since testdata carries no real media.
+    */
+  def m1MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPayload = load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    withPayload.mapPartitions { it =>
+      // Batched iteration: a real codec would init once here and decode
+      // each batch vectorized; grouped() keeps memory bounded per batch.
+      it.grouped(64).flatMap(_.map { case (id, payload) => decodeStub(id, payload) })
+    }.toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_multimodal_meta" -> m1MultimodalMeta)
+
+  // Hex-pair → byte value, mirroring MessageDigest output hex-by-hex.
+  private def hexByteSql(i: Int): String = {
+    val hi = s"(strpos('0123456789abcdef', substr(h, ${2 * i + 1}, 1)) - 1)"
+    val lo = s"(strpos('0123456789abcdef', substr(h, ${2 * i + 2}, 1)) - 1)"
+    s"(16 * $hi + $lo)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "m1_multimodal_meta" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+         |SELECT doc_id,
+         |  CAST(64 + 8 * (${hexByteSql(0)} % 64) AS BIGINT) AS width,
+         |  CAST(64 + 8 * (${hexByteSql(1)} % 64) AS BIGINT) AS height,
+         |  CAST(1 + (${hexByteSql(2)} % 30) AS BIGINT) AS n_frames,
+         |  CAST(n AS BIGINT) AS payload_bytes
+         |FROM h""".stripMargin)
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+
+/** Similarity search over the `embeddings` table (`array<float>` column).
+  *
+  * Two paths, per the standard ANN playbook:
+  *   - s1: brute-force cosine top-k for a small query set — broadcast the
+  *     queries against the corpus scan (one pass, no shuffle of the corpus;
+  *     at 100 TB this is the exact-answer baseline and stays a map-side
+  *     broadcast join + per-partition top-k via window).
+  *   - s2: LSH-bucketed ANN — a sign-bit bucket key turns all-pairs into
+  *     within-bucket pairs (the IVF/LSH scale path; buckets shard the
+  *     shuffle key space).
+  *
+  * All float math is widened to double and summed sequentially, which is
+  * bit-identical to DuckDB's `list_cosine_similarity(CAST … AS DOUBLE[]))`
+  * (verified empirically), so the oracle compare is exact.
+  */
+object Similarity {
+
+  /** Sequential-double cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / sqrt(na * nb)
+  }
+
+  /** DuckDB-side cosine over float-list columns, widened to double. */
+  def cosineSql(a: String, b: String): String =
+    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private val NQueries = 3
+  private val TopK = 5
+
+  /** s1 — brute-force cosine top-k: query vectors (vec_id < NQueries)
+    * against the full corpus, k best by (similarity desc, vec_id asc).
+    */
+  def s1KnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
+  private val NBuckBits = 6
+
+  /** Sign-bit LSH bucket: bit i set iff component i is positive. */
+  private def buckets(v: Column): Column =
+    (1 to NBuckBits).map(i =>
+      when(element_at(v, i) > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** s2 — LSH-bucketed ANN: nearest neighbor within the same sign-bit
+    * bucket for every vector (approximate — bucket boundaries lose some
+    * true neighbors, which is the accuracy/cost trade the bucket count
+    * tunes).
+    */
+  def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", buckets(col("v")))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("cos_sim").desc, col("b.vec_id").asc)
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos_sim", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.bucket").as("bucket"), col("cos_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_cosine" -> s1KnnCosine,
+    "s2_ann_lsh" -> s2AnnLsh)
+
+  private def bucketSql(v: String): String =
+    (1 to NBuckBits).map(i =>
+      s"CASE WHEN $v[$i] > 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "s1_knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < $NQueries),
+         |sims AS (SELECT q.query_id, e.vec_id,
+         |    round(${cosineSql("q.qv", "e.embedding")}, 6) AS cos_sim
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |           FROM embeddings),
+         |sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(${cosineSql("a.embedding", "b.embedding")}, 6) DESC,
+         |               b.vec_id ASC) AS rn
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT query_id, neighbor_id, bucket, cos_sim FROM sims WHERE rn = 1""".stripMargin)
+}

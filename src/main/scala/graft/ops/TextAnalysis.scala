@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, language ID,
+  * fingerprinting. All are narrow (per-row) transforms — no shuffle, fully
+  * codegen'd column expressions — so they stream through a 100 TB scan at
+  * parquet-read speed and any aggregation downstream starts partial.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (text has trailing spaces). */
+  private[ops] def toks(c: Column): Column =
+    filter(split(c, " "), t => t =!= "")
+
+  private val stopwords = Seq("the", "a", "an", "of", "to", "and", "is", "in")
+
+  /** t1 — quality scoring: token count, stopword ratio, mean token length,
+    * and a composite score. Mirrors the reference's validation-gate idea
+    * (dashboard.py:312-322) applied to corpus curation.
+    */
+  def t1QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, w => w.isin(stopwords.map(x => x: Any): _*))).cast("long")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w).cast("long"))
+      .cast("double") / nTok.cast("double")
+    load(s, dir, "documents")
+      .filter(size(toks(col("text"))) > 0)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(meanLen, 6).as("mean_token_len"),
+        round((lit(1.0) - stopRatio) * least(lit(1.0), nTok.cast("double") / 50.0), 6)
+          .as("quality_score"))
+  }
+
+  /** t2 — token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs / single digits / other non-space symbols).
+    */
+  def t2TokenCount(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_seen"))
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "fr" -> Seq("le", "les", "des", "une"))
+
+  /** t3 — language ID by marker-token counting (n-gram/stopword heuristic);
+    * deterministic argmax: first language in alphabetical order among the
+    * maxima, `unk` when no marker hits.
+    */
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val scores = markers.map { case (lang, ws) =>
+      lang -> size(filter(t, w => w.isin(ws.map(x => x: Any): _*))).cast("long")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("unk")) { case ((lang, sc), rest) =>
+      when(sc === best && best > 0, lang).otherwise(rest)
+    }
+    // foldRight keeps evaluation order de→en→es→fr (alphabetical tie-break).
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_labeled"),
+        pick.as("lang_pred"),
+        scores.map(_._2).reduce(_ + _).as("n_marker_hits"))
+  }
+
+  /** t4 — document fingerprint: md5 over whitespace-normalized lowercase
+    * text (the batch analog of a rolling-hash content fingerprint).
+    */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16)
+          .as("fingerprint"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_quality_score" -> t1QualityScore,
+    "t2_token_count" -> t2TokenCount,
+    "t3_lang_id" -> t3LangId,
+    "t4_fingerprint" -> t4Fingerprint)
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracle: Map[String, String] = Map(
+    "t1_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  round(CAST(len(list_filter(toks, w -> w IN $stopSql)) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+         |  round((1.0 - CAST(len(list_filter(toks, w -> w IN $stopSql)) AS DOUBLE)
+         |               / CAST(len(toks) AS DOUBLE))
+         |        * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0), 6) AS quality_score
+         |FROM t WHERE len(toks) > 0""".stripMargin,
+    "t2_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_seen
+         |FROM documents""".stripMargin,
+    "t3_lang_id" -> {
+      val scoreSql = markers.map { case (lang, ws) =>
+        s"CAST(len(list_filter(toks, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n  ")
+      val bestSql = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val caseSql = markers.map { case (l, _) =>
+        s"WHEN s_$l = $bestSql AND $bestSql > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scoreSql
+         |FROM t)
+         |SELECT doc_id, lang AS lang_labeled,
+         |  CASE $caseSql ELSE 'unk' END AS lang_pred,
+         |  ${markers.map { case (l, _) => s"s_$l" }.mkString(" + ")} AS n_marker_hits
+         |FROM sc""".stripMargin
+    },
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
+        |    AS fingerprint
+        |FROM documents""".stripMargin)
+}
