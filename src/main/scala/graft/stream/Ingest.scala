@@ -1,0 +1,87 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Stream ingest: decode → route → validate → enrich (ref
+  * dashboard.py:327-445).
+  *
+  * Works identically on batch and streaming DataFrames (all operations are
+  * stream-safe): the input is a single `value: string` column of JSON
+  * events — the shape a Kafka/MQTT source delivers.
+  *
+  * Error handling is channel-based (T8): malformed / invalid / unmatched
+  * records are *routed*, never dropped silently and never crashing the
+  * query — `validated` and `rejects` partition the input exactly.
+  */
+object Ingest {
+
+  /** Route by key presence (ref dashboard.py:341,376 P12): a facility
+    * event has facility_id, a market event region_id; the warm-start probe
+    * (`{"timestamp":"starting...", …}`, publisher.py:29-37) has neither.
+    */
+  private def decoded(raw: DataFrame): DataFrame = raw
+    .withColumn("fac", from_json(col("value"), Schemas.facilityEvent))
+    .withColumn("mkt", from_json(col("value"), Schemas.marketEvent))
+    .withColumn("kind",
+      when(col("fac.facility_id").isNotNull, "facility")
+        .when(col("mkt.region_id").isNotNull, "market")
+        .otherwise("reject"))
+
+  /** Pydantic-equivalent constraints (ref dashboard.py:312-322 P13):
+    * non-empty trimmed id, timestamp ≥ 20 chars (ISO with offset).
+    */
+  private def validTs(ts: Column): Column =
+    // try_to_timestamp: ANSI mode would throw on unparseable input — the
+    // dead-letter path must classify bad rows, not crash the stream.
+    ts.isNotNull && length(ts) >= 20 && try_to_timestamp(ts).isNotNull
+
+  def facilityEvents(raw: DataFrame): DataFrame =
+    decoded(raw).filter(col("kind") === "facility")
+      .select(col("fac.*"))
+      .filter(length(trim(col("facility_id"))) > 0 && validTs(col("timestamp")))
+      // Measures default 0.0 like the Pydantic `float = 0.0` fields.
+      .na.fill(0.0, Seq("power_mw", "co2_tonnes"))
+      .withColumn("event_ts", try_to_timestamp(col("timestamp")))
+
+  def marketEvents(raw: DataFrame): DataFrame =
+    decoded(raw).filter(col("kind") === "market")
+      .select(col("mkt.*"))
+      .filter(length(trim(col("region_id"))) > 0 && validTs(col("timestamp")))
+      .na.fill(0.0, Seq("price_dmwh", "demand_mw"))
+      .withColumn("event_ts", try_to_timestamp(col("timestamp")))
+
+  /** Dead-letter channel: malformed JSON, the warm-start probe, and
+    * events failing validation (ref dashboard.py:357-359,407-414).
+    */
+  def rejects(raw: DataFrame): DataFrame = {
+    val d = decoded(raw)
+    d.filter(
+      col("kind") === "reject" ||
+        (col("kind") === "facility" &&
+          !(length(trim(col("fac.facility_id"))) > 0 && validTs(col("fac.timestamp")))) ||
+        (col("kind") === "market" &&
+          !(length(trim(col("mkt.region_id"))) > 0 && validTs(col("mkt.timestamp")))))
+      .select(col("value"), col("kind").as("reject_stage"))
+  }
+
+  /** Stream-static enrichment join (ref dashboard.py:346-359, J7): each
+    * facility event gains the dim attributes via a broadcast join; lookup
+    * misses go to a side channel (the reference's JDBC-fallback-then-drop
+    * becomes: emit to `misses`, refresh the dim out-of-band per batch,
+    * SURVEY §7.4.7 — never mutate a dim mid-query).
+    */
+  def enrichFacility(events: DataFrame, facilityDim: DataFrame): DataFrame =
+    events.join(broadcast(facilityDim), Seq("facility_id"), "left_outer")
+
+  def enrichmentMisses(events: DataFrame, facilityDim: DataFrame): DataFrame =
+    events.join(broadcast(facilityDim.select(col("facility_id"))),
+      Seq("facility_id"), "left_anti")
+
+  /** Region enrichment (ref dashboard.py:384, J9): 5-row broadcast dim. */
+  def enrichMarket(events: DataFrame, regionDim: DataFrame): DataFrame =
+    events.join(broadcast(regionDim),
+      col("region_id") === regionDim("region_id"), "left_outer")
+      .drop(regionDim("region_id"))
+}

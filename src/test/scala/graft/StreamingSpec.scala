@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stream.{Ingest, State}
+
+/** Structured-Streaming semantics of the ingest+state pipeline (SURVEY
+  * §2.9): MemoryStream replay of fixture events through the SAME code
+  * paths the batch tests cover — update-mode latest-per-key, append-mode
+  * watermarked windows, out-of-order and malformed input (FIXTURES.md §A8).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def facJson(id: String, ts: String, p: Double, c: Double) =
+    s"""{"facility_id":"$id","timestamp":"$ts","power_mw":$p,"co2_tonnes":$c}"""
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("latest-per-key over a stream: update mode, out-of-order upsert (T4/A5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val latest = State.latestPerFacility(
+      Ingest.facilityEvents(in.toDF().withColumnRenamed("value", "value")))
+    val q = latest.writeStream.outputMode("update")
+      .format("memory").queryName("latest_t").start()
+    withQuery(q) {
+      in.addData(
+        facJson("ALP", "2025-10-15T10:05:00+11:00", 10.0, 1.0),
+        "garbage not json",
+        facJson("BET", "2025-10-15T10:05:00+11:00", 95.0, 80.0))
+      q.processAllAvailable()
+      // batch 2: a newer ALP reading and an OLDER out-of-order one — the
+      // newer must win, the old one must not regress state.
+      in.addData(
+        facJson("ALP", "2025-10-15T10:15:00+11:00", 20.0, 2.0),
+        facJson("ALP", "2025-10-15T10:00:00+11:00", 99.0, 9.0))
+      q.processAllAvailable()
+      val state = spark.table("latest_t")
+        .groupBy($"facility_id")
+        .agg(max_by(struct($"timestamp", $"power_mw"),
+          struct(to_timestamp($"timestamp"), $"timestamp")).as("l"))
+        .select($"facility_id", $"l.*")
+        .as[(String, String, Double)].collect()
+        .map { case (k, ts, p) => k -> ((ts, p)) }.toMap
+      assert(state("ALP") == (("2025-10-15T10:15:00+11:00", 20.0)))
+      assert(state("BET") == (("2025-10-15T10:05:00+11:00", 95.0)))
+    }
+  }
+
+  test("watermarked 5-min windows: append emits closed buckets, drops too-late rows (T2/T3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val totals = State.windowedTotals(
+      Ingest.facilityEvents(in.toDF()), watermark = "10 minutes")
+    val q = totals.writeStream.outputMode("append")
+      .format("memory").queryName("totals_t").start()
+    withQuery(q) {
+      in.addData(
+        facJson("ALP", "2025-10-15T10:05:00+11:00", 10.0, 1.0),
+        facJson("BET", "2025-10-15T10:07:00+11:00", 5.0, 2.0))
+      q.processAllAvailable()
+      // Advance event time far enough that watermark (max - 10 min) passes
+      // the 10:05 bucket → it must be emitted, summed across facilities.
+      in.addData(facJson("ALP", "2025-10-15T10:30:00+11:00", 7.0, 0.5))
+      q.processAllAvailable()
+      // This event is far behind the watermark → silently dropped (T3).
+      in.addData(facJson("ALP", "2025-10-15T10:06:00+11:00", 1000.0, 999.0))
+      in.addData(facJson("ALP", "2025-10-15T10:45:00+11:00", 3.0, 0.1))
+      q.processAllAvailable()
+      val emitted = spark.table("totals_t")
+        .select($"bucket_start".cast("string"), $"total_power_mw").as[(String, Double)]
+        .collect().toMap
+      // 10:05+11:00 == 23:05 UTC bucket; late 1000.0 row must NOT appear.
+      assert(emitted("2025-10-14 23:05:00") == 15.0)
+      assert(!emitted.values.exists(_ >= 1000.0))
+    }
+  }
+
+  test("rejects channel on a stream: malformed rows flow to the dead letter, stream survives (T8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Ingest.rejects(in.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("rejects_t").start()
+    withQuery(q) {
+      in.addData(
+        facJson("ALP", "2025-10-15T10:05:00+11:00", 1.0, 0.0), // valid → not rejected
+        """{"timestamp":"starting...","price_dmwh":0,"demand_mw":0}""",
+        "%%% not json %%%")
+      q.processAllAvailable()
+      val rejected = spark.table("rejects_t").as[(String, String)].collect()
+      assert(rejected.length == 2)
+      assert(rejected.forall(_._2 == "reject"))
+    }
+  }
+}
