@@ -38,12 +38,32 @@ object Dedup {
   private val NumHashes = 8
   private val NumBands = 4 // 2 rows per band
 
-  /** MinHash signature: per seed j, min over shingles of the first 8 hex
-    * chars of md5("j:" + shingle). String min == unsigned hash min.
+  /** MinHash signatures, computed as explode → hash-once → partial-agg
+    * mins. Two md5 calls per shingle (seeds 0/1) concatenated to 64 hex
+    * chars, split into eight 8-hex (32-bit) pieces — one independent-ish
+    * hash family member each; per piece, the min over the document's
+    * shingles. String min == unsigned hash min on fixed-width hex.
+    *
+    * Deliberately row-shaped rather than array-lambda-shaped: nested
+    * `transform`s re-evaluate the md5 subtree once per family member
+    * (Catalyst doesn't CSE across array lambdas — measured 2× slower),
+    * while explode + groupBy hashes each shingle exactly once and
+    * map-side partial aggregation reduces to 8 short strings per doc
+    * before any shuffle.
     */
-  private def minhashSig(sh: Column): Column =
-    array((0 until NumHashes).map(j =>
-      array_min(transform(sh, x => substring(md5(concat(lit(s"$j:"), x)), 1, 8)))): _*)
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(shingles(col("t"))).as("sh"))
+      .select(col("doc_id"),
+        concat(md5(concat(lit("0:"), col("sh"))), md5(concat(lit("1:"), col("sh"))))
+          .as("h"))
+    val mins = (0 until NumHashes).map(j =>
+      min(substring(col("h"), 8 * j + 1, 8)).as(s"h$j"))
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"h$j")): _*).as("sig"))
+  }
 
   /** d2 — MinHash + LSH near-dup candidate pairs: signature → band keys →
     * explode → self-join per band → distinct pairs, with the estimated
@@ -53,24 +73,25 @@ object Dedup {
     * and a skewed bucket is AQE-splittable).
     */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = load(s, dir, "documents")
+    val sigs = minhashSigs(load(s, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), minhashSig(shingles(col("t"))).as("sig"))
-    val bands = sigs.select(col("doc_id"),
+      .filter(size(col("t")) >= 3))
+    // Signatures ride along through the band explode so the pair join
+    // needs no extra lookups — and because both join inputs are the SAME
+    // plan shuffled on the same keys, Spark reuses one exchange: the
+    // md5-heavy signature pass runs once, not once per side.
+    val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until NumBands).map(b =>
         concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
         .as(Seq("band_idx", "band_key")))
-    val pairs = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct() // a pair colliding in >1 band counts once
       .select(col("doc_a"), col("doc_b"),
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
@@ -154,7 +175,7 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin,
     "d2_minhash_lsh" -> {
       val sigSql = (0 until NumHashes).map(j =>
-        s"list_min(list_transform(sh, x -> substr(md5('$j:' || x), 1, 8)))")
+        s"list_min(list_transform(sh, x -> substr(md5('0:' || x) || md5('1:' || x), ${8 * j + 1}, 8)))")
         .mkString("[", ",\n    ", "]")
       val bandSql = (0 until NumBands).map(b =>
         s"sig[${2 * b + 1}] || sig[${2 * b + 2}]").mkString("[", ", ", "]")

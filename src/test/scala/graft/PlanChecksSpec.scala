@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression checks — the properties that make these
+  * queries scale (pushdown, pruning, broadcast, partial aggregation)
+  * asserted on the actual Catalyst output, so a refactor that silently
+  * loses one fails the build.
+  */
+class PlanChecksSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("q2: predicates push into the parquet scan; scan reads only needed columns") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(l_quantity,24.0)"),
+      s"filter not pushed:\n$p")
+    // 16-column table; the scan must read exactly the 5 referenced ones.
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(read.split(",").length == 5, s"column pruning lost: $read")
+    assert(!read.contains("l_shipdate"))
+  }
+
+  test("q3: star joins broadcast the dims — no shuffle join, one agg exchange") {
+    val p = plan("q3_join_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("q1: aggregation is partial+final (map-side combine before the shuffle)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+    // Formatted explain lists each node in the tree and again in the
+    // details section — count tree occurrences only.
+    assert("- Exchange".r.findAllIn(p).length == 1, "expected exactly one shuffle")
+  }
+
+  test("t1: per-row text ops are narrow — no shuffle anywhere") {
+    val p = plan("t1_quality_score")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n${p.take(800)}")
+  }
+
+  test("s1: query set is broadcast against the corpus scan") {
+    val p = plan("s1_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
+  test("whole-stage codegen covers the scan→filter→project hot path") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("codegen id"), "no WholeStageCodegen spans in q2")
+  }
+}
