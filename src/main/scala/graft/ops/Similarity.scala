@@ -22,8 +22,17 @@ import graft.Tables.load
   */
 object Similarity {
 
-  /** Sequential-double cosine similarity of two double arrays. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Sequential-double cosine similarity — the native codegen'd
+    * expression ([[graft.functions.CosineSimilarity]]): one fused loop
+    * instead of three array-lambda passes, same bits.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Functions.cosine_sim(a, b)
+
+  /** Composed-builtins form of [[cosine]] — kept as the semantic spec the
+    * native expression is tested bit-identical against.
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
     val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
