@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CsvCache, Replay}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  test("facility lookup CSV round trip preserves the array column (S5/S6/P19)") {
+    val dim = Seq(
+      ("ALP", "Alpha", -33.1, 151.2, "NSW1", Seq("Solar (Utility)")),
+      ("BET", "Beta", -37.8, 144.9, "VIC1", Seq("Battery (Discharging)", "Coal (Black)")))
+      .toDF("facility_id", "facility_name", "lat", "lon", "region", "fuel_tech")
+    val path = Files.createTempDirectory("lookup_csv").toString
+    CsvCache.writeLookup(dim, path)
+    val back = CsvCache.readLookup(spark, path)
+    assert(back.schema("fuel_tech").dataType.typeName == "array")
+    assert(back.exceptAll(dim).count() == 0 && dim.exceptAll(back).count() == 0)
+  }
+
+  test("wide cache CSV round trip: header-derived schema, nulls survive (S5/S6/P7)") {
+    val wide = Seq(
+      ("2025-10-15T10:05:00+11:00", Some(10.0), Some(0.5), Some(85.5)),
+      ("2025-10-15T10:10:00+11:00", Some(12.0), None, None))
+      .toDF("timestamp", "power_ALP", "emission_ALP", "price_NSW1")
+    val path = Files.createTempDirectory("wide_csv").toString
+    CsvCache.writeWide(wide, path)
+    val back = CsvCache.readWide(spark, path)
+    assert(back.schema.fields.map(f => f.name -> f.dataType.typeName).toMap ==
+      Map("timestamp" -> "string", "power_ALP" -> "double",
+        "emission_ALP" -> "double", "price_NSW1" -> "double"))
+    assert(back.exceptAll(wide).count() == 0 && wide.exceptAll(back).count() == 0)
+  }
+
+  test("replay: indexing follows timestamp order; stream cycles with wrap epoch (S11/T7)") {
+    val events = Seq(
+      ("2025-10-15T10:10:00+11:00", "b"), ("2025-10-15T10:05:00+11:00", "a"),
+      ("2025-10-15T10:15:00+11:00", "c"))
+      .toDF("timestamp", "id")
+    val idx = Replay.indexed(events, Seq("timestamp", "id"))
+    assert(idx.orderBy("replay_idx").select("id").as[String].collect().toSeq ==
+      Seq("a", "b", "c"))
+
+    val stream = Replay.stream(spark, idx, nRows = 3, eventsPerSecond = 100)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("replay_t").start()
+    try {
+      // Rate source is wall-clock driven: give it a moment, then check
+      // whatever arrived (ordering property, not exact counts).
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("replay_t").count() < 7 &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      val got = spark.table("replay_t")
+        .orderBy("value").select($"value", $"cycle", $"id").collect()
+      assert(got.length >= 7, s"only ${got.length} replayed events arrived")
+      // tick k replays event k % 3 and cycle k / 3 — the wrap is explicit.
+      got.foreach { r =>
+        val v = r.getLong(0)
+        assert(r.getLong(1) == v / 3)
+        assert(r.getString(2) == Seq("a", "b", "c")((v % 3).toInt))
+      }
+    } finally q.stop()
+  }
+}
