@@ -84,16 +84,21 @@ object Similarity {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", buckets(col("v")))
-    val w = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("cos_sim").desc, col("b.vec_id").asc)
+    // argmax per query via max_by (partial+final agg — no sort-window
+    // shuffle); tie-break = smallest neighbor id, so the order key is
+    // (cos_sim, -vec_id) maximized.
     e.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cos_sim", round(cosine(col("a.v"), col("b.v")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-        col("a.bucket").as("bucket"), col("cos_sim"))
+        col("a.bucket").as("bucket"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(max_by(
+        struct(col("neighbor_id"), col("bucket"), col("cos_sim")),
+        struct(col("cos_sim"), (-col("neighbor_id")).as("neg_id"))).as("best"))
+      .select(col("query_id"), col("best.neighbor_id"), col("best.bucket"),
+        col("best.cos_sim"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

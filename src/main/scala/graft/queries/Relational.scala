@@ -79,17 +79,20 @@ object Relational {
         Array(col("extendedprice"), col("quantity")),
         "measure", "value")
 
-  /** q6 — A5 latest-per-key as row_number()=1 (dashboard.py:363-365);
-    * total order: ts desc then event_id desc (ties broken deterministically).
+  /** q6 — A5 latest-per-key (dashboard.py:363-365) as `max_by` over the
+    * total order (ts, event_id): semantically `row_number()=1` (the oracle
+    * says it that way) but planned as partial+final hash aggregation —
+    * map-side combine reduces each partition to one row per key before the
+    * shuffle, where a sort-window would shuffle and sort every event.
     */
-  def q6LatestPerKey(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+  def q6LatestPerKey(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        round(col("value"), 2).as("value"))
-  }
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_id"), col("last.event_type"),
+        round(col("last.value"), 2).as("value"))
 
   /** q7 — A9/W3 5-minute tumbling bucket sums (dashboard.py:546-555).
     * Bucket emitted as bigint epoch seconds for cross-engine determinism.

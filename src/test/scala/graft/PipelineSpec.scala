@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Consolidate, FacilityCatalog, Readings}
+import graft.stream.{Ingest, Melt, State}
+
+/** SURVEY §7.2 flagship slice, end to end: raw nested facility JSON +
+  * metric JSON → catalog → readings rollup → wide cache → melt to JSON
+  * events → REPLAYED AS A STREAM → validate → broadcast-enrich →
+  * region/fuel filter → watermarked 5-min totals, asserted against
+  * hand-computed goldens. One of every operator family in SURVEY §2 in a
+  * single flow, batch and streaming halves glued at the event boundary.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  val T1 = "2025-10-15T10:05:00+11:00" // 23:05Z prev day
+  val T2 = "2025-10-15T10:10:00+11:00"
+  val T3 = "2025-10-15T10:15:00+11:00"
+
+  private def facilitiesRaw: DataFrame =
+    spark.read.schema(graft.model.Schemas.facilitiesRaw).json(Seq(
+      """{"code":"ALP","name":"Alpha","network_region":"NSW1","location":{"lat":-33.1,"lng":151.2},
+         "units":[{"code":"ALP1","fueltech_id":"solar_utility","status_id":"operating"}]}""",
+      """{"code":"BET","name":"Beta","network_region":"VIC1","location":{"lat":-37.8,"lng":144.9},
+         "units":[{"code":"BET1","fueltech_id":"coal_black","status_id":"operating"}]}""").toDS())
+
+  private def fueltech: DataFrame = Seq(
+    ("solar_utility", "Solar (Utility)", true), ("coal_black", "Coal (Black)", false))
+    .toDF("fueltech_id", "label", "renewable")
+
+  private def metricJson(series: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    val results = series.map { case (code, data) =>
+      val pts = data.map { case (ts, v) => s"""["$ts",$v]""" }.mkString(",")
+      s"""{"columns":{"unit_code":"$code"},"data":[$pts]}"""
+    }.mkString(",")
+    spark.read.json(Seq(s"""{"results":[$results]}""").toDS())
+  }
+
+  test("batch ETL → melt → stream ingest → enrich → filter → windowed totals") {
+    // ---- batch half (ref extractor.py) ----
+    val power = metricJson(Seq(
+      "ALP1" -> Seq(T1 -> 10.0, T2 -> 11.0, T3 -> 12.0),
+      "BET1" -> Seq(T1 -> 100.0, T2 -> 90.0, T3 -> 80.0)))
+    val emissions = metricJson(Seq(
+      "ALP1" -> Seq(T1 -> 0.0, T2 -> 0.0, T3 -> 0.0),
+      "BET1" -> Seq(T1 -> 70.0, T2 -> 60.0, T3 -> 50.0)))
+    val dim = FacilityCatalog.facilityDim(facilitiesRaw, fueltech)
+    val fac = Readings.facilityReadings(
+      Readings.unitReadings(power, emissions),
+      FacilityCatalog.unitToFacility(facilitiesRaw))
+    val wide = Consolidate.wideCache(
+      Consolidate.pivotFacility(fac, Seq("ALP", "BET")),
+      Consolidate.pivotMarket(
+        Seq(("VIC1", T1, 92.1, 5000.0)).toDF("region_code", "timestamp", "price", "demand"),
+        Seq("VIC1")))
+    val eventJson = Melt.jsonStream(wide, Seq("ALP", "BET"), Seq("VIC1"))
+      .as[String].collect() // test-only: hand the batch output to the stream
+
+    // ---- streaming half (ref dashboard.py) ----
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val enriched = Ingest.enrichFacility(Ingest.facilityEvents(in.toDF()), dim)
+    val vicCoal = enriched.filter(col("region") === "VIC1" &&
+      arrays_overlap(col("fuel_tech"), array(lit("Coal (Black)"))))
+    val q = State.windowedTotals(vicCoal, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("pipe_t").start()
+    try {
+      in.addData(eventJson.toIndexedSeq)
+      q.processAllAvailable()
+      // Far-future sentinel advances the watermark so all real buckets close.
+      in.addData(
+        """{"facility_id":"BET","timestamp":"2025-10-15T13:00:00+11:00","power_mw":0,"co2_tonnes":0}""")
+      q.processAllAvailable()
+      val got = spark.table("pipe_t")
+        .select(col("bucket_start").cast("string"), col("total_power_mw"), col("total_co2_tonnes"))
+        .as[(String, Double, Double)].collect()
+        .map { case (k, p, c) => k -> ((p, c)) }.toMap
+      // Only BET (VIC1 + Coal) survives the filter; one bucket per 5-min ts.
+      assert(got == Map(
+        "2025-10-14 23:05:00" -> ((100.0, 70.0)),
+        "2025-10-14 23:10:00" -> ((90.0, 60.0)),
+        "2025-10-14 23:15:00" -> ((80.0, 50.0))))
+    } finally q.stop()
+  }
+}
