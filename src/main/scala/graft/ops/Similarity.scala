@@ -101,9 +101,48 @@ object Similarity {
         col("best.cos_sim"))
   }
 
+  private val NCentroids = 8
+  private val IvfQueries = 5 // vec_id in [NCentroids, NCentroids+IvfQueries)
+  private val IvfTopK = 3
+
+  /** s3 — IVF-style ANN: a fixed centroid set partitions the corpus into
+    * cells (assignment = argmax cosine to centroid, deterministic
+    * tie-break); queries search only their own cell. This is the
+    * inverted-file scale path: the corpus shuffles once by cell id, and a
+    * query touches |corpus|/k vectors instead of all of them. Centroids
+    * here are the first `NCentroids` vectors (a real deployment feeds
+    * k-means centroids in — the operator shape is identical).
+    */
+  def s3IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val centroids = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"),
+        col("cent_id"), cosine(col("v"), col("cv")).as("cc"))
+      .groupBy(col("vec_id"), col("v"))
+      .agg(max_by(col("cent_id"), struct(col("cc"), (-col("cent_id")).as("n"))).as("cell"))
+    val queries = assigned
+      .filter(col("vec_id") >= NCentroids && col("vec_id") < NCentroids + IvfQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell").as("qcell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(queries),
+      col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qcell").as("cell"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_cosine" -> s1KnnCosine,
-    "s2_ann_lsh" -> s2AnnLsh)
+    "s2_ann_lsh" -> s2AnnLsh,
+    "s3_ivf_ann" -> s3IvfAnn)
 
   private def bucketSql(v: String): String =
     (1 to NBuckBits).map(i =>
@@ -132,5 +171,25 @@ object Similarity {
          |      ORDER BY round(${cosineSql("a.embedding", "b.embedding")}, 6) DESC,
          |               b.vec_id ASC) AS rn
          |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-         |SELECT query_id, neighbor_id, bucket, cos_sim FROM sims WHERE rn = 1""".stripMargin)
+         |SELECT query_id, neighbor_id, bucket, cos_sim FROM sims WHERE rn = 1""".stripMargin,
+    "s3_ivf_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv
+         |              FROM embeddings WHERE vec_id < $NCentroids),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cent_id AS cell
+         |  FROM (SELECT e.vec_id, e.embedding, c.cent_id,
+         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |            ${cosineSql("e.embedding", "c.cv")} DESC, c.cent_id ASC) AS rn
+         |        FROM embeddings e CROSS JOIN cent c) t
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned
+         |      WHERE vec_id >= $NCentroids AND vec_id < ${NCentroids + IvfQueries}),
+         |sims AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, q.cell,
+         |    round(${cosineSql("q.qv", "a.embedding")}, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      round(${cosineSql("q.qv", "a.embedding")}, 6) DESC, a.vec_id ASC) AS rank
+         |  FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cell, CAST(rank AS BIGINT) AS rank, cos_sim
+         |FROM sims WHERE rank <= $IvfTopK""".stripMargin)
 }

@@ -266,6 +266,41 @@ object Relational {
         array(lit("PROMO"), lit("ECONOMY"))))
       .select(col("p_partkey"), col("p_type"))
 
+  /** q26 — A3 boolean any() per group (ref extractor.py:77-87): flag
+    * groups containing at least one matching member.
+    */
+  def q26ExistsFlag(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        max(when(col("c_acctbal") < 0, 1).otherwise(0)).cast("long").as("has_debtor"))
+
+  /** q27 — A7 aggregate with null guard (ref dashboard.py:725-727):
+    * conditional avg is null for groups with no match → coalesce to 0.
+    */
+  def q27AvgGuard(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .join(load(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(
+        coalesce(round(avg(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2),
+          lit(0.0)).as("avg_pending_price"),
+        count(col("o_orderkey")).as("n_orders"))
+
+  /** q28 — P16 time-horizon filter relative to the data max, not wall
+    * clock (ref dashboard.py:546-550): keep events in the last hour of
+    * the stream. The max is one scalar broadcast to the scan's filter.
+    */
+  def q28TimeHorizon(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - lit(3600000000000L)) // 1h in ns
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
@@ -291,7 +326,10 @@ object Relational {
     "q22_in_list" -> q22InList,
     "q23_left_join_fill" -> q23LeftJoinFill,
     "q24_composite_join" -> q24CompositeJoin,
-    "q25_arrays_overlap" -> q25ArraysOverlap)
+    "q25_arrays_overlap" -> q25ArraysOverlap,
+    "q26_exists_flag" -> q26ExistsFlag,
+    "q27_avg_guard" -> q27AvgGuard,
+    "q28_time_horizon" -> q28TimeHorizon)
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -430,5 +468,22 @@ object Relational {
         |GROUP BY e.user_id""".stripMargin,
     "q25_arrays_overlap" ->
       """SELECT p_partkey, p_type FROM part
-        |WHERE list_has_any(string_split(p_type, ' '), ['PROMO', 'ECONOMY'])""".stripMargin)
+        |WHERE list_has_any(string_split(p_type, ' '), ['PROMO', 'ECONOMY'])""".stripMargin,
+    "q26_exists_flag" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |  CAST(max(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS has_debtor
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q27_avg_guard" ->
+      """SELECT c_mktsegment,
+        |  coalesce(round(avg(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0)
+        |    AS avg_pending_price,
+        |  count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q28_time_horizon" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+        |GROUP BY event_type""".stripMargin)
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Consolidate
+import graft.stream.Melt
+
+/** Property-based invariants (SURVEY §5) over generated inputs through
+  * the real operators. Deterministic seeds; small sample counts — each
+  * case is a full Spark job.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val codes = Seq("ALP", "BET", "GMA")
+  private val stampGen =
+    Gen.oneOf((0 until 4).map(i => f"2025-10-15T10:${5 * i}%02d:00+11:00"))
+
+  test("pivot ∘ melt == identity on deduplicated long tables") {
+    val rowGen = for {
+      c <- Gen.oneOf(codes)
+      t <- stampGen
+      p <- Gen.chooseNum(-50.0, 50.0).map(v => math.rint(v * 100) / 100)
+      e <- Gen.chooseNum(0.5, 10.0).map(v => math.rint(v * 100) / 100)
+    } yield (c, t, p, e)
+    for (rows <- samples(Gen.listOfN(10, rowGen), 5) if rows.nonEmpty) {
+      // dedup (code, ts): pivot averages duplicate cells (pinned in
+      // EtlSpec) — the round-trip identity holds on unique cells. Melt
+      // zero-fills absent cells, so compare modulo all-zero rows (the
+      // emission generator avoids 0 to keep real rows distinguishable).
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val longDf = uniq.toDF("facility_code", "timestamp", "power", "emission")
+      val wide = Consolidate.pivotFacility(longDf, codes)
+      val back = Melt.facilityEvents(wide, codes)
+        .filter(!(col("power_mw") === 0.0 && col("co2_tonnes") === 0.0))
+        .select(col("facility_id").as("facility_code"), col("timestamp"),
+          col("power_mw").as("power"), col("co2_tonnes").as("emission"))
+      assert(back.exceptAll(longDf).count() == 0)
+      assert(longDf.exceptAll(back).count() == 0)
+    }
+  }
+
+  test("max_by latest-per-key ≡ row_number()=1 on generated events") {
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 5L)
+      ts <- Gen.chooseNum(1L, 20L)
+      v <- Gen.chooseNum(0.0, 100.0)
+    } yield (u, ts, v)
+    for (rows <- samples(Gen.listOfN(30, evGen), 5) if rows.nonEmpty) {
+      val df = rows.zipWithIndex
+        .map { case ((u, ts, v), i) => (u, ts, v, i.toLong) }
+        .toDF("user_id", "ts", "value", "event_id")
+      val viaMaxBy = df.groupBy($"user_id")
+        .agg(max_by(struct($"event_id", $"value"), struct($"ts", $"event_id")).as("l"))
+        .select($"user_id", $"l.event_id", $"l.value")
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).select($"user_id", $"event_id", $"value")
+      assert(viaMaxBy.exceptAll(viaWindow).count() == 0)
+      assert(viaWindow.exceptAll(viaMaxBy).count() == 0)
+    }
+  }
+
+  test("ingest partitions the stream: validated + rejected == input") {
+    val goodFac = Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.chooseNum(-10.0, 10.0))
+      .map { case (id, p) =>
+        s"""{"facility_id":"$id","timestamp":"2025-10-15T10:05:00+11:00","power_mw":$p,"co2_tonnes":0}"""
+      }
+    val goodMkt = Gen.oneOf("NSW1", "VIC1").map(r =>
+      s"""{"region_id":"$r","timestamp":"2025-10-15T10:05:00+11:00","price_dmwh":10,"demand_mw":5}""")
+    val bad = Gen.oneOf(
+      "not json", """{"timestamp":"starting...","price_dmwh":0,"demand_mw":0}""",
+      """{"facility_id":"","timestamp":"2025-10-15T10:05:00+11:00"}""",
+      """{"facility_id":"X","timestamp":"short"}""")
+    val mix = Gen.listOfN(12, Gen.frequency(2 -> goodFac, 1 -> goodMkt, 1 -> bad))
+    for (lines <- samples(mix, 5) if lines.nonEmpty) {
+      val raw = lines.toDF("value")
+      val n = graft.stream.Ingest.facilityEvents(raw).count() +
+        graft.stream.Ingest.marketEvents(raw).count() +
+        graft.stream.Ingest.rejects(raw).count()
+      assert(n == raw.count())
+    }
+  }
+}

@@ -4,7 +4,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{CsvCache, Replay}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.{CsvCache, Replay, Sinks}
 
 class SourcesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
@@ -67,6 +68,21 @@ class SourcesSpec extends AnyFunSuite {
         assert(r.getLong(1) == v / 3)
         assert(r.getString(2) == Seq("a", "b", "c")((v % 3).toInt))
       }
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: idempotent per-batch parquet log (S8)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val dir = Files.createTempDirectory("batch_log").toString
+    val q = Sinks.parquetBatchLog(in.toDF(), dir, "sink_t")
+    try {
+      in.addData("e1", "e2")
+      q.processAllAvailable()
+      in.addData("e3")
+      q.processAllAvailable()
+      val back = Sinks.readBatchLog(spark, dir).as[String].collect().sorted
+      assert(back.toSeq == Seq("e1", "e2", "e3"))
     } finally q.stop()
   }
 }
