@@ -21,12 +21,14 @@ object SparkEntry {
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
-      graft.ops.Multimodal.queries
+      graft.ops.Multimodal.queries ++
+      graft.ops.AsOf.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
-      graft.ops.Multimodal.oracle
+      graft.ops.Multimodal.oracle ++
+      graft.ops.AsOf.oracle
 }

@@ -82,6 +82,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState dict-merge: partial events overlay field-wise (§2.10)") {
+    import graft.stream.MergeState
+    import graft.stream.MergeState.{MergedState, PartialEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PartialEvent]
+    val q = MergeState.latestMerged(in.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("merge_t").start()
+    withQuery(q) {
+      in.addData(PartialEvent("ALP", "t1", 1000L, Some(10.0), Some(1.0)))
+      q.processAllAvailable()
+      // Partial update: only power arrives — co2 must carry over from t1.
+      in.addData(PartialEvent("ALP", "t2", 2000L, Some(20.0), None))
+      q.processAllAvailable()
+      // Partial again: only co2 — power stays 20.0.
+      in.addData(PartialEvent("ALP", "t3", 3000L, None, Some(3.0)))
+      q.processAllAvailable()
+      val last = spark.table("merge_t").as[MergedState].collect()
+        .maxBy(_.timestamp)
+      assert(last == MergedState("ALP", "t3", 20.0, 3.0))
+    }
+  }
+
   test("rejects channel on a stream: malformed rows flow to the dead letter, stream survives (T8)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
