@@ -40,11 +40,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Two measured runs, report the min — JIT noise at this scale is
+    // ±15% and the min is the reproducible figure. Spark's cache is
+    // cleared before every timed run so persisted intermediates inside a
+    // query (e.g. minhash signatures) are measured cold, not replayed.
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -59,8 +59,32 @@ object Multimodal {
     }.toDF()
   }
 
+  private val FrameStep = 4
+
+  /** m2 — frame sampling: expand each "video" into every `FrameStep`-th
+    * frame row with a per-frame signature (the stub stands in for a frame
+    * decode+embed). Sampling is *relational* — explode(sequence) — so
+    * Catalyst plans it as a generator, not opaque user code: frame rows
+    * partition with their parent rows and downstream filters on frame_idx
+    * prune inside the expansion.
+    */
+  def m2FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val b2 = (conv(substring(col("h"), 5, 2), 16, 10).cast("int") % 30)
+    load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("n_frames", lit(1) + b2)
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStep)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("frame_idx").cast("string"), lit(":"), col("h"))), 1, 8)
+          .as("frame_sig"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_multimodal_meta" -> m1MultimodalMeta)
+    "m1_multimodal_meta" -> m1MultimodalMeta,
+    "m2_frame_sample" -> m2FrameSample)
 
   // Hex-pair → byte value, mirroring MessageDigest output hex-by-hex.
   private def hexByteSql(i: Int): String = {
@@ -77,5 +101,15 @@ object Multimodal {
          |  CAST(64 + 8 * (${hexByteSql(1)} % 64) AS BIGINT) AS height,
          |  CAST(1 + (${hexByteSql(2)} % 30) AS BIGINT) AS n_frames,
          |  CAST(n AS BIGINT) AS payload_bytes
-         |FROM h""".stripMargin)
+         |FROM h""".stripMargin,
+    "m2_frame_sample" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |f AS (SELECT doc_id, h, 1 + (${hexByteSql(2)} % 30) AS n_frames FROM h),
+         |fr AS (SELECT doc_id, h,
+         |         unnest(generate_series(0, n_frames - 1, $FrameStep)) AS i
+         |       FROM f)
+         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || h), 1, 8)
+         |    AS frame_sig
+         |FROM fr""".stripMargin)
 }

@@ -57,6 +57,16 @@ object State {
       .select(col("bucket.start").as("bucket_start"),
         col("total_power_mw"), col("total_co2_tonnes"))
 
+  /** At-least-once → effectively-once (ref T5: MQTT QoS 1 redelivery +
+    * the dedup-set readme.md:157 describes): drop duplicate
+    * (facility_id, timestamp) deliveries under the watermark — state for
+    * the dedup set is time-bounded, exactly the deviation SURVEY §7.4.2
+    * documents for the count-bounded reference structures.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "60 minutes"): DataFrame =
+    events.withWatermark("event_ts", watermark)
+      .dropDuplicates(Seq("facility_id", "timestamp"))
+
   /** The dashboard's scalar headline metrics over the latest-per-key
     * state (ref dashboard.py:716-729, A6-A8): filtered sums/avg + the
     * modal timestamp as "last updated" (deterministic tie-break: smallest,

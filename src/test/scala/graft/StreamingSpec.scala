@@ -104,6 +104,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup: at-least-once redelivery collapses under the watermark (T5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = State.dedupEvents(Ingest.facilityEvents(in.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_t").start()
+    withQuery(q) {
+      val e = facJson("ALP", "2025-10-15T10:05:00+11:00", 10.0, 1.0)
+      in.addData(e, e) // duplicate delivery in one batch
+      q.processAllAvailable()
+      in.addData(e) // redelivery in a later batch, still inside watermark
+      in.addData(facJson("ALP", "2025-10-15T10:10:00+11:00", 11.0, 1.1))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_t").select($"timestamp").as[String].collect()
+      assert(rows.sorted.toSeq == Seq(
+        "2025-10-15T10:05:00+11:00", "2025-10-15T10:10:00+11:00"))
+    }
+  }
+
   test("rejects channel on a stream: malformed rows flow to the dead letter, stream survives (T8)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
