@@ -165,8 +165,20 @@ object Dedup {
       .filter(col("cos_sim") >= 0.3)
   }
 
+  /** d6 — normalized dedup: the middle rung of the dedup ladder (exact
+    * bytes → normalized text → near-dup). Keying on the whitespace/case
+    * normalized fingerprint catches trivially-reformatted copies that d1
+    * misses; same one-aggregation cost.
+    */
+  def d6NormDedup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .groupBy(substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16)
+        .as("norm_fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
+    "d6_norm_dedup" -> d6NormDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
@@ -178,6 +190,11 @@ object Dedup {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d6_norm_dedup" ->
+      """SELECT substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
+        |    AS norm_fingerprint,
+        |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "d2_minhash_lsh" -> {
       val sigSql = (0 until NumHashes).map(j =>

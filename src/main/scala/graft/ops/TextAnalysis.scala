@@ -88,11 +88,35 @@ object TextAnalysis {
         substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16)
           .as("fingerprint"))
 
+  private val TopNgrams = 20
+
+  /** t5 — corpus heavy hitters: top bigrams by document frequency.
+    * explode → hash-agg → top-k; the partial aggregation makes the
+    * shuffle carry one row per (partition, bigram), not per occurrence —
+    * the only shape that survives a 100 TB corpus. Deterministic cut:
+    * ties broken lexicographically.
+    */
+  def t5NgramFreq(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram").asc)
+      .limit(TopNgrams)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_quality_score" -> t1QualityScore,
     "t2_token_count" -> t2TokenCount,
     "t3_lang_id" -> t3LangId,
-    "t4_fingerprint" -> t4Fingerprint)
+    "t4_fingerprint" -> t4Fingerprint,
+    "t5_ngram_freq" -> t5NgramFreq)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -138,5 +162,14 @@ object TextAnalysis {
       """SELECT doc_id,
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
         |    AS fingerprint
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "t5_ngram_freq" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1]))) AS bigram
+         |       FROM t WHERE len(t) >= 2)
+         |SELECT bigram, count(DISTINCT doc_id) AS doc_freq
+         |FROM bg GROUP BY bigram
+         |ORDER BY doc_freq DESC, bigram ASC LIMIT $TopNgrams""".stripMargin)
 }

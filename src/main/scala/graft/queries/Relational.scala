@@ -301,7 +301,22 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** q30 — HLL sketch distinct counting (approx_count_distinct): the
+    * constant-memory path for distinct cardinalities at 100 TB, where
+    * exact countDistinct shuffles every distinct value. No DuckDB oracle
+    * (sketch estimates aren't cross-engine reproducible) — the driver
+    * records a rows-only check; the ≤2% relative-error bound against the
+    * exact count is asserted in QueriesSmokeSpec.
+    */
+  def q30ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_approx_distinct" -> q30ApproxDistinct,
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
     "q3_join_agg" -> q3JoinAgg,

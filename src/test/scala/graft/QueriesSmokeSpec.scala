@@ -28,4 +28,21 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracleSql without query impl: $extra")
   }
+
+  test("q30: HLL estimates stay within 2% of exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q30_approx_distinct")(spark, dir)
+    val exact = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+      val (ao, eo) = (r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
+      assert(math.abs(ap - ep).toDouble / ep <= 0.02, s"parts: $ap vs $ep")
+      assert(math.abs(ao - eo).toDouble / eo <= 0.02, s"orders: $ao vs $eo")
+    }
+  }
 }
