@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dashboard-parity batch queries over the latest-state frames (SURVEY
+  * §7.1 step 9: P14-P16 filters + A6-A8 scalar metrics + A10 domains —
+  * ref dashboard.py:457-729). These run identically over the streaming
+  * sinks' output tables and over batch snapshots.
+  */
+object Metrics {
+
+  /** Region + fuel filters (P14/P15, ref dashboard.py:704-713). */
+  def filterFacilities(latest: DataFrame, regions: Seq[String],
+      fuels: Seq[String]): DataFrame = {
+    val byRegion = if (regions.isEmpty) latest
+      else latest.filter(col("region").isin(regions.map(x => x: Any): _*))
+    if (fuels.isEmpty) byRegion
+    else byRegion.filter(arrays_overlap(col("fuel_tech"),
+      array(fuels.map(lit): _*)))
+  }
+
+  /** The five headline scalars (A6-A8, ref dashboard.py:716-729): total
+    * power, total CO₂, facility count, modal timestamp (smallest on tie,
+    * pandas `mode()[0]` semantics), NaN/empty-guarded.
+    */
+  def headline(filteredLatest: DataFrame): DataFrame = {
+    val sums = filteredLatest.agg(
+      coalesce(round(sum(col("power_mw")), 2), lit(0.0)).as("total_power_mw"),
+      coalesce(round(sum(col("co2_tonnes")), 2), lit(0.0)).as("total_co2_tonnes"),
+      count(lit(1)).as("n_facilities"))
+    val modalTs = filteredLatest.groupBy(col("timestamp"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("timestamp").asc)
+      .limit(1)
+      .select(col("timestamp").as("last_updated"))
+    sums.join(modalTs, lit(true), "left_outer") // left: survive empty input
+  }
+
+  /** Filter-option domains (A10, ref dashboard.py:470-475): sorted
+    * distinct fuels (exploded) and regions.
+    */
+  def domains(facilityDim: DataFrame): (Seq[String], Seq[String]) = {
+    val fuels = facilityDim.select(explode(col("fuel_tech")).as("f"))
+      .distinct().orderBy("f").collect().map(_.getString(0)).toSeq
+    val regions = facilityDim.select(col("region")).distinct()
+      .orderBy("region").collect().map(_.getString(0)).toSeq
+    (fuels, regions) // driver-side: bounded by the dim, not the facts
+  }
+}

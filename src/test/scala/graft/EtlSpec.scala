@@ -195,6 +195,28 @@ class EtlSpec extends AnyFunSuite {
     assert(buckets.values.toSet == Set((105.0, 81.0), (12.0, 2.0)))
   }
 
+  test("Metrics: region/fuel filters + headline scalars + domains (ref dashboard.py:457-729)") {
+    import graft.queries.Metrics
+    val latest = Seq(
+      ("ALP", T2, 12.0, 0.5, "NSW1", Seq("Solar (Utility)")),
+      ("BET", T2, 95.0, 80.0, "VIC1", Seq("Coal (Black)")),
+      ("DLT", T1, 3.0, 0.0, "SA1", Seq("Wind")))
+      .toDF("facility_id", "timestamp", "power_mw", "co2_tonnes", "region", "fuel_tech")
+    val vicCoal = Metrics.filterFacilities(latest, Seq("VIC1"), Seq("Coal (Black)"))
+    assert(vicCoal.count() == 1)
+    val h = Metrics.headline(vicCoal).head()
+    assert(h.getAs[Double]("total_power_mw") == 95.0 &&
+      h.getAs[Long]("n_facilities") == 1 && h.getAs[String]("last_updated") == T2)
+    // Empty-selection guard: zeros and null last_updated, not NaN/crash.
+    val none = Metrics.headline(Metrics.filterFacilities(latest, Seq("QLD1"), Nil)).head()
+    assert(none.getAs[Double]("total_power_mw") == 0.0 &&
+      none.getAs[Long]("n_facilities") == 0 && none.isNullAt(none.fieldIndex("last_updated")))
+    val (fuels, regions) = Metrics.domains(
+      latest.select($"facility_id", $"region", $"fuel_tech"))
+    assert(fuels == Seq("Coal (Black)", "Solar (Utility)", "Wind"))
+    assert(regions == Seq("NSW1", "SA1", "VIC1"))
+  }
+
   test("headline metrics incl. modal timestamp, smallest tie-break (ref dashboard.py:716-729)") {
     val latest = Seq(
       ("ALP", T2, 12.0, 0.5), ("BET", T1, 95.0, 80.0), ("DLT", T2, 3.0, 0.0))
