@@ -28,8 +28,10 @@ object Bench {
       val all = SparkEntry.queries.keySet
       val preferred = Seq(
         "q1_agg", "q3_join_agg", "q5_unpivot", "q6_latest_per_key",
-        "q7_time_bucket", "d1_exact_dedup", "d2_minhash_lsh",
-        "s1_knn_cosine", "t1_quality_score").filter(all.contains)
+        "q7_time_bucket", "q29_asof_join", "d1_exact_dedup", "d2_minhash_lsh",
+        "d4_ngram_jaccard", "s1_knn_cosine", "s3_ivf_ann",
+        "t1_quality_score", "t5_ngram_freq", "m2_frame_sample")
+        .filter(all.contains)
       if (preferred.nonEmpty) preferred else all.toSeq.sorted
     }
 

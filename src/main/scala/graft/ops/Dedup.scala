@@ -129,10 +129,13 @@ object Dedup {
     * compares documents sharing a shingle in the same block.
     */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Referenced three times (both self-join sides + sizes): materialize
+    // the explode+distinct pass once.
     val sh = load(s, dir, "documents")
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("source"), explode(shingles(col("t"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -106,7 +106,9 @@ object TextAnalysis {
           i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))))
         .as("bigram"))
       .groupBy("bigram")
-      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      // (doc_id, bigram) is already unique (array_distinct per doc), so a
+      // plain count IS the document frequency — no distinct expansion.
+      .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("bigram").asc)
       .limit(TopNgrams)
   }
@@ -169,7 +171,7 @@ object TextAnalysis {
          |         unnest(list_distinct(list_transform(generate_series(1, len(t) - 1),
          |           i -> t[i] || ' ' || t[i+1]))) AS bigram
          |       FROM t WHERE len(t) >= 2)
-         |SELECT bigram, count(DISTINCT doc_id) AS doc_freq
+         |SELECT bigram, count(*) AS doc_freq
          |FROM bg GROUP BY bigram
          |ORDER BY doc_freq DESC, bigram ASC LIMIT $TopNgrams""".stripMargin)
 }

@@ -184,7 +184,11 @@ object Relational {
         substring(col("p_name"), 1, 8).as("name_prefix"),
         length(col("p_name")).cast("long").as("name_len"),
         concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
-        regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_devoweled"))
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_devoweled"),
+        // P18 truncate+ellipsis (ref dashboard.py:599-601)
+        when(length(col("p_name")) > 22,
+          concat(substring(col("p_name"), 1, 22), lit("…")))
+          .otherwise(col("p_name")).as("name_display"))
 
   /** q18 — §2.8 date/time surface: extract parts, truncate, format. */
   def q18Datetime(s: SparkSession, dir: String): DataFrame =
@@ -315,8 +319,23 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  /** q31 — P9 date arithmetic on real timestamps: orders in the trailing
+    * 30 days of the data (ref extractor.py:145-146 fetch-window math),
+    * interval subtraction + timestamp comparison.
+    */
+  def q31DateWindow(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val maxDate = o.agg(max(col("o_orderdate")).as("max_d"))
+    o.crossJoin(broadcast(maxDate))
+      .filter(col("o_orderdate") >= col("max_d") - expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_recent"),
+        round(sum(col("o_totalprice")), 2).as("recent_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_approx_distinct" -> q30ApproxDistinct,
+    "q31_date_window" -> q31DateWindow,
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
     "q3_join_agg" -> q3JoinAgg,
@@ -436,7 +455,9 @@ object Relational {
         |  substr(p_name, 1, 8) AS name_prefix,
         |  CAST(length(p_name) AS BIGINT) AS name_len,
         |  p_brand || '/' || p_type AS brand_type,
-        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled
+        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+        |  CASE WHEN length(p_name) > 22 THEN substr(p_name, 1, 22) || '…'
+        |       ELSE p_name END AS name_display
         |FROM part""".stripMargin,
     "q18_datetime" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
@@ -500,5 +521,11 @@ object Relational {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events
         |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
-        |GROUP BY event_type""".stripMargin)
+        |GROUP BY event_type""".stripMargin,
+    "q31_date_window" ->
+      """SELECT o_orderpriority, count(*) AS n_recent,
+        |  round(sum(o_totalprice), 2) AS recent_total
+        |FROM orders
+        |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
+        |GROUP BY o_orderpriority""".stripMargin)
 }
