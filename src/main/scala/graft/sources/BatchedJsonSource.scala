@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's batched-fetch pattern
+  * (ref S1/S2: extractor.py:98-166 — 17 batches × 25 facility codes,
+  * fetched serially in Python; here each batch is an `InputPartition`, so
+  * a 1000-executor cluster fetches all batches concurrently).
+  *
+  * The "API" is modeled as a directory of staged per-batch JSON files
+  * (exactly what the reference's `data/power_emissions/` staging is,
+  * S7). Each file becomes one partition; rows are `(batch_id, value)`
+  * with the raw JSON line in `value` — decode stays in the engine via
+  * `from_json` (the Ingest path), keeping the connector transport-only
+  * the way a Kafka source is. Retry/pacing (S3) belongs here too: a
+  * partition reader that fetches over HTTP would wrap its `get` calls
+  * without touching the query plan.
+  *
+  * Usage: `spark.read.format("batched-json").load(dir)`.
+  */
+class BatchedJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "batched-json"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BatchedJsonSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BatchedJsonTable(properties.get("path"))
+}
+
+object BatchedJsonSource {
+  val schema: StructType = StructType(Seq(
+    StructField("batch_id", IntegerType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+private class BatchedJsonTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"batched-json:$path"
+  override def schema(): StructType = BatchedJsonSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = BatchedJsonSource.schema
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val dir = Paths.get(path)
+        val files = Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".json")).toArray.sortBy(_.toString)
+        files.zipWithIndex.map { case (f, i) =>
+          BatchPartition(i, f.toString): InputPartition
+        }
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new BatchReaderFactory
+    }
+}
+
+private case class BatchPartition(batchId: Int, file: String) extends InputPartition
+
+private class BatchReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[BatchPartition]
+    new PartitionReader[InternalRow] {
+      // One batch file is one API response (≤25 entities in the
+      // reference) — reading it eagerly per partition is the contract.
+      private val lines = Files.readAllLines(
+        Path.of(p.file), StandardCharsets.UTF_8).asScala
+        .iterator.filter(_.nonEmpty)
+      private var current: String = _
+      override def next(): Boolean = {
+        if (lines.hasNext) { current = lines.next(); true } else false
+      }
+      override def get(): InternalRow =
+        InternalRow(p.batchId, UTF8String.fromString(current))
+      override def close(): Unit = ()
+    }
+  }
+}
