@@ -82,9 +82,27 @@ object Multimodal {
           .as("frame_sig"))
   }
 
+  private val ThumbMax = 256L
+
+  /** m3 — resize planning: target thumbnail dims preserving aspect ratio
+    * (longest side → `ThumbMax`, integer floor). The actual pixel resample
+    * is the stubbed codec's job; the dimension math — what the pipeline
+    * schedules and validates — is exact and oracle-checked. Integer-only
+    * arithmetic: `w*256 div max(w,h)` avoids float rounding divergence.
+    */
+  def m3Thumbnail(s: SparkSession, dir: String): DataFrame =
+    m1MultimodalMeta(s, dir)
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("long_side") <= ThumbMax, col("width"))
+          .otherwise(expr(s"(width * $ThumbMax) div long_side")).as("thumb_w"),
+        when(col("long_side") <= ThumbMax, col("height"))
+          .otherwise(expr(s"(height * $ThumbMax) div long_side")).as("thumb_h"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1MultimodalMeta,
-    "m2_frame_sample" -> m2FrameSample)
+    "m2_frame_sample" -> m2FrameSample,
+    "m3_thumbnail" -> m3Thumbnail)
 
   // Hex-pair → byte value, mirroring MessageDigest output hex-by-hex.
   private def hexByteSql(i: Int): String = {
@@ -111,5 +129,19 @@ object Multimodal {
          |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
          |  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' || h), 1, 8)
          |    AS frame_sig
-         |FROM fr""".stripMargin)
+         |FROM fr""".stripMargin,
+    "m3_thumbnail" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(64 + 8 * (${hexByteSql(0)} % 64) AS BIGINT) AS width,
+         |    CAST(64 + 8 * (${hexByteSql(1)} % 64) AS BIGINT) AS height
+         |  FROM h),
+         |g AS (SELECT doc_id, width, height,
+         |    greatest(width, height) AS long_side FROM m)
+         |SELECT doc_id, width, height,
+         |  CASE WHEN long_side <= 256 THEN width
+         |       ELSE (width * 256) // long_side END AS thumb_w,
+         |  CASE WHEN long_side <= 256 THEN height
+         |       ELSE (height * 256) // long_side END AS thumb_h
+         |FROM g""".stripMargin)
 }

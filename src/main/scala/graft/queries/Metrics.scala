@@ -37,6 +37,20 @@ object Metrics {
     sums.join(modalTs, lit(true), "left_outer") // left: survive empty input
   }
 
+  /** Fuel-label → emoji map (ref dashboard.py:193-213 — the UDF-shaped
+    * dict chain done as a literal-map column lookup, §2.10: no UDF, stays
+    * codegen'd; unknown fuels get the generic bolt like the reference's
+    * fallback).
+    */
+  private val fuelEmoji: Map[String, String] = Map(
+    "Solar (Utility)" -> "☀️", "Wind" -> "🌬️", "Coal (Black)" -> "🪨",
+    "Coal (Brown)" -> "🪨", "Hydro" -> "💧", "Gas (CCGT)" -> "🔥",
+    "Battery (Discharging)" -> "🔋", "Battery (Charging)" -> "🔋")
+
+  def withFuelEmoji(df: DataFrame, fuelCol: String = "fuel"): DataFrame =
+    df.withColumn("fuel_emoji",
+      coalesce(element_at(typedLit(fuelEmoji), col(fuelCol)), lit("⚡")))
+
   /** Filter-option domains (A10, ref dashboard.py:470-475): sorted
     * distinct fuels (exploded) and regions.
     */

@@ -217,6 +217,28 @@ class EtlSpec extends AnyFunSuite {
     assert(regions == Seq("NSW1", "SA1", "VIC1"))
   }
 
+  test("Geo: attribute semi-join keeps selected-region features, drops non-NEM states (J11)") {
+    import graft.etl.Geo
+    val features = Geo.featureTable(spark, Seq(
+      ("Victoria", """{"type":"Polygon"}"""),
+      ("New South Wales", """{"type":"Polygon"}"""),
+      ("Western Australia", """{"type":"Polygon"}"""))) // no NEM region
+    assert(features.filter($"state_name" === "Western Australia")
+      .head().isNullAt(2))
+    val selected = Seq("VIC1").toDF("region_id")
+    val kept = Geo.selectFeatures(features, selected)
+      .select("state_name").as[String].collect()
+    assert(kept.toSeq == Seq("Victoria"))
+  }
+
+  test("Metrics.withFuelEmoji: literal-map lookup with fallback (§2.10)") {
+    import graft.queries.Metrics
+    val out = Metrics.withFuelEmoji(
+      Seq("Wind", "Mystery Fuel").toDF("fuel"))
+      .as[(String, String)].collect().toMap
+    assert(out("Wind") == "🌬️" && out("Mystery Fuel") == "⚡")
+  }
+
   test("headline metrics incl. modal timestamp, smallest tie-break (ref dashboard.py:716-729)") {
     val latest = Seq(
       ("ALP", T2, 12.0, 0.5), ("BET", T1, 95.0, 80.0), ("DLT", T2, 3.0, 0.0))
