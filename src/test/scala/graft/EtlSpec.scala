@@ -142,6 +142,23 @@ class EtlSpec extends AnyFunSuite {
     assert(t2Mkt.length == 2 && t2Mkt.forall(r => r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0))
   }
 
+  test("wide cache at reference scale: 419 facilities ≈ 840 columns, melt inverts (SURVEY §6)") {
+    val codes = (1 to 419).map(i => f"FAC$i%03d")
+    val stamps = (0 until 12).map(i => f"2025-10-15T10:${5 * i}%02d:00+11:00")
+    val rows = for { c <- codes; t <- stamps } yield
+      (c, t, (c.hashCode % 500) / 10.0, (t.hashCode % 300) / 10.0)
+    val longDf = rows.toDF("facility_code", "timestamp", "power", "emission")
+    val wide = Consolidate.pivotFacility(longDf, codes)
+    assert(wide.columns.length == 1 + 2 * 419)
+    assert(wide.count() == 12)
+    val back = Melt.facilityEvents(wide, codes)
+    assert(back.count() == 419L * 12)
+    // Spot-invert one cell.
+    val probe = back.filter($"facility_id" === "FAC007" && $"timestamp" === stamps(3))
+      .head()
+    assert(probe.getDouble(2) == ("FAC007".hashCode % 500) / 10.0)
+  }
+
   test("ingest: decode/route/validate partitions the stream exactly (ref dashboard.py:327-445)") {
     val wide = Consolidate.wideCache(
       Consolidate.pivotFacility(facilityLong, Seq("ALP", "BET")),
