@@ -17,16 +17,26 @@ import graft.model.Schemas
   */
 object Ingest {
 
+  /** Superset of both event schemas: ONE `from_json` pass decodes every
+    * event; routing then looks at which id field materialized. Parsing is
+    * the ingest hot path's dominant cost — parsing each event once, not
+    * once per candidate schema, halves it.
+    */
+  private val unionSchema: org.apache.spark.sql.types.StructType = {
+    val fields = (Schemas.facilityEvent.fields ++ Schemas.marketEvent.fields)
+      .groupBy(_.name).map(_._2.head).toArray
+    org.apache.spark.sql.types.StructType(fields.sortBy(_.name))
+  }
+
   /** Route by key presence (ref dashboard.py:341,376 P12): a facility
     * event has facility_id, a market event region_id; the warm-start probe
     * (`{"timestamp":"starting...", …}`, publisher.py:29-37) has neither.
     */
   private def decoded(raw: DataFrame): DataFrame = raw
-    .withColumn("fac", from_json(col("value"), Schemas.facilityEvent))
-    .withColumn("mkt", from_json(col("value"), Schemas.marketEvent))
+    .withColumn("e", from_json(col("value"), unionSchema))
     .withColumn("kind",
-      when(col("fac.facility_id").isNotNull, "facility")
-        .when(col("mkt.region_id").isNotNull, "market")
+      when(col("e.facility_id").isNotNull, "facility")
+        .when(col("e.region_id").isNotNull, "market")
         .otherwise("reject"))
 
   /** Pydantic-equivalent constraints (ref dashboard.py:312-322 P13):
@@ -39,7 +49,7 @@ object Ingest {
 
   def facilityEvents(raw: DataFrame): DataFrame =
     decoded(raw).filter(col("kind") === "facility")
-      .select(col("fac.*"))
+      .select(Schemas.facilityEvent.fieldNames.map(f => col(s"e.$f")): _*)
       .filter(length(trim(col("facility_id"))) > 0 && validTs(col("timestamp")))
       // Measures default 0.0 like the Pydantic `float = 0.0` fields.
       .na.fill(0.0, Seq("power_mw", "co2_tonnes"))
@@ -47,7 +57,7 @@ object Ingest {
 
   def marketEvents(raw: DataFrame): DataFrame =
     decoded(raw).filter(col("kind") === "market")
-      .select(col("mkt.*"))
+      .select(Schemas.marketEvent.fieldNames.map(f => col(s"e.$f")): _*)
       .filter(length(trim(col("region_id"))) > 0 && validTs(col("timestamp")))
       .na.fill(0.0, Seq("price_dmwh", "demand_mw"))
       .withColumn("event_ts", try_to_timestamp(col("timestamp")))
@@ -60,9 +70,9 @@ object Ingest {
     d.filter(
       col("kind") === "reject" ||
         (col("kind") === "facility" &&
-          !(length(trim(col("fac.facility_id"))) > 0 && validTs(col("fac.timestamp")))) ||
+          !(length(trim(col("e.facility_id"))) > 0 && validTs(col("e.timestamp")))) ||
         (col("kind") === "market" &&
-          !(length(trim(col("mkt.region_id"))) > 0 && validTs(col("mkt.timestamp")))))
+          !(length(trim(col("e.region_id"))) > 0 && validTs(col("e.timestamp")))))
       .select(col("value"), col("kind").as("reject_stage"))
   }
 

@@ -57,6 +57,32 @@ object State {
       .select(col("bucket.start").as("bucket_start"),
         col("total_power_mw"), col("total_co2_tonnes"))
 
+  /** Stream-stream join (engine extension; the reference aligns the two
+    * event types only via the batch wide-cache left join, J6): enriched
+    * facility events ⋈ market events on (region, 5-min event-time
+    * bucket) — every facility reading gains the regional price/demand of
+    * its interval, e.g. for $-per-MWh attribution. Both sides carry
+    * watermarks, so join state is bounded to the horizon; bucket equality
+    * (not a raw ts range) keeps the join an equi-join — hash-partitioned
+    * by (region, bucket), no interval scan.
+    */
+  def facilityMarketJoin(enrichedFacilityEvents: DataFrame,
+      marketEvents: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    val f = enrichedFacilityEvents
+      .withWatermark("event_ts", watermark)
+      .withColumn("bucket", window(col("event_ts"), "5 minutes"))
+    val m = marketEvents
+      .withWatermark("event_ts", watermark)
+      .withColumn("m_bucket", window(col("event_ts"), "5 minutes"))
+      .select(col("region_id").as("m_region"), col("m_bucket"),
+        col("price_dmwh"), col("demand_mw"))
+    f.join(m,
+      col("region") === col("m_region") && col("bucket") === col("m_bucket"))
+      .select(col("facility_id"), col("region"),
+        col("bucket.start").as("bucket_start"),
+        col("power_mw"), col("co2_tonnes"), col("price_dmwh"), col("demand_mw"))
+  }
+
   /** At-least-once → effectively-once (ref T5: MQTT QoS 1 redelivery +
     * the dedup-set readme.md:157 describes): drop duplicate
     * (facility_id, timestamp) deliveries under the watermark — state for

@@ -122,6 +122,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream join: facility ⋈ market on (region, 5-min bucket) with dual watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("ALP", "NSW1"), ("BET", "VIC1"))
+      .toDF("facility_id", "region")
+    val facIn = MemoryStream[String]
+    val mktIn = MemoryStream[String]
+    def mktJson(r: String, ts: String, p: Double, d: Double) =
+      s"""{"region_id":"$r","timestamp":"$ts","price_dmwh":$p,"demand_mw":$d}"""
+    val joined = State.facilityMarketJoin(
+      Ingest.enrichFacility(Ingest.facilityEvents(facIn.toDF()), dim),
+      Ingest.marketEvents(mktIn.toDF()))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_t").start()
+    withQuery(q) {
+      facIn.addData(
+        facJson("BET", "2025-10-15T10:06:00+11:00", 95.0, 80.0),
+        facJson("ALP", "2025-10-15T10:06:00+11:00", 10.0, 1.0))
+      // Market data for VIC1 in the same 5-min bucket; none for NSW1.
+      mktIn.addData(mktJson("VIC1", "2025-10-15T10:08:00+11:00", 92.1, 5000.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_t")
+        .select($"facility_id", $"price_dmwh").as[(String, Double)].collect()
+      assert(rows.toSeq == Seq(("BET", 92.1))) // ALP has no market match
+    }
+  }
+
   test("rejects channel on a stream: malformed rows flow to the dead letter, stream survives (T8)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
