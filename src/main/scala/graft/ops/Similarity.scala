@@ -48,19 +48,31 @@ object Similarity {
   private val NQueries = 3
   private val TopK = 5
 
+  /** Squared norm, same sequential recurrence as the cosine kernel. */
+  private def sqNorm(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+
   /** s1 — brute-force cosine top-k: query vectors (vec_id < NQueries)
     * against the full corpus, k best by (similarity desc, vec_id asc).
+    *
+    * Norms are hoisted out of the pair loop: each vector's ‖·‖² is
+    * computed once in the scan, and the per-pair kernel is only the
+    * native dot product — for q queries that removes 2/3 of the
+    * per-pair flops. `dot / sqrt(na * nb)` keeps the exact expression
+    * tree of the fused kernel, so results are bit-identical.
     */
   def s1KnnCosine(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", sqNorm(col("v")))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n2").as("qn2"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(graft.functions.Functions.dot_product(col("qv"), col("v")) /
+          sqrt(col("qn2") * col("n2")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

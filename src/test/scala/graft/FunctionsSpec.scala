@@ -27,6 +27,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairs.filter(col("native").isNull).count() == 0)
   }
 
+  test("hoisted-norm dot-product cosine == fused cosine, bit for bit") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("n2", aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(5000)
+      .select(
+        (Functions.dot_product(col("a.v"), col("b.v")) /
+          sqrt(col("a.n2") * col("b.n2"))).as("hoisted"),
+        Functions.cosine_sim(col("a.v"), col("b.v")).as("fused"))
+    assert(pairs.filter(col("hoisted") =!= col("fused")).count() == 0)
+  }
+
   test("cosine_sim is callable from SQL after registration") {
     Functions.register(spark)
     val r = spark.sql(
