@@ -151,10 +151,46 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
+  private val PqSubspaces = 4
+  private val PqSubDim = 16 // 64-dim embeddings / 4 subspaces
+  private val PqCodes = 8
+
+  /** s4 — product-quantization code assignment: split each vector into
+    * `PqSubspaces` subvectors and store, per subspace, the id of the
+    * nearest codebook centroid (squared-L2 argmin, tie-break smallest
+    * id). 64 dims × 4 bytes become 4 one-byte codes — the compression
+    * that makes billion-vector ANN fit in memory; at query time distances
+    * are approximated from tiny per-subspace lookup tables. Codebooks
+    * here are the first `PqCodes` vectors' subvectors (k-means feeds real
+    * ones in; the assignment operator — the scale-critical part — is
+    * identical). Integer code output is robust to float-association ulps,
+    * so the oracle needs no bit-level care beyond determinism of argmin.
+    */
+  def s4PqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val subs = e.select(col("vec_id"),
+      posexplode(array((0 until PqSubspaces).map(b =>
+        slice(col("v"), b * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub_idx", "sv")))
+    val cents = subs.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("cent_id"), col("sub_idx").as("c_sub"),
+        col("sv").as("cv"))
+    val sqDist = aggregate(
+      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    subs.join(broadcast(cents), col("sub_idx") === col("c_sub"))
+      .select(col("vec_id"), col("sub_idx"), col("cent_id"), sqDist.as("dist"))
+      .groupBy(col("vec_id"), col("sub_idx"))
+      .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("code"))
+      .select(col("vec_id"), col("sub_idx").cast("long").as("sub_idx"),
+        col("code").as("code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_cosine" -> s1KnnCosine,
     "s2_ann_lsh" -> s2AnnLsh,
-    "s3_ivf_ann" -> s3IvfAnn)
+    "s3_ivf_ann" -> s3IvfAnn,
+    "s4_pq_codes" -> s4PqCodes)
 
   private def bucketSql(v: String): String =
     (1 to NBuckBits).map(i =>
@@ -203,5 +239,22 @@ object Similarity {
          |      round(${cosineSql("q.qv", "a.embedding")}, 6) DESC, a.vec_id ASC) AS rank
          |  FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id)
          |SELECT query_id, neighbor_id, cell, CAST(rank AS BIGINT) AS rank, cos_sim
-         |FROM sims WHERE rank <= $IvfTopK""".stripMargin)
+         |FROM sims WHERE rank <= $IvfTopK""".stripMargin,
+    "s4_pq_codes" ->
+      s"""WITH sub AS (SELECT i AS sub_idx FROM generate_series(0, ${PqSubspaces - 1}) g(i)),
+         |vecs AS (SELECT e.vec_id, s.sub_idx,
+         |    e.embedding[s.sub_idx * $PqSubDim + 1 : s.sub_idx * $PqSubDim + $PqSubDim] AS sv
+         |  FROM embeddings e, sub s),
+         |cents AS (SELECT vec_id AS cent_id, sub_idx AS c_sub, sv AS cv
+         |  FROM vecs WHERE vec_id < $PqCodes),
+         |d AS (SELECT v.vec_id, v.sub_idx, c.cent_id,
+         |    list_sum(list_transform(generate_series(1, $PqSubDim),
+         |      i -> (CAST(v.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) ^ 2)) AS dist,
+         |    row_number() OVER (PARTITION BY v.vec_id, v.sub_idx
+         |      ORDER BY list_sum(list_transform(generate_series(1, $PqSubDim),
+         |        i -> (CAST(v.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) ^ 2)) ASC,
+         |      c.cent_id ASC) AS rn
+         |  FROM vecs v JOIN cents c ON v.sub_idx = c.c_sub)
+         |SELECT vec_id, CAST(sub_idx AS BIGINT) AS sub_idx, cent_id AS code
+         |FROM d WHERE rn = 1""".stripMargin)
 }
