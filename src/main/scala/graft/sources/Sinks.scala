@@ -16,10 +16,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object Sinks {
 
   /** Partitioned parquet event log, one directory per micro-batch. */
-  def parquetBatchLog(events: DataFrame, dir: String,
-      queryName: String): StreamingQuery =
+  def parquetBatchLog(events: DataFrame, dir: String, queryName: String,
+      outputMode: String = "append"): StreamingQuery =
     events.writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .queryName(queryName)
       .option("checkpointLocation", s"$dir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

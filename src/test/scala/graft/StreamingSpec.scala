@@ -104,6 +104,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState dict-merge matches flatMapGroupsWithState semantics (RocksDB)") {
+    import graft.stream.MergeState
+    import graft.stream.MergeState.{MergedState, PartialEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[PartialEvent]
+      val q = MergeState.latestMergedTws(in.toDS()).writeStream
+        .outputMode("update").format("memory").queryName("tws_t").start()
+      withQuery(q) {
+        in.addData(PartialEvent("ALP", "t1", 1000L, Some(10.0), Some(1.0)))
+        q.processAllAvailable()
+        in.addData(PartialEvent("ALP", "t2", 2000L, None, Some(2.5)))
+        q.processAllAvailable()
+        val last = spark.table("tws_t").as[MergedState].collect().maxBy(_.timestamp)
+        assert(last == MergedState("ALP", "t2", 10.0, 2.5))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming dedup: at-least-once redelivery collapses under the watermark (T5)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
@@ -145,6 +171,36 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("ssj_t")
         .select($"facility_id", $"price_dmwh").as[(String, Double)].collect()
       assert(rows.toSeq == Seq(("BET", 92.1))) // ALP has no market match
+    }
+  }
+
+  test("checkpoint recovery: latest-per-key state survives a query restart (T7)") {
+    implicit val sqlCtx = spark.sqlContext
+    // Memory sink can't recover from a checkpoint; the foreachBatch
+    // parquet log (the fault-tolerant sink) is the right vehicle.
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val in = MemoryStream[String]
+    def start() = graft.sources.Sinks.parquetBatchLog(
+      State.latestPerFacility(Ingest.facilityEvents(in.toDF())),
+      dir, "ckpt_t", outputMode = "update")
+
+    val q1 = start()
+    in.addData(facJson("ALP", "2025-10-15T10:05:00+11:00", 10.0, 1.0))
+    q1.processAllAvailable()
+    q1.stop() // crash/redeploy boundary
+
+    val q2 = start()
+    withQuery(q2) {
+      in.addData(facJson("ALP", "2025-10-15T10:00:00+11:00", 99.0, 9.0)) // older
+      q2.processAllAvailable()
+      val state = graft.sources.Sinks.readBatchLog(spark, dir)
+        .groupBy($"facility_id")
+        .agg(max_by(struct($"timestamp", $"power_mw"),
+          struct(to_timestamp($"timestamp"), $"timestamp")).as("l"))
+        .select($"facility_id", $"l.*").as[(String, String, Double)].collect()
+        .map { case (k, ts, p) => k -> ((ts, p)) }.toMap
+      // Pre-restart state won: the older event did not regress it.
+      assert(state("ALP") == (("2025-10-15T10:05:00+11:00", 10.0)))
     }
   }
 
