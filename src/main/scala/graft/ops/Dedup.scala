@@ -123,25 +123,38 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** d4 — n-gram Jaccard near-dup pairs within a blocking key (source):
-    * explode distinct shingles, self-join on (block, shingle) to count the
-    * intersection, then |A∩B| / (|A|+|B|-|A∩B|). The shingle join only
-    * compares documents sharing a shingle in the same block.
+  /** Inverted-index posting-list cap: shingles appearing in more than
+    * this many documents of one block contribute no pairs (ubiquitous
+    * boilerplate phrases — quadratic pair blowup for near-zero signal;
+    * the standard mitigation in shingle-based dedup). Mirrored in the
+    * oracle SQL.
+    */
+  private val MaxPostings = 1000
+
+  /** d4 — n-gram Jaccard near-dup pairs within a blocking key (source),
+    * via the inverted index: group by (block, shingle) to a posting list,
+    * emit ordered doc pairs per list, count per pair = |A∩B|, then
+    * |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * One shuffle builds the index and one aggregates pairs — a shingle
+    * self-join would shuffle the exploded table twice and stream a join;
+    * the posting-list form also gives the natural place to cap quadratic
+    * blowup per shingle ([[MaxPostings]]).
     */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Referenced three times (both self-join sides + sizes): materialize
-    // the explode+distinct pass once.
     val sh = load(s, dir, "documents")
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("source"), explode(shingles(col("t"))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val postings = sh.groupBy(col("source"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxPostings))
+    val inter = postings
+      .select(explode(flatten(transform(col("docs"), a =>
+        transform(filter(col("docs"), b => b > a),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
@@ -241,9 +254,12 @@ object Dedup {
          |sh AS (SELECT doc_id, source, unnest($shinglesSql) AS sh
          |       FROM t WHERE len(toks) >= 3),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |capped AS (SELECT source, sh FROM sh GROUP BY source, sh
+         |           HAVING count(*) BETWEEN 2 AND $MaxPostings),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
          |          FROM sh a JOIN sh b
          |            ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |          JOIN capped c ON c.source = a.source AND c.sh = a.sh
          |          GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
