@@ -186,11 +186,62 @@ object Similarity {
         col("code").as("code"))
   }
 
+  private val PqTopK = 3
+  private val PqQueries = 3 // query vec_ids: [PqCodes, PqCodes + PqQueries)
+
+  /** s5 — PQ asymmetric-distance search (ADC): queries stay exact, the
+    * corpus is its PQ codes. Per query, a (subspace × centroid) distance
+    * table — `PqSubspaces × PqCodes` doubles — is broadcast; a corpus
+    * vector's approximate distance is the sum of four table lookups via
+    * an equi-join on (sub_idx, code). This is why PQ scales: the corpus
+    * side touches only 1-byte codes, the float math is queries ×
+    * codebook, not queries × corpus. Top-k per query by (distance asc,
+    * vec_id asc).
+    */
+  def s5PqSearch(s: SparkSession, dir: String): DataFrame = {
+    val codes = s4PqCodes(s, dir) // (vec_id, sub_idx, code)
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val subs = e.select(col("vec_id"),
+      posexplode(array((0 until PqSubspaces).map(b =>
+        slice(col("v"), b * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub_idx", "sv")))
+    val cents = subs.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("cent_id"), col("sub_idx").as("c_sub"), col("sv").as("cv"))
+    val queries = subs
+      .filter(col("vec_id") >= PqCodes && col("vec_id") < PqCodes + PqQueries)
+      .select(col("vec_id").as("query_id"), col("sub_idx").as("q_sub"), col("sv").as("qv"))
+    val sqDist = aggregate(
+      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    // Distance tables: queries × subspaces × centroids (tiny — broadcast).
+    val tables = queries.join(broadcast(cents), col("q_sub") === col("c_sub"))
+      .select(col("query_id"), col("q_sub").as("sub_idx"),
+        col("cent_id").as("code"), sqDist.as("d"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    // One addend per subspace, added in fixed subspace order — a plain
+    // sum() would associate in partial-agg arrival order, which is not
+    // reproducible across runs (double addition isn't associative).
+    val perSub = (0 until PqSubspaces).map(i =>
+      max(when(col("sub_idx") === i, col("d"))).as(s"d_$i"))
+    codes.join(broadcast(tables), Seq("sub_idx", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(perSub.head, perSub.tail: _*)
+      .withColumn("approx_dist",
+        round((0 until PqSubspaces).map(i => col(s"d_$i")).reduce(_ + _), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqTopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("approx_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_cosine" -> s1KnnCosine,
     "s2_ann_lsh" -> s2AnnLsh,
     "s3_ivf_ann" -> s3IvfAnn,
-    "s4_pq_codes" -> s4PqCodes)
+    "s4_pq_codes" -> s4PqCodes,
+    "s5_pq_search" -> s5PqSearch)
 
   private def bucketSql(v: String): String =
     (1 to NBuckBits).map(i =>
@@ -256,5 +307,46 @@ object Similarity {
          |      c.cent_id ASC) AS rn
          |  FROM vecs v JOIN cents c ON v.sub_idx = c.c_sub)
          |SELECT vec_id, CAST(sub_idx AS BIGINT) AS sub_idx, cent_id AS code
-         |FROM d WHERE rn = 1""".stripMargin)
+         |FROM d WHERE rn = 1""".stripMargin,
+    "s5_pq_search" -> {
+      val distSql =
+        s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+          "i -> (CAST(q.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) ^ 2))"
+      val codeAssignSql =
+        s"""SELECT vec_id, sub_idx, cent_id AS code
+           |  FROM (SELECT v.vec_id, v.sub_idx, c.cent_id,
+           |          row_number() OVER (PARTITION BY v.vec_id, v.sub_idx
+           |            ORDER BY list_sum(list_transform(generate_series(1, $PqSubDim),
+           |              i -> (CAST(v.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) ^ 2)) ASC,
+           |            c.cent_id ASC) AS rn
+           |        FROM vecs v JOIN cents c ON v.sub_idx = c.c_sub) t
+           |  WHERE rn = 1""".stripMargin
+      val addends = (0 until PqSubspaces)
+        .map(i => s"max(CASE WHEN t.sub_idx = $i THEN t.d END)")
+        .mkString("(", " + ", ")")
+      s"""WITH sub AS (SELECT i AS sub_idx FROM generate_series(0, ${PqSubspaces - 1}) g(i)),
+         |vecs AS (SELECT e.vec_id, s.sub_idx,
+         |    e.embedding[s.sub_idx * $PqSubDim + 1 : s.sub_idx * $PqSubDim + $PqSubDim] AS sv
+         |  FROM embeddings e, sub s),
+         |cents AS (SELECT vec_id AS cent_id, sub_idx AS c_sub, sv AS cv
+         |  FROM vecs WHERE vec_id < $PqCodes),
+         |codes AS ($codeAssignSql),
+         |q AS (SELECT vec_id AS query_id, sub_idx AS q_sub, sv AS qv FROM vecs
+         |      WHERE vec_id >= $PqCodes AND vec_id < ${PqCodes + PqQueries}),
+         |tables AS (SELECT q.query_id, q.q_sub AS sub_idx, c.cent_id AS code,
+         |    $distSql AS d
+         |  FROM q JOIN cents c ON q.q_sub = c.c_sub),
+         |dists AS (SELECT t.query_id, cd.vec_id,
+         |    round($addends, 6) AS approx_dist
+         |  FROM codes cd JOIN tables t
+         |    ON cd.sub_idx = t.sub_idx AND cd.code = t.code
+         |  WHERE cd.vec_id <> t.query_id
+         |  GROUP BY t.query_id, cd.vec_id),
+         |ranked AS (SELECT query_id, vec_id, approx_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY approx_dist ASC, vec_id ASC) AS rank
+         |  FROM dists)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, approx_dist
+         |FROM ranked WHERE rank <= $PqTopK""".stripMargin
+    })
 }
