@@ -192,9 +192,26 @@ object Dedup {
         .as("norm_fingerprint"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** d7 — 64-bit SimHash via the custom one-pass mergeable aggregate
+    * ([[graft.functions.SimHash64Agg]]): same explode as d3, but the
+    * per-document signature folds in a single `TypedImperativeAggregate`
+    * whose partial state is 256 bytes per group — instead of 64 separate
+    * sum() columns (which is exactly what the oracle SQL says,
+    * pinning the aggregate's semantics declaratively).
+    */
+  def d7Simhash64(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        concat(md5(concat(lit("0:"), col("tok"))),
+          md5(concat(lit("1:"), col("tok")))).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHash64Agg.simhash64(col("h")).as("simhash64"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d6_norm_dedup" -> d6NormDedup,
+    "d7_simhash64" -> d7Simhash64,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
@@ -212,6 +229,24 @@ object Dedup {
         |    AS norm_fingerprint,
         |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "d7_simhash64" -> {
+      val sums = (1 to 64).map(i =>
+        s"sum(CASE WHEN substr(h, $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s_$i")
+        .mkString(",\n    ")
+      // Bit 63 is the sign bit of the two's-complement BIGINT: its weight
+      // is -(2^63), which IS representable, unlike +2^63.
+      val bits = (1 to 64).map { i =>
+        val w = if (i == 64) "-9223372036854775808"
+          else (1L << (i - 1)).toString
+        s"CASE WHEN s_$i > 0 THEN CAST($w AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5('0:' || tok) || md5('1:' || tok) AS h FROM t),
+         |s AS (SELECT doc_id,
+         |    $sums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash64 FROM s""".stripMargin
+    },
     "d2_minhash_lsh" -> {
       val sigSql = (0 until NumHashes).map(j =>
         s"list_min(list_transform(sh, x -> substr(md5('0:' || x) || md5('1:' || x), ${8 * j + 1}, 8)))")

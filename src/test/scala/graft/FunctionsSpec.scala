@@ -60,6 +60,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("simhash64 aggregate is partition-invariant (merge path) and pins known bits") {
+    import graft.functions.SimHash64Agg.simhash64
+    val toks = Seq.tabulate(97)(i => (i % 7L, s"tok$i")).toDF("g", "tok")
+      .select(col("g"), concat(md5(concat(lit("0:"), col("tok"))),
+        md5(concat(lit("1:"), col("tok")))).as("h"))
+    val one = toks.coalesce(1).groupBy("g").agg(simhash64(col("h")).as("sh"))
+    val many = toks.repartition(13).groupBy("g").agg(simhash64(col("h")).as("sh"))
+    assert(one.exceptAll(many).count() == 0 && many.exceptAll(one).count() == 0)
+    // Single-row group: bit i == parity of hex char i of the token hash.
+    val h = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = h.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val full = hex("0:solo") + hex("1:solo")
+    val expected = (0 until 64).map { i =>
+      if ((Character.digit(full.charAt(i), 16) & 1) == 1) 1L << i else 0L
+    }.reduce(_ | _)
+    val got = Seq("solo").toDF("tok")
+      .select(concat(md5(concat(lit("0:"), col("tok"))),
+        md5(concat(lit("1:"), col("tok")))).as("h"))
+      .agg(simhash64(col("h"))).head().getLong(0)
+    assert(got == expected)
+  }
+
   test("orthogonal and opposite vectors") {
     val r = Seq((Seq(1.0, 0.0), Seq(0.0, 3.0)), (Seq(1.0, 1.0), Seq(-1.0, -1.0)))
       .toDF("a", "b")
