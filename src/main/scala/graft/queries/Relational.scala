@@ -333,9 +333,25 @@ object Relational {
         round(sum(col("o_totalprice")), 2).as("recent_total"))
   }
 
+  /** q32 — session windows: per-user event sessions closed by ≥30 min of
+    * inactivity (`session_window` dynamic-gap windows; the oracle states
+    * the same thing as gaps-and-islands SQL — an independent formulation
+    * of the semantics). Event time is exact-microsecond
+    * (`timestamp_micros(ns div 1000)`); ns→µs truncation cannot move a
+    * session boundary unless two events sit within 1 µs of the gap.
+    */
+  def q32SessionWindow(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").cast("long").as("session_start_s"),
+        col("n_events"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_approx_distinct" -> q30ApproxDistinct,
     "q31_date_window" -> q31DateWindow,
+    "q32_session_window" -> q32SessionWindow,
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
     "q3_join_agg" -> q3JoinAgg,
@@ -527,5 +543,21 @@ object Relational {
         |  round(sum(o_totalprice), 2) AS recent_total
         |FROM orders
         |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q32_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin)
 }

@@ -83,6 +83,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("optimizer rule rewrites single-element arrays_overlap to array_contains") {
+    import graft.functions.SingleElementOverlapToContains
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ SingleElementOverlapToContains
+      // Parquet-backed (a local Seq would be constant-folded away before
+      // the plan can be inspected).
+      val part = Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), split(col("p_type"), " ").as("words"))
+      val q = part.filter(arrays_overlap(col("words"), array(lit("PROMO"))))
+      assert(q.queryExecution.optimizedPlan.toString.contains("array_contains"),
+        q.queryExecution.optimizedPlan.toString)
+      val viaContains = q.count()
+      val expected = part
+        .filter(array_contains(col("words"), "PROMO")).count()
+      assert(viaContains == expected && viaContains > 0)
+      // Multi-element literal must NOT be rewritten.
+      val multi = part.filter(
+        arrays_overlap(col("words"), array(lit("PROMO"), lit("ECONOMY"))))
+      assert(!multi.queryExecution.optimizedPlan.toString.contains("array_contains"))
+      assert(multi.count() >= viaContains)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("orthogonal and opposite vectors") {
     val r = Seq((Seq(1.0, 0.0), Seq(0.0, 3.0)), (Seq(1.0, 1.0), Seq(-1.0, -1.0)))
       .toDF("a", "b")
