@@ -348,7 +348,37 @@ object Relational {
       .select(col("user_id"), col("w.start").cast("long").as("session_start_s"),
         col("n_events"), col("sum_value"))
 
+  /** q33 — analytic lag: inter-event gap and value delta per user
+    * (engine extension; SURVEY §2.5 notes the reference has no lag/lead —
+    * a complete engine needs them). Exact ns arithmetic on the long ts.
+    */
+  def q33LagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("(ts - prev_ts) div 1000000000").as("gap_s"),
+        round(col("value") - col("prev_value"), 2).as("value_delta"))
+  }
+
+  /** q34 — rollup with grouping ids: per (returnflag, linestatus) totals
+    * plus per-flag and grand-total super-aggregates, disambiguated by
+    * `grouping()` markers (null-valued group keys vs real nulls).
+    */
+  def q34Rollup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_lag_delta" -> q33LagDelta,
+    "q34_rollup" -> q34Rollup,
     "q30_approx_distinct" -> q30ApproxDistinct,
     "q31_date_window" -> q31DateWindow,
     "q32_session_window" -> q32SessionWindow,
@@ -544,6 +574,22 @@ object Relational {
         |FROM orders
         |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    "q33_lag_delta" ->
+      """SELECT user_id, event_id,
+        |  (epoch_ns(ts) - epoch_ns(prev_ts)) // 1000000000 AS gap_s,
+        |  round(value - prev_value, 2) AS value_delta
+        |FROM (SELECT user_id, event_id, ts, value,
+        |        lag(ts) OVER w AS prev_ts,
+        |        lag(value) OVER w AS prev_value
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |WHERE prev_ts IS NOT NULL""".stripMargin,
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q32_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
