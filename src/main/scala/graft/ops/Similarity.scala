@@ -117,30 +117,39 @@ object Similarity {
   private val IvfQueries = 5 // vec_id in [NCentroids, NCentroids+IvfQueries)
   private val IvfTopK = 3
 
+  private val IvfNProbe = 2
+
   /** s3 — IVF-style ANN: a fixed centroid set partitions the corpus into
     * cells (assignment = argmax cosine to centroid, deterministic
-    * tie-break); queries search only their own cell. This is the
-    * inverted-file scale path: the corpus shuffles once by cell id, and a
-    * query touches |corpus|/k vectors instead of all of them. Centroids
-    * here are the first `NCentroids` vectors (a real deployment feeds
-    * k-means centroids in — the operator shape is identical).
+    * tie-break); each query probes its `IvfNProbe` nearest cells. This is
+    * the inverted-file scale path: the corpus shuffles once by cell id, a
+    * query touches ~nprobe/k of the corpus, and nprobe is the
+    * recall-vs-cost knob. Cells are disjoint, so probing several needs no
+    * dedup. Centroids here are the first `NCentroids` vectors (a real
+    * deployment feeds k-means centroids in — the operator is identical).
     */
   def s3IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centroids = e.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val assigned = e.crossJoin(broadcast(centroids))
+    val scored = e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"),
         col("cent_id"), cosine(col("v"), col("cv")).as("cc"))
+    val assigned = scored
       .groupBy(col("vec_id"), col("v"))
       .agg(max_by(col("cent_id"), struct(col("cc"), (-col("cent_id")).as("n"))).as("cell"))
-    val queries = assigned
+    val pw = Window.partitionBy("vec_id")
+      .orderBy(col("cc").desc, col("cent_id").asc)
+    val probes = scored
       .filter(col("vec_id") >= NCentroids && col("vec_id") < NCentroids + IvfQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell").as("qcell"))
+      .withColumn("probe_rank", row_number().over(pw))
+      .filter(col("probe_rank") <= IvfNProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cent_id").as("qcell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    assigned.join(broadcast(queries),
+    assigned.join(broadcast(probes),
       col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("qcell").as("cell"),
@@ -274,21 +283,23 @@ object Similarity {
     "s3_ivf_ann" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv
          |              FROM embeddings WHERE vec_id < $NCentroids),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cent_id AS cell
-         |  FROM (SELECT e.vec_id, e.embedding, c.cent_id,
-         |          row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |            ${cosineSql("e.embedding", "c.cv")} DESC, c.cent_id ASC) AS rn
-         |        FROM embeddings e CROSS JOIN cent c) t
-         |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM assigned
-         |      WHERE vec_id >= $NCentroids AND vec_id < ${NCentroids + IvfQueries}),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |    ${cosineSql("e.embedding", "c.cv")} AS cc,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${cosineSql("e.embedding", "c.cv")} DESC, c.cent_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, cent_id AS cell
+         |             FROM scored WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS qcell
+         |           FROM scored
+         |           WHERE vec_id >= $NCentroids AND vec_id < ${NCentroids + IvfQueries}
+         |             AND rn <= $IvfNProbe),
          |sims AS (
-         |  SELECT q.query_id, a.vec_id AS neighbor_id, q.cell,
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, q.qcell AS cell,
          |    round(${cosineSql("q.qv", "a.embedding")}, 6) AS cos_sim,
          |    row_number() OVER (PARTITION BY q.query_id ORDER BY
          |      round(${cosineSql("q.qv", "a.embedding")}, 6) DESC, a.vec_id ASC) AS rank
-         |  FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id)
+         |  FROM assigned a JOIN probes q ON a.cell = q.qcell AND a.vec_id <> q.query_id)
          |SELECT query_id, neighbor_id, cell, CAST(rank AS BIGINT) AS rank, cos_sim
          |FROM sims WHERE rank <= $IvfTopK""".stripMargin,
     "s4_pq_codes" ->
