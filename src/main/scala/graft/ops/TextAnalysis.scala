@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 
@@ -113,12 +114,47 @@ object TextAnalysis {
       .limit(TopNgrams)
   }
 
+  private val TfIdfTopK = 3
+
+  /** t6 — TF-IDF: top terms per document. tf = term count / doc length,
+    * idf = ln(N / doc-freq); two hash aggregations (term-in-doc counts,
+    * document frequencies) and a broadcast of the tiny idf side. Rank
+    * flips from cross-engine `ln` ulp differences would need two distinct
+    * (tf, df) pairs within ~1e-15 relative — ties in practice only occur
+    * at identical (tf, df), where scores are bit-equal and the term-name
+    * tie-break decides.
+    */
+  def t6TfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs")) // lazy scalar, broadcast below
+    val terms = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("n_term"))
+      .withColumn("doc_len",
+        sum(col("n_term")).over(Window.partitionBy("doc_id")))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("n_term").cast("double") / col("doc_len").cast("double")) *
+          log(col("n_docs").cast("double") / col("doc_freq").cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("term"),
+        col("rank").cast("long").as("rank"), col("tfidf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_quality_score" -> t1QualityScore,
     "t2_token_count" -> t2TokenCount,
     "t3_lang_id" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
-    "t5_ngram_freq" -> t5NgramFreq)
+    "t5_ngram_freq" -> t5NgramFreq,
+    "t6_tfidf" -> t6TfIdf)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -165,6 +201,25 @@ object TextAnalysis {
         |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
         |    AS fingerprint
         |FROM documents""".stripMargin,
+    "t6_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS n_term,
+         |         sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+         |       FROM terms GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+         |       FROM terms GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round((CAST(n_term AS DOUBLE) / CAST(doc_len AS DOUBLE)) *
+         |          ln(CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
+         |FROM ranked WHERE rank <= $TfIdfTopK""".stripMargin,
     "t5_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,

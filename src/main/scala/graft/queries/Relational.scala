@@ -376,8 +376,22 @@ object Relational {
         grouping(col("l_returnflag")).cast("long").as("g_flag"),
         grouping(col("l_linestatus")).cast("long").as("g_status"))
 
+  /** q35 — approximate percentile sketch (GK): the mergeable
+    * constant-memory quantile path for 100 TB, where exact `percentile`
+    * sorts every value. Rows-only driver check like q30 (sketches aren't
+    * cross-engine reproducible); accuracy bound asserted in
+    * QueriesSmokeSpec against exact percentiles.
+    */
+  def q35ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lag_delta" -> q33LagDelta,
+    "q35_approx_percentile" -> q35ApproxPercentile,
     "q34_rollup" -> q34Rollup,
     "q30_approx_distinct" -> q30ApproxDistinct,
     "q31_date_window" -> q31DateWindow,

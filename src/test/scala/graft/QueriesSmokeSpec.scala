@@ -29,6 +29,21 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without query impl: $extra")
   }
 
+  test("q35: GK percentile sketch stays within 1% of exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q35_approx_percentile")(spark, dir)
+    val exact = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.95)").as("e95"))
+    approx.join(exact, "l_returnflag").collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("ap50") - r.getAs[Double]("e50"))
+        / r.getAs[Double]("e50") <= 0.01)
+      assert(math.abs(r.getAs[Double]("ap95") - r.getAs[Double]("e95"))
+        / r.getAs[Double]("e95") <= 0.01)
+    }
+  }
+
   test("q30: HLL estimates stay within 2% of exact distinct counts") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("q30_approx_distinct")(spark, dir)
