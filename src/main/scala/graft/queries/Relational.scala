@@ -389,9 +389,33 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
 
+  private val ProfileCols = Seq("doc_id", "lang", "source", "n_chars")
+
+  /** q36 — column profiling (corpus QA): per column, null/distinct counts
+    * and min/max, one aggregation pass per column unioned long-form.
+    * Values are stringified for a uniform schema; only integer/string
+    * columns are profiled this way (double→string formatting is not
+    * cross-engine stable).
+    */
+  def q36DqProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+    ProfileCols.map { c =>
+      d.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .withColumn("column_name", lit(c))
+    }.reduce(_ unionByName _)
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lag_delta" -> q33LagDelta,
     "q35_approx_percentile" -> q35ApproxPercentile,
+    "q36_dq_profile" -> q36DqProfile,
     "q34_rollup" -> q34Rollup,
     "q30_approx_distinct" -> q30ApproxDistinct,
     "q31_date_window" -> q31DateWindow,
@@ -588,6 +612,13 @@ object Relational {
         |FROM orders
         |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    "q36_dq_profile" -> ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q33_lag_delta" ->
       """SELECT user_id, event_id,
         |  (epoch_ns(ts) - epoch_ns(prev_ts)) // 1000000000 AS gap_s,

@@ -89,6 +89,29 @@ object Ingest {
     events.join(broadcast(facilityDim.select(col("facility_id"))),
       Seq("facility_id"), "left_anti")
 
+  /** Enrichment with a dim that grows between micro-batches (ref
+    * dashboard.py:277-307 — the stream that extends its own lookup table;
+    * SURVEY §7.4.7): `foreachBatch` re-evaluates `dimProvider` per batch,
+    * so a refreshed dimension (e.g. re-read from its table after an
+    * upsert job) applies to the NEXT batch — state never mutates inside a
+    * running query. Matches append to `dir/enriched`, misses to
+    * `dir/misses` (the side channel a dim-upsert job consumes).
+    */
+  def enrichWithRefresh(events: DataFrame, dimProvider: () => DataFrame,
+      dir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dim = dimProvider() // snapshot for this batch only
+        enrichFacility(batch, dim)
+          .filter(col("region").isNotNull)
+          .write.mode("overwrite").parquet(s"$dir/enriched/batch_$batchId")
+        enrichmentMisses(batch, dim)
+          .write.mode("overwrite").parquet(s"$dir/misses/batch_$batchId")
+      }
+      .start()
+
   /** Region enrichment (ref dashboard.py:384, J9): 5-row broadcast dim. */
   def enrichMarket(events: DataFrame, regionDim: DataFrame): DataFrame =
     events.join(broadcast(regionDim),

@@ -174,6 +174,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("dim refresh between batches: a miss enriches after the dim grows (§7.4.7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("refresh").toString
+    // The "database" the dim is re-read from each batch.
+    @volatile var dimRows = Seq(("ALP", "NSW1"))
+    val in = MemoryStream[String]
+    val q = Ingest.enrichWithRefresh(
+      Ingest.facilityEvents(in.toDF()),
+      () => dimRows.toDF("facility_id", "region"),
+      dir)
+    withQuery(q) {
+      in.addData(facJson("NEW", "2025-10-15T10:05:00+11:00", 5.0, 1.0))
+      q.processAllAvailable()
+      val missed = spark.read.parquet(s"$dir/misses/batch_0")
+        .select($"facility_id").as[String].collect()
+      assert(missed.toSeq == Seq("NEW")) // unknown facility → side channel
+      // The upsert job lands NEW in the dim; the NEXT batch enriches it.
+      dimRows = dimRows :+ (("NEW", "VIC1"))
+      in.addData(facJson("NEW", "2025-10-15T10:10:00+11:00", 6.0, 1.1))
+      q.processAllAvailable()
+      val enriched = spark.read.parquet(s"$dir/enriched/batch_1")
+        .select($"facility_id", $"region").as[(String, String)].collect()
+      assert(enriched.toSeq == Seq(("NEW", "VIC1")))
+    }
+  }
+
   test("checkpoint recovery: latest-per-key state survives a query restart (T7)") {
     implicit val sqlCtx = spark.sqlContext
     // Memory sink can't recover from a checkpoint; the foreachBatch
