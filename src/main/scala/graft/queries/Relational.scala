@@ -412,10 +412,36 @@ object Relational {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** q37 — conversion funnel: per user, first signup → earliest purchase
+    * within 24 h; aggregated to daily-cohort conversion counts. Two
+    * argmin aggregations and one broadcastable join — the funnel shape
+    * that stays two hash-aggs at any corpus size (never a per-user sort).
+    */
+  def q37Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    firstSignup
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("signup_ts") &&
+          col("p_ts") < col("signup_ts") + lit(86400000000000L), // +24h in ns
+        "left_outer")
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(count(col("p_ts")).as("n_purchases_24h"))
+      .groupBy(expr("signup_ts div 86400000000000").as("signup_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("n_purchases_24h") > 0, 1).otherwise(0)).cast("long")
+          .as("n_converted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_lag_delta" -> q33LagDelta,
     "q35_approx_percentile" -> q35ApproxPercentile,
     "q36_dq_profile" -> q36DqProfile,
+    "q37_funnel" -> q37Funnel,
     "q34_rollup" -> q34Rollup,
     "q30_approx_distinct" -> q30ApproxDistinct,
     "q31_date_window" -> q31DateWindow,
@@ -612,6 +638,21 @@ object Relational {
         |FROM orders
         |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    "q37_funnel" ->
+      """WITH fs AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (SELECT fs.user_id, fs.signup_ts,
+        |    count(p.ts) AS n_purchases_24h
+        |  FROM fs LEFT JOIN events p
+        |    ON p.user_id = fs.user_id AND p.event_type = 'purchase'
+        |   AND p.ts >= fs.signup_ts
+        |   AND epoch_ns(p.ts) < epoch_ns(fs.signup_ts) + 86400000000000
+        |  GROUP BY fs.user_id, fs.signup_ts)
+        |SELECT epoch_ns(signup_ts) // 86400000000000 AS signup_day,
+        |  count(*) AS n_signups,
+        |  CAST(sum(CASE WHEN n_purchases_24h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted
+        |FROM conv GROUP BY 1""".stripMargin,
     "q36_dq_profile" -> ProfileCols.map { c =>
       s"""SELECT '$c' AS column_name, count(*) AS n_rows,
          |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
