@@ -165,6 +165,25 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
   }
 
+  /** d8 — embedding-cosine near-dup with sign-bit LSH blocking (the
+    * production blocking path when no label exists): pairs only within a
+    * hash bucket derived from the data itself. Same pair math as d5 —
+    * the variants differ exactly in where candidate pairs come from.
+    */
+  def d8EmbeddingLshNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.buckets(col("v")))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+  }
+
   /** d5 — embedding-cosine near-dup pairs within a blocking key (label;
     * an LSH bucket or IVF cell at scale). Cosine in sequential double
     * arithmetic so the oracle matches bit-for-bit.
@@ -215,7 +234,8 @@ object Dedup {
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
-    "d5_embedding_neardup" -> d5EmbeddingNearDup)
+    "d5_embedding_neardup" -> d5EmbeddingNearDup,
+    "d8_embedding_lsh_neardup" -> d8EmbeddingLshNearDup)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -303,6 +323,14 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3""".stripMargin,
+    "d8_embedding_lsh_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${Similarity.bucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM e a JOIN e b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin,
     "d5_embedding_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim

@@ -79,10 +79,22 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
+  /** Ingest-side normalization: persist unit vectors (and the norm) once
+    * so every query-time similarity is a bare dot product — the storage
+    * pattern for corpora queried repeatedly. Not bit-identical to
+    * [[cosine]] (division before vs after the dot changes rounding), so
+    * results come from one convention end-to-end, never mixed.
+    */
+  def withUnitNorm(e: DataFrame, vecCol: String): DataFrame = {
+    val norm = sqrt(sqNorm(col(vecCol)))
+    e.withColumn("norm", norm)
+      .withColumn("unit_vec", transform(col(vecCol), x => x / col("norm")))
+  }
+
   private val NBuckBits = 6
 
   /** Sign-bit LSH bucket: bit i set iff component i is positive. */
-  private def buckets(v: Column): Column =
+  private[ops] def buckets(v: Column): Column =
     (1 to NBuckBits).map(i =>
       when(element_at(v, i) > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -252,7 +264,7 @@ object Similarity {
     "s4_pq_codes" -> s4PqCodes,
     "s5_pq_search" -> s5PqSearch)
 
-  private def bucketSql(v: String): String =
+  private[ops] def bucketSql(v: String): String =
     (1 to NBuckBits).map(i =>
       s"CASE WHEN $v[$i] > 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")

@@ -83,6 +83,20 @@ object State {
         col("power_mw"), col("co2_tonnes"), col("price_dmwh"), col("demand_mw"))
   }
 
+  /** Session-window totals over a stream: per-facility sessions closed
+    * by `gap` of event-time inactivity (dynamic-gap windows — state
+    * merges adjacent windows as events arrive; append emits a session
+    * once the watermark passes its close).
+    */
+  def sessionTotals(facilityEvents: DataFrame, gap: String = "15 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    facilityEvents
+      .withWatermark("event_ts", watermark)
+      .groupBy(col("facility_id"), session_window(col("event_ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("power_mw")).as("session_power"))
+      .select(col("facility_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_power"))
+
   /** At-least-once → effectively-once (ref T5: MQTT QoS 1 redelivery +
     * the dedup-set readme.md:157 describes): drop duplicate
     * (facility_id, timestamp) deliveries under the watermark — state for

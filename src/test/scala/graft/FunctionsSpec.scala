@@ -107,6 +107,20 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("stored unit-norm vectors: dot(unit_a, unit_b) ≈ cosine(a, b)") {
+    val e = Similarity.withUnitNorm(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+      "v")
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(2000)
+      .select(
+        Functions.dot_product(col("a.unit_vec"), col("b.unit_vec")).as("via_unit"),
+        Functions.cosine_sim(col("a.v"), col("b.v")).as("direct"))
+    val maxDiff = pairs.agg(max(abs(col("via_unit") - col("direct")))).head().getDouble(0)
+    assert(maxDiff < 1e-12, s"unit-norm drift $maxDiff")
+  }
+
   test("orthogonal and opposite vectors") {
     val r = Seq((Seq(1.0, 0.0), Seq(0.0, 3.0)), (Seq(1.0, 1.0), Seq(-1.0, -1.0)))
       .toDF("a", "b")

@@ -130,6 +130,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session windows: gap closes a session, watermark emits it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = State.sessionTotals(Ingest.facilityEvents(in.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("sess_t").start()
+    withQuery(q) {
+      // Two events 5 min apart (one session), then a 20-min gap (> 15-min
+      // session gap) starts a second session.
+      in.addData(
+        facJson("ALP", "2025-10-15T10:00:00+11:00", 10.0, 1.0),
+        facJson("ALP", "2025-10-15T10:05:00+11:00", 20.0, 2.0),
+        facJson("ALP", "2025-10-15T10:25:00+11:00", 5.0, 0.5))
+      q.processAllAvailable()
+      // Advance the watermark far past both sessions so they emit.
+      in.addData(facJson("BET", "2025-10-15T12:00:00+11:00", 1.0, 0.1))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_t")
+        .filter($"facility_id" === "ALP")
+        .select($"n_events", $"session_power").as[(Long, Double)]
+        .collect().sortBy(_._1)
+      assert(sessions.toSeq == Seq((1L, 5.0), (2L, 30.0)))
+    }
+  }
+
   test("streaming dedup: at-least-once redelivery collapses under the watermark (T5)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
