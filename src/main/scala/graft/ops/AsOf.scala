@@ -41,7 +41,7 @@ object AsOf {
     unioned
       .withColumn(s"asof_$valueCol", last(col("_v"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) :+ col(s"asof_$valueCol"): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col(s"asof_$valueCol"): _*)
   }
 
   /** q29 — as-of join on the events stream: each error event picks up the

@@ -21,7 +21,7 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     val salted = large.withColumn("_salt",
-      pmod(hash(struct(large.columns.map(col): _*)), lit(salt)))
+      pmod(hash(struct(large.columns.toIndexedSeq.map(col): _*)), lit(salt)))
     val replicated = small.withColumn("_salt",
       explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
@@ -36,7 +36,7 @@ object Skew {
   def saltedSum(df: DataFrame, key: String, salt: Int,
       measures: Seq[String]): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(hash(struct(df.columns.map(col): _*)), lit(salt)))
+      pmod(hash(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salt)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(measures.head -> "sum", measures.tail.map(_ -> "sum"): _*)
     val renamed = measures.foldLeft(partial) { (d, m) =>

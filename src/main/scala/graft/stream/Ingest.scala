@@ -49,7 +49,7 @@ object Ingest {
 
   def facilityEvents(raw: DataFrame): DataFrame =
     decoded(raw).filter(col("kind") === "facility")
-      .select(Schemas.facilityEvent.fieldNames.map(f => col(s"e.$f")): _*)
+      .select(Schemas.facilityEvent.fieldNames.toIndexedSeq.map(f => col(s"e.$f")): _*)
       .filter(length(trim(col("facility_id"))) > 0 && validTs(col("timestamp")))
       // Measures default 0.0 like the Pydantic `float = 0.0` fields.
       .na.fill(0.0, Seq("power_mw", "co2_tonnes"))
@@ -57,7 +57,7 @@ object Ingest {
 
   def marketEvents(raw: DataFrame): DataFrame =
     decoded(raw).filter(col("kind") === "market")
-      .select(Schemas.marketEvent.fieldNames.map(f => col(s"e.$f")): _*)
+      .select(Schemas.marketEvent.fieldNames.toIndexedSeq.map(f => col(s"e.$f")): _*)
       .filter(length(trim(col("region_id"))) > 0 && validTs(col("timestamp")))
       .na.fill(0.0, Seq("price_dmwh", "demand_mw"))
       .withColumn("event_ts", try_to_timestamp(col("timestamp")))
