@@ -45,21 +45,26 @@ object Bench {
 
     // Two measured runs, report the min — JIT noise at this scale is
     // ±15% and the min is the reproducible figure. Spark's cache is
-    // cleared before every timed run so persisted intermediates inside a
-    // query (e.g. minhash signatures) are measured cold, not replayed.
+    // cleared before every timed run so cached intermediates are measured
+    // cold. A failing query reports -1, never its elapsed-to-failure time
+    // (a regression must not read as a speedup).
     val results = headline.map { name =>
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

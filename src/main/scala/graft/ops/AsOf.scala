@@ -30,6 +30,10 @@ object AsOf {
     val l = left.withColumn("_side", lit(1))
       .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
     val r = right.select(col(key), col(ts), col(valueCol).as("_v"))
+      // SQL equality never matches null keys; window partitioning would
+      // group them — drop null-key right rows so both formulations agree
+      // (null-key left rows then get a null as-of value, like ASOF LEFT).
+      .filter(col(key).isNotNull)
       .withColumn("_side", lit(0))
     val unioned = l.select((Seq(col(key), col(ts), col("_side"), col("_v")) ++
       leftCols.filterNot(c => c == key || c == ts).map(col)): _*)

@@ -73,15 +73,15 @@ object Dedup {
     * and a skewed bucket is AQE-splittable).
     */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // Materialize the signature pass: the band self-join references it
-    // from both sides, and AQE's broadcast choice defeats exchange reuse
-    // (the build side wraps in a BroadcastExchange, so the md5-heavy
-    // subtree would run twice). Signatures are 8 short strings per doc —
-    // tiny relative to the corpus.
+    // The band self-join references the signature subtree from both
+    // sides; its aggregation exchange is identical on both, so Spark's
+    // ReuseExchange runs the md5-heavy partial-agg pass once. (A persist
+    // would shave the duplicated final-agg/explode, but a registry query
+    // has no unpersist point — a session-lifetime cache leak isn't worth
+    // ~10%.)
     val sigs = minhashSigs(load(s, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Signatures ride along through the band explode so the pair join
     // needs no extra lookups — and because both join inputs are the SAME
     // plan shuffled on the same keys, Spark reuses one exchange: the

@@ -187,15 +187,25 @@ object Similarity {
     * identical). Integer code output is robust to float-association ulps,
     * so the oracle needs no bit-level care beyond determinism of argmin.
     */
-  def s4PqCodes(s: SparkSession, dir: String): DataFrame = {
-    val e = load(s, dir, "embeddings")
+  /** (vec_id, sub_idx, sv): every vector split into its PQ subvectors —
+    * the one place the subspace layout is defined.
+    */
+  private def subvectors(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val subs = e.select(col("vec_id"),
-      posexplode(array((0 until PqSubspaces).map(b =>
-        slice(col("v"), b * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub_idx", "sv")))
-    val cents = subs.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id"),
+        posexplode(array((0 until PqSubspaces).map(b =>
+          slice(col("v"), b * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub_idx", "sv")))
+
+  /** Codebook = the first `PqCodes` vectors' subvectors. */
+  private def codebook(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").as("cent_id"), col("sub_idx").as("c_sub"),
         col("sv").as("cv"))
+
+  def s4PqCodes(s: SparkSession, dir: String): DataFrame = {
+    val subs = subvectors(s, dir)
+    val cents = codebook(subs)
     val sqDist = aggregate(
       zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
@@ -221,13 +231,8 @@ object Similarity {
     */
   def s5PqSearch(s: SparkSession, dir: String): DataFrame = {
     val codes = s4PqCodes(s, dir) // (vec_id, sub_idx, code)
-    val e = load(s, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val subs = e.select(col("vec_id"),
-      posexplode(array((0 until PqSubspaces).map(b =>
-        slice(col("v"), b * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub_idx", "sv")))
-    val cents = subs.filter(col("vec_id") < PqCodes)
-      .select(col("vec_id").as("cent_id"), col("sub_idx").as("c_sub"), col("sv").as("cv"))
+    val subs = subvectors(s, dir)
+    val cents = codebook(subs)
     val queries = subs
       .filter(col("vec_id") >= PqCodes && col("vec_id") < PqCodes + PqQueries)
       .select(col("vec_id").as("query_id"), col("sub_idx").as("q_sub"), col("sv").as("qv"))

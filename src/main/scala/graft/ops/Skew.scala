@@ -16,10 +16,18 @@ object Skew {
   /** Equi-join `large ⋈ small` on `key`, salted `salt` ways: the large
     * side gets a uniform salt per row (deterministic — hash of the whole
     * row — so retries/replays place rows identically), the small side is
-    * replicated once per salt value. Result equals the unsalted join.
+    * replicated once per salt value. Result equals the unsalted join for
+    * inner and left joins ONLY — outer-preserving the replicated side
+    * would emit one null-padded row per salt copy, so right/full outer
+    * are rejected rather than silently wrong.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins; '$joinType' would duplicate " +
+        "unmatched replicated-side rows")
     val salted = large.withColumn("_salt",
       pmod(hash(struct(large.columns.toIndexedSeq.map(col): _*)), lit(salt)))
     val replicated = small.withColumn("_salt",
@@ -27,11 +35,11 @@ object Skew {
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
-  /** Two-phase aggregation for skewed group keys: partial-aggregate on
-    * (key, salt), then final-aggregate on key. `aggs` maps a measure
-    * column to (partial, final) aggregator pairs — e.g. sum/sum,
-    * count/sum. Equivalent to the direct groupBy for decomposable
-    * aggregates; the hot key's partial work spreads over `salt` reducers.
+  /** Two-phase SUM aggregation for skewed group keys: partial-sum on
+    * (key, salt), then final-sum on key — equivalent to the direct
+    * groupBy sum, with the hot key's partial work spread over `salt`
+    * reducers. Output columns are `sum_<measure>`. (Other decomposable
+    * aggregates follow the same two-phase shape; only sum is provided.)
     */
   def saltedSum(df: DataFrame, key: String, salt: Int,
       measures: Seq[String]): DataFrame = {

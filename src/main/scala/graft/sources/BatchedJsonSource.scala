@@ -61,9 +61,19 @@ private class BatchedJsonTable(path: String) extends Table with SupportsRead {
 
       override def planInputPartitions(): Array[InputPartition] = {
         val dir = Paths.get(path)
-        val files = Files.list(dir).iterator().asScala
-          .filter(_.toString.endsWith(".json")).toArray.sortBy(_.toString)
-        files.zipWithIndex.map { case (f, i) =>
+        val listing = Files.list(dir)
+        val files = try {
+          listing.iterator().asScala
+            .filter(_.toString.endsWith(".json")).toArray
+        } finally listing.close()
+        // Natural-numeric order: `batch_2` before `batch_10` even without
+        // zero padding, so batch_id always tracks the staged batch number.
+        val numbered = files.map { f =>
+          val name = f.getFileName.toString
+          val num = "\\d+".r.findFirstIn(name).map(_.toLong).getOrElse(Long.MaxValue)
+          (num, name, f)
+        }.sortBy { case (num, name, _) => (num, name) }
+        numbered.zipWithIndex.map { case ((_, _, f), i) =>
           BatchPartition(i, f.toString): InputPartition
         }
       }

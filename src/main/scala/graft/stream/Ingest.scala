@@ -114,7 +114,5 @@ object Ingest {
 
   /** Region enrichment (ref dashboard.py:384, J9): 5-row broadcast dim. */
   def enrichMarket(events: DataFrame, regionDim: DataFrame): DataFrame =
-    events.join(broadcast(regionDim),
-      col("region_id") === regionDim("region_id"), "left_outer")
-      .drop(regionDim("region_id"))
+    events.join(broadcast(regionDim), Seq("region_id"), "left_outer")
 }

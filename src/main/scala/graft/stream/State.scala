@@ -42,9 +42,10 @@ object State {
 
   /** 5-minute tumbling totals with a watermark that covers the 60-min
     * dashboard horizon (ref dashboard.py:546-555, A9/T2/W3). Streaming:
-    * append mode emits a bucket once the watermark passes it. `filters`
-    * lets callers push the region/fuel predicates (P14/P15) *into* the
-    * aggregation instead of filtering its output.
+    * append mode emits a bucket once the watermark passes it. Callers
+    * apply region/fuel predicates (P14/P15) on the input frame *before*
+    * this aggregation (see PipelineSpec) — filter-then-aggregate, never
+    * aggregate-then-filter.
     */
   def windowedTotals(enrichedFacilityEvents: DataFrame,
       watermark: String = "60 minutes"): DataFrame =

@@ -60,6 +60,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("mismatched array lengths → null, same as the composed form") {
+    val r = Seq((Seq(1.0, 0.0, 5.0), Seq(1.0, 0.0)))
+      .toDF("a", "b")
+      .select(
+        Functions.cosine_sim(col("a"), col("b")).as("native"),
+        Functions.dot_product(col("a"), col("b")).as("dot"),
+        Similarity.cosineComposed(col("a"), col("b")).as("composed"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("simhash64 aggregate is partition-invariant (merge path) and pins known bits") {
     import graft.functions.SimHash64Agg.simhash64
     val toks = Seq.tabulate(97)(i => (i % 7L, s"tok$i")).toDF("g", "tok")

@@ -35,6 +35,17 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("saltedJoin rejects outer-preserving joins of the replicated side") {
+    val a = Tables.load(spark, dir, "orders").select(col("o_custkey").as("k"))
+    val b = Tables.load(spark, dir, "customer").select(col("c_custkey").as("k"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(a, b, "k", 4, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(a, b, "k", 4, "full_outer")
+    }
+  }
+
   test("saltedSum == direct groupBy sum") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("k"), col("l_quantity"), col("l_extendedprice"))

@@ -91,6 +91,18 @@ class SourcesSpec extends AnyFunSuite {
       Seq("ALP", "BET", "DLT", "GMA"))
   }
 
+  test("DSv2 source orders unpadded batch files numerically (batch_2 < batch_10)") {
+    val dir = Files.createTempDirectory("batches_unpadded")
+    for (i <- 0 to 10)
+      Files.writeString(dir.resolve(s"batch_$i.json"), s"""{"n":$i}\n""")
+    val df = spark.read.format("batched-json").load(dir.toString)
+    val byBatch = df
+      .select($"batch_id", get_json_object($"value", "$.n").cast("int").as("n"))
+      .as[(Int, Int)].collect().toMap
+    // batch_id i must contain file batch_i's row, not the lexicographic i-th.
+    (0 to 10).foreach(i => assert(byBatch(i) == i, s"batch $i got ${byBatch(i)}"))
+  }
+
   test("foreachBatch sink: idempotent per-batch parquet log (S8)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]

@@ -58,8 +58,11 @@ def main(sf_dir, oracle_path, bench_path, out_path):
                 f.write(f"| {name} | {s:.3f} | {d:.3f} | {s / d:.2f}× |\n")
         tot_s = sum(s for _, s, _ in rows)
         tot_d = sum(d for _, _, d in rows if d is not None)
-        f.write(f"| **total** | **{tot_s:.3f}** | **{tot_d:.3f}** | "
-                f"**{tot_s / tot_d:.2f}×** |\n")
+        if tot_d > 0:
+            f.write(f"| **total** | **{tot_s:.3f}** | **{tot_d:.3f}** | "
+                    f"**{tot_s / tot_d:.2f}×** |\n")
+        else:
+            f.write(f"| **total** | **{tot_s:.3f}** | — | — |\n")
         scaling_section(f, oracle)
     print(f"wrote {out_path}")
 
