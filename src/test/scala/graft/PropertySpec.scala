@@ -69,6 +69,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin ≡ in-memory reference on generated data incl. null keys") {
+    val leftGen = for {
+      k <- Gen.oneOf[Option[Long]](Some(1L), Some(2L), Some(3L), None)
+      ts <- Gen.chooseNum(0L, 40L)
+    } yield (k, ts)
+    val rightGen = for {
+      k <- Gen.oneOf[Option[Long]](Some(1L), Some(2L), None)
+      ts <- Gen.chooseNum(0L, 40L)
+      v <- Gen.chooseNum(1.0, 9.0).map(x => math.rint(x * 10) / 10)
+    } yield (k, ts, v)
+    def one[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    for (seedOff <- 0 until 4) {
+      val lefts = one(Gen.listOfN(15, leftGen), 100L + seedOff)
+        .distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val rights = one(Gen.listOfN(12, rightGen), 200L + seedOff)
+        // unique (k, ts) on the right — duplicate instants make the
+        // carried value ambiguous by construction
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val leftDf = lefts.toDF("k", "ts", "id")
+      val rightDf = rights.toDF("k", "ts", "v")
+      val got = graft.ops.AsOf.asofJoin(leftDf, rightDf, "k", "ts", "v")
+        .select($"id", $"asof_v").as[(Long, Option[Double])].collect().toMap
+      val expected = lefts.map { case (k, ts, id) =>
+        id -> k.flatMap(kk => rights
+          .filter(r => r._1.contains(kk) && r._2 <= ts)
+          .sortBy(_._2).lastOption.map(_._3))
+      }.toMap
+      assert(got == expected, s"asof mismatch (seed offset $seedOff)")
+    }
+  }
+
   test("ingest partitions the stream: validated + rejected == input") {
     val goodFac = Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.chooseNum(-10.0, 10.0))
       .map { case (id, p) =>
