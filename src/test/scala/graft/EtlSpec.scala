@@ -159,6 +159,23 @@ class EtlSpec extends AnyFunSuite {
     assert(probe.getDouble(2) == ("FAC007".hashCode % 500) / 10.0)
   }
 
+  test("melt JSON encoding matches the reference event payload shape (readme.md:3-24)") {
+    val wide = Consolidate.wideCache(
+      Consolidate.pivotFacility(
+        Seq(("ALP", T1, 10.5, 0.25)).toDF("facility_code", "timestamp", "power", "emission"),
+        Seq("ALP")),
+      Consolidate.pivotMarket(
+        Seq(("VIC1", T1, 92.1, 5000.0)).toDF("region_code", "timestamp", "price", "demand"),
+        Seq("VIC1")))
+    val lines = Melt.jsonStream(wide, Seq("ALP"), Seq("VIC1"))
+      .as[String].collect().sorted
+    // Field names and order exactly as the reference publishes them.
+    assert(lines(0) ==
+      s"""{"facility_id":"ALP","timestamp":"$T1","power_mw":10.5,"co2_tonnes":0.25}""")
+    assert(lines(1) ==
+      s"""{"region_id":"VIC1","timestamp":"$T1","price_dmwh":92.1,"demand_mw":5000.0}""")
+  }
+
   test("ingest: decode/route/validate partitions the stream exactly (ref dashboard.py:327-445)") {
     val wide = Consolidate.wideCache(
       Consolidate.pivotFacility(facilityLong, Seq("ALP", "BET")),
