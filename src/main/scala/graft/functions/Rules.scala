@@ -25,8 +25,10 @@ object SingleElementOverlapToContains extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case ArraysOverlap(l, CreateArray(Seq(e: Literal), _)) if e.value != null =>
         ArrayContains(l, e)
-      case ArraysOverlap(l, lit @ Literal(arr: ArrayData, ArrayType(et, _)))
-          if arr.numElements() == 1 && arr.array(0) != null =>
-        ArrayContains(l, Literal(arr.array(0), et))
+      // arr.get (not arr.array) — UnsafeArrayData literals don't support
+      // the raw array() view and would throw during optimization.
+      case ArraysOverlap(l, Literal(arr: ArrayData, ArrayType(et, _)))
+          if arr.numElements() == 1 && !arr.isNullAt(0) =>
+        ArrayContains(l, Literal(arr.get(0, et), et))
     }
 }

@@ -27,8 +27,9 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCol: String): DataFrame = {
     val leftCols = left.columns
+    val vType = right.schema(valueCol).dataType
     val l = left.withColumn("_side", lit(1))
-      .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("_v", lit(null).cast(vType))
     val r = right.select(col(key), col(ts), col(valueCol).as("_v"))
       // SQL equality never matches null keys; window partitioning would
       // group them — drop null-key right rows so both formulations agree
@@ -42,8 +43,15 @@ object AsOf {
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Row presence, not value non-nullness, decides the match: wrap right
+    // rows in a non-null struct so a matched right row with a NULL value
+    // yields NULL (DuckDB ASOF semantics) instead of an older non-null
+    // value carried forward past it.
     unioned
-      .withColumn(s"asof_$valueCol", last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn("_vs",
+        when(col("_side") === 0, struct(col("_v").as("v"))))
+      .withColumn(s"asof_$valueCol",
+        last(col("_vs"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_side") === 1)
       .select(leftCols.toIndexedSeq.map(col) :+ col(s"asof_$valueCol"): _*)
   }

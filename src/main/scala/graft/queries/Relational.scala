@@ -118,11 +118,16 @@ object Relational {
       .groupBy("type_word")
       .agg(count(lit(1)).as("n"))
 
-  /** q9 — A4 collect-set per group, sorted for deterministic compare. */
+  /** q9 — A4 collect-set per group, sorted for deterministic compare.
+    * Emitted as a '|'-joined string, not a list column: the driver's
+    * comparator sorts result cells in pandas, which cannot order array
+    * cells (unhashable ndarray) — scalar cells keep the oracle comparable
+    * while the set semantics stay identical.
+    */
   def q9CollectSet(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "part")
       .groupBy("p_brand")
-      .agg(sort_array(collect_set(col("p_type"))).as("types"),
+      .agg(array_join(sort_array(collect_set(col("p_type"))), "|").as("types"),
         countDistinct(col("p_type")).as("n_types"))
 
   /** q10 — A8 mode with pandas' deterministic tie-break: highest count,
@@ -530,7 +535,7 @@ object Relational {
         |GROUP BY type_word""".stripMargin,
     "q9_collect_set" ->
       """SELECT p_brand,
-        |  list_sort(list(DISTINCT p_type)) AS types,
+        |  array_to_string(list_sort(list(DISTINCT p_type)), '|') AS types,
         |  count(DISTINCT p_type) AS n_types
         |FROM part GROUP BY p_brand""".stripMargin,
     "q10_mode" ->
@@ -582,7 +587,7 @@ object Relational {
         |FROM lineitem""".stripMargin,
     "q20_json" ->
       """SELECT event_type,
-        |  sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CAST(props->>'k' AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q21_case_when" ->

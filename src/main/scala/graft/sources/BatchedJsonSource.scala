@@ -67,14 +67,16 @@ private class BatchedJsonTable(path: String) extends Table with SupportsRead {
             .filter(_.toString.endsWith(".json")).toArray
         } finally listing.close()
         // Natural-numeric order: `batch_2` before `batch_10` even without
-        // zero padding, so batch_id always tracks the staged batch number.
+        // zero padding. batch_id is the number parsed from the filename
+        // (so staging that starts at batch_1 or has gaps keeps its ids);
+        // unnumbered files fall back to their dense sort-order index.
         val numbered = files.map { f =>
           val name = f.getFileName.toString
-          val num = "\\d+".r.findFirstIn(name).map(_.toLong).getOrElse(Long.MaxValue)
+          val num = "\\d+".r.findFirstIn(name).map(_.toLong)
           (num, name, f)
-        }.sortBy { case (num, name, _) => (num, name) }
-        numbered.zipWithIndex.map { case ((_, _, f), i) =>
-          BatchPartition(i, f.toString): InputPartition
+        }.sortBy { case (num, name, _) => (num.getOrElse(Long.MaxValue), name) }
+        numbered.zipWithIndex.map { case ((num, _, f), i) =>
+          BatchPartition(num.map(_.toInt).getOrElse(i), f.toString): InputPartition
         }
       }
       override def createReaderFactory(): PartitionReaderFactory =

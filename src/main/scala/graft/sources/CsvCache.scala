@@ -38,9 +38,13 @@ object CsvCache {
   /** Wide consolidate cache → CSV, rows in timestamp order (the
     * pre-sorted-replay optimization the reference relies on, ref
     * extractor.py:302-308 + report "rows were already sorted").
+    * coalesce(1) like [[writeLookup]]: a multi-file CSV write loses
+    * global read-back order, and replay consumers depend on it. The wide
+    * cache is one dashboard's worth of rows — single-file is the contract,
+    * not a scale path.
     */
   def writeWide(wide: DataFrame, path: String): Unit =
-    wide.orderBy("timestamp")
+    wide.coalesce(1).sortWithinPartitions("timestamp")
       .write.mode("overwrite").option("header", "true").csv(path)
 
   /** CSV → wide cache, schema-on-read: `timestamp` string + everything

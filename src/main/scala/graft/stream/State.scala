@@ -123,6 +123,9 @@ object State {
       .orderBy(col("cnt").desc, col("timestamp").asc)
       .limit(1)
       .select(col("timestamp").as("last_updated"))
-    m.crossJoin(mode)
+    // Left join (not crossJoin): on empty input the limit-1 modal frame is
+    // empty and a cross join would erase the totals row; Metrics.headline
+    // deliberately survives empty input the same way.
+    m.join(mode, lit(true), "left_outer")
   }
 }

@@ -69,7 +69,7 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("asofJoin ≡ in-memory reference on generated data incl. null keys") {
+  test("asofJoin ≡ in-memory reference on generated data incl. null keys and null values") {
     val leftGen = for {
       k <- Gen.oneOf[Option[Long]](Some(1L), Some(2L), Some(3L), None)
       ts <- Gen.chooseNum(0L, 40L)
@@ -77,7 +77,11 @@ class PropertySpec extends AnyFunSuite {
     val rightGen = for {
       k <- Gen.oneOf[Option[Long]](Some(1L), Some(2L), None)
       ts <- Gen.chooseNum(0L, 40L)
-      v <- Gen.chooseNum(1.0, 9.0).map(x => math.rint(x * 10) / 10)
+      // ~1 in 4 right rows carries a NULL value: the matched row must
+      // yield null (ASOF semantics), not an older non-null carried past it.
+      v <- Gen.frequency(
+        3 -> Gen.chooseNum(1.0, 9.0).map(x => Some(math.rint(x * 10) / 10)),
+        1 -> Gen.const(Option.empty[Double]))
     } yield (k, ts, v)
     def one[T](g: Gen[T], seed: Long): T =
       g.apply(Gen.Parameters.default, Seed(seed)).get
@@ -95,7 +99,7 @@ class PropertySpec extends AnyFunSuite {
       val expected = lefts.map { case (k, ts, id) =>
         id -> k.flatMap(kk => rights
           .filter(r => r._1.contains(kk) && r._2 <= ts)
-          .sortBy(_._2).lastOption.map(_._3))
+          .sortBy(_._2).lastOption.flatMap(_._3))
       }.toMap
       assert(got == expected, s"asof mismatch (seed offset $seedOff)")
     }

@@ -20,22 +20,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm(r[i]) for i in order))
-    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
-    return [cols[i] for i in order], out
+def canon(df):
+    """Mirror the driver: go through pandas (dtype conversions included —
+    e.g. DuckDB HUGEINT -> float64), sort columns by name and rows by all
+    columns. Array cells make sort_values raise, exactly like the driver.
+    """
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    rows = [tuple(norm(v) for v in r) for r in df.itertuples(index=False)]
+    rows.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return list(df.columns), rows
 
 
 def norm(v):
+    if v is None:
+        return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+        return ("f", round(v, 9))  # dtype-sensitive: int64 99111 != float64 99111.0
+    if hasattr(v, "item") and not hasattr(v, "__len__"):  # numpy scalar
+        return norm(v.item())
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        return tuple(norm(x) for x in (v.tolist() if hasattr(v, "tolist") else v))
     return v
 
 
@@ -55,22 +62,25 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchall()
-        got_cols = [d[0] for d in con.description]
+        got_df = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").df()
         if name not in oracle:
-            print(f"weak {name}: no oracle, rows={len(got)}")
+            print(f"weak {name}: no oracle, rows={len(got_df)}")
             n_weak += 1
             continue
         try:
-            exp = con.execute(oracle[name]).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            exp_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        gc, g = canon(got, got_cols)
-        ec, e = canon(exp, exp_cols)
+        try:
+            gc, g = canon(got_df)
+            ec, e = canon(exp_df)
+        except Exception as e:
+            print(f"FAIL {name}: pandas compare error (driver would too): {e}")
+            n_fail += 1
+            continue
         if gc != ec:
             print(f"FAIL {name}: schema {gc} != {ec}")
             n_fail += 1
