@@ -22,7 +22,9 @@ object SparkEntry {
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
-      graft.ops.AsOf.queries
+      graft.ops.AsOf.queries ++
+      graft.ops.Sampling.queries ++
+      graft.ops.RangeJoin.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -30,5 +32,7 @@ object SparkEntry {
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
       graft.ops.Multimodal.oracle ++
-      graft.ops.AsOf.oracle
+      graft.ops.AsOf.oracle ++
+      graft.ops.Sampling.oracle ++
+      graft.ops.RangeJoin.oracle
 }

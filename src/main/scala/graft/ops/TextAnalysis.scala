@@ -148,13 +148,57 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"), col("tfidf"))
   }
 
+  private val denylist = Seq("table", "value", "row")
+  private val RedactMark = "[X]"
+
+  /** t7 — denylist scrub (the shape of PII/boilerplate redaction in a
+    * training-data pipeline): replace denylisted tokens, count
+    * replacements, fingerprint the scrubbed text. Token-wise (not regex)
+    * so both engines share exact semantics — no regex-dialect drift.
+    * Narrow per-row transform; no shuffle.
+    */
+  def t7Scrub(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val scrubbed = transform(t, w =>
+      when(w.isin(denylist.map(x => x: Any): _*), RedactMark).otherwise(w))
+    load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(filter(t, w => w.isin(denylist.map(x => x: Any): _*))).cast("long")
+          .as("n_redacted"),
+        substring(md5(concat_ws(" ", scrubbed)), 1, 16).as("scrub_fingerprint"))
+  }
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** t8 — token-window chunking with overlap (context-length splitting for
+    * training): windows of [[ChunkSize]] tokens every [[ChunkStride]],
+    * trailing partial chunk kept. One generator per doc — rows scale with
+    * corpus size / stride, and chunk rows inherit the scan's partitioning
+    * (no shuffle).
+    */
+  def t8Chunk(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("s"))
+      .select(
+        col("doc_id"),
+        ((col("s") - 1) / ChunkStride).cast("long").as("chunk_idx"),
+        size(slice(col("t"), col("s"), lit(ChunkSize))).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("s"), lit(ChunkSize))).as("chunk_text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_quality_score" -> t1QualityScore,
     "t2_token_count" -> t2TokenCount,
     "t3_lang_id" -> t3LangId,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_ngram_freq" -> t5NgramFreq,
-    "t6_tfidf" -> t6TfIdf)
+    "t6_tfidf" -> t6TfIdf,
+    "t7_scrub" -> t7Scrub,
+    "t8_chunk" -> t8Chunk)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -220,6 +264,27 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
          |FROM ranked WHERE rank <= $TfIdfTopK""".stripMargin,
+    "t7_scrub" -> {
+      val denySql = denylist.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(toks, w -> w IN $denySql)) AS BIGINT) AS n_redacted,
+         |  substr(md5(array_to_string(list_transform(toks,
+         |      w -> CASE WHEN w IN $denySql THEN '$RedactMark' ELSE w END), ' ')), 1, 16)
+         |    AS scrub_fingerprint
+         |FROM t""".stripMargin
+    },
+    "t8_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |c AS (SELECT doc_id, t, unnest(generate_series(1, len(t), $ChunkStride)) AS s
+         |      FROM t WHERE len(t) >= 1)
+         |SELECT doc_id,
+         |  CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(t, s, least(s + ${ChunkSize - 1}, len(t)))) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(list_slice(t, s, least(s + ${ChunkSize - 1}, len(t))), ' ')
+         |    AS chunk_text
+         |FROM c""".stripMargin,
     "t5_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,

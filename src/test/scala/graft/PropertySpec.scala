@@ -105,6 +105,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoin ≡ naive all-pairs filter incl. band boundaries and null keys") {
+    // Window [lo, hi] = [0, 10]; band width 10 — timestamps land on and
+    // around band edges (0, 9, 10, 11, 20) so both the 1-band and 2-band
+    // left duplication paths and inclusive endpoints are exercised.
+    val sideGen = for {
+      k <- Gen.oneOf[Option[Long]](Some(1L), Some(2L), None)
+      ts <- Gen.oneOf(0L, 1L, 5L, 9L, 10L, 11L, 15L, 19L, 20L, 25L)
+    } yield (k, ts)
+    def one[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    for (seedOff <- 0 until 4) {
+      val lefts = one(Gen.listOfN(12, sideGen), 300L + seedOff)
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val rights = one(Gen.listOfN(12, sideGen), 400L + seedOff)
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, 100L + i) }
+      val got = graft.ops.RangeJoin.rangeJoin(
+          lefts.toDF("k", "ts", "lid"), rights.toDF("k", "ts2", "rid"),
+          "k", "ts", "ts2", 0L, 10L)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (lk, lts, lid) <- lefts
+        (rk, rts, rid) <- rights
+        if lk.isDefined && lk == rk && rts >= lts && rts <= lts + 10L
+      } yield (lid, rid)).toSet
+      assert(got == expected, s"range join mismatch (seed offset $seedOff)")
+    }
+  }
+
   test("ingest partitions the stream: validated + rejected == input") {
     val goodFac = Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.chooseNum(-10.0, 10.0))
       .map { case (id, p) =>
