@@ -42,14 +42,16 @@ object Dedup {
     * mins. Two md5 calls per shingle (seeds 0/1) concatenated to 64 hex
     * chars, split into eight 8-hex (32-bit) pieces — one independent-ish
     * hash family member each; per piece, the min over the document's
-    * shingles. String min == unsigned hash min on fixed-width hex.
+    * shingles. String min == unsigned hash min on fixed-width hex (and
+    * measured faster than parsing each piece to a long first — conv's
+    * per-row cost outweighs the nicer numeric agg buffers).
     *
     * Deliberately row-shaped rather than array-lambda-shaped: nested
     * `transform`s re-evaluate the md5 subtree once per family member
     * (Catalyst doesn't CSE across array lambdas — measured 2× slower),
     * while explode + groupBy hashes each shingle exactly once and
-    * map-side partial aggregation reduces to 8 short strings per doc
-    * before any shuffle.
+    * map-side partial aggregation reduces to 8 longs per doc before any
+    * shuffle.
     */
   private def minhashSigs(docs: DataFrame): DataFrame = {
     val hashed = docs
@@ -73,35 +75,36 @@ object Dedup {
     * and a skewed bucket is AQE-splittable).
     */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // The band self-join references the signature subtree from both
-    // sides; its aggregation exchange is identical on both, so Spark's
-    // ReuseExchange runs the md5-heavy partial-agg pass once. (A persist
-    // would shave the duplicated final-agg/explode, but a registry query
-    // has no unpersist point — a session-lifetime cache leak isn't worth
-    // ~10%.)
     val sigs = minhashSigs(load(s, dir, "documents")
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3))
     // Signatures ride along through the band explode so the pair join
-    // needs no extra lookups — and because both join inputs are the SAME
-    // plan shuffled on the same keys, Spark reuses one exchange: the
-    // md5-heavy signature pass runs once, not once per side.
+    // needs no extra lookups. The self-join is pinned to a shuffled
+    // merge join: a broadcast join would hash-exchange only ONE side,
+    // so the md5-heavy scan→shingle→signature pipeline would execute
+    // once per side (observed in round 2 — broadcast exchanges are
+    // never reused against shuffle exchanges). With both sides going
+    // through byte-identical shuffle exchanges on (band_idx, band_key),
+    // ReuseExchange runs the signature pass exactly once
+    // (PlanChecksSpec pins the single-scan plan).
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until NumBands).map(b =>
         concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
         .as(Seq("band_idx", "band_key")))
+    // est_jaccard is evaluated per band collision (cheap 8-element zip)
+    // so the per-pair dedup groups on two scalars — a distinct over the
+    // (doc_a, doc_b, sig_a, sig_b) tuple would hash the arrays instead.
     bands.as("a")
-      .join(bands.as("b"),
+      .join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct() // a pair colliding in >1 band counts once
-      .select(col("doc_a"), col("doc_b"),
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+        round(aggregate(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
-          .cast("double") / NumHashes, 3).as("est_jaccard"))
+          .cast("double") / NumHashes, 3).as("est"))
+      .groupBy(col("doc_a"), col("doc_b")) // a pair colliding in >1 band counts once
+      .agg(min(col("est")).as("est_jaccard"))
   }
 
   /** d3 — SimHash (16-bit): per token md5, hex-digit parity at position i
@@ -136,29 +139,42 @@ object Dedup {
     * emit ordered doc pairs per list, count per pair = |A∩B|, then
     * |A∩B| / (|A|+|B|-|A∩B|).
     *
-    * One shuffle builds the index and one aggregates pairs — a shingle
-    * self-join would shuffle the exploded table twice and stream a join;
-    * the posting-list form also gives the natural place to cap quadratic
-    * blowup per shingle ([[MaxPostings]]).
+    * One scan, one shuffle to build the index, one to aggregate pairs —
+    * a shingle self-join would shuffle the exploded table twice and
+    * stream a join; the posting-list form also gives the natural place
+    * to cap quadratic blowup per shingle ([[MaxPostings]]). Each doc's
+    * shingle count is just `size` of its (distinct) shingle array, so it
+    * is computed per row BEFORE the explode and rides through the
+    * posting lists into the pair aggregation — the round-2 version
+    * re-derived it with a separate aggregation joined back on each pair
+    * leg, scanning the documents 3× (PlanChecksSpec pins the
+    * single-scan plan).
     */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = load(s, dir, "documents")
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), col("source"), explode(shingles(col("t"))).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), col("source"), shingles(col("t")).as("sh_arr"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+      // explode over an aliased array into `size(arr)>0 AND isnotnull(arr)`
+      // predicates that get substituted with the WHOLE tokenize+shingle
+      // pipeline and pushed below this projection — tripling the per-row
+      // shingle cost (measured 4.5× wall). The outer variant infers
+      // nothing, and the array is never empty here (≥3 tokens ⇒ ≥1
+      // shingle), so the row sets are identical.
+      .select(col("doc_id"), col("source"), size(col("sh_arr")).as("n_sh"),
+        explode_outer(col("sh_arr")).as("sh"))
     val postings = sh.groupBy(col("source"), col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
       .filter(size(col("docs")).between(2, MaxPostings))
-    val inter = postings
+    postings
       .select(explode(flatten(transform(col("docs"), a =>
-        transform(filter(col("docs"), b => b > a),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        transform(filter(col("docs"), b => b.getField("doc_id") > a.getField("doc_id")),
+          b => struct(a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("n_a"),
+            b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("n_b")))))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .agg(count(lit(1)).as("n_inter"),
+        max(col("p.n_a")).as("n_a"), max(col("p.n_b")).as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6).as("jaccard"))

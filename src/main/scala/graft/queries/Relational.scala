@@ -397,22 +397,28 @@ object Relational {
   private val ProfileCols = Seq("doc_id", "lang", "source", "n_chars")
 
   /** q36 — column profiling (corpus QA): per column, null/distinct counts
-    * and min/max, one aggregation pass per column unioned long-form.
-    * Values are stringified for a uniform schema; only integer/string
-    * columns are profiled this way (double→string formatting is not
-    * cross-engine stable).
+    * and min/max, ALL columns computed in one aggregation pass over one
+    * scan and unpivoted to long form with `stack` (the round-2 version
+    * ran one full scan per profiled column — 4× the I/O at 100 TB).
+    * The multiple count-distincts share the scan via Catalyst's
+    * Expand-based distinct rewrite. Values are stringified for a uniform
+    * schema; only integer/string columns are profiled this way
+    * (double→string formatting is not cross-engine stable).
     */
   def q36DqProfile(s: SparkSession, dir: String): DataFrame = {
-    val d = load(s, dir, "documents")
-    ProfileCols.map { c =>
-      d.agg(
-        count(lit(1)).as("n_rows"),
-        count(col(c)).as("n_nonnull"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-        .withColumn("column_name", lit(c))
-    }.reduce(_ unionByName _)
+    val aggs = count(lit(1)).as("n_rows") +: ProfileCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    load(s, dir, "documents")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${ProfileCols.length}, " + ProfileCols.map(c =>
+          s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ") +
+          ") AS (column_name, n_nonnull, n_distinct, min_value, max_value)"))
       .select(col("column_name"), col("n_rows"), col("n_nonnull"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }

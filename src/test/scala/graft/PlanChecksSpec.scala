@@ -51,6 +51,29 @@ class PlanChecksSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("d2: md5-heavy signature pipeline runs once — band self-join reuses one exchange") {
+    // The reuse is an AQE runtime decision (stage cache), so assert on
+    // the FINAL adaptive plan after execution, not the static one.
+    val df = SparkEntry.queries("d2_minhash_lsh")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"), s"band self-join no longer reuses:\n$fin")
+    assert("FileScan parquet".r.findAllIn(fin).length == 1,
+      s"documents scanned more than once:\n$fin")
+  }
+
+  test("d4: one documents scan feeds both postings and sizes") {
+    val p = SparkEntry.queries("d4_ngram_jaccard")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("q36: all column profiles come from a single scan") {
+    val p = SparkEntry.queries("q36_dq_profile")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
   test("whole-stage codegen covers the scan→filter→project hot path") {
     val p = plan("q2_filter_project")
     assert(p.contains("codegen id"), "no WholeStageCodegen spans in q2")
