@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 
@@ -30,13 +30,16 @@ object RangeJoin {
       lts: String, rts: String, lo: Long, hi: Long): DataFrame = {
     require(hi > lo, s"empty range [$lo, $hi]")
     val w = hi - lo
-    // Integer floor-div banding (`div`, not `/` — double division loses
-    // ulps on epoch-nano longs).
+    // Integer floor-div banding (not `/` — double division loses ulps on
+    // epoch-nano longs; not bare `div` — Spark's `div` truncates toward
+    // zero, which would make the band containing t=0 span 2w−1 values and
+    // break the uniform-width skew bound for negative epochs).
+    def band(x: String): Column =
+      expr(s"(($x) div ${w}L) + (CASE WHEN (($x) % ${w}L) < 0 THEN -1 ELSE 0 END)")
     val l = left
       .withColumn("_band", explode(array_distinct(array(
-        expr(s"(`$lts` + ${lo}L) div ${w}L"),
-        expr(s"(`$lts` + ${hi}L) div ${w}L")))))
-    val r = right.withColumn("_band", expr(s"`$rts` div ${w}L"))
+        band(s"`$lts` + ${lo}L"), band(s"`$lts` + ${hi}L")))))
+    val r = right.withColumn("_band", band(s"`$rts`"))
     l.join(r,
         l("_band") === r("_band") && l(key) === r(key) &&
           r(rts) >= l(lts) + lo && r(rts) <= l(lts) + hi)

@@ -18,8 +18,14 @@ import graft.Tables.load
   */
 object Sampling {
 
+  // concat (null-propagating, like the oracle's `||`) — NOT concat_ws,
+  // which silently skips null arguments and would hash a null-text row
+  // from doc_id alone while the oracle drops it: a cross-engine
+  // divergence in an operator whose whole contract is determinism.
+  // A null key hashes to null → excluded from the sample (q38) and
+  // CASE-falls-through to the last split (q39) in both engines.
   private def hexKey(c: Column*): Column =
-    substring(md5(concat_ws(":", c: _*)), 1, 1)
+    substring(md5(concat(c.flatMap(x => Seq(x, lit(":"))).dropRight(1): _*)), 1, 1)
 
   private val SampleDigits = Seq("0", "1", "2") // 3/16 ≈ 18.75%
 

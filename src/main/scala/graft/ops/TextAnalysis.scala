@@ -166,7 +166,11 @@ object TextAnalysis {
         col("doc_id"),
         size(filter(t, w => w.isin(denylist.map(x => x: Any): _*))).cast("long")
           .as("n_redacted"),
-        substring(md5(concat_ws(" ", scrubbed)), 1, 16).as("scrub_fingerprint"))
+        // Null text must yield a null fingerprint (as the oracle's
+        // array_to_string(NULL) does) — concat_ws alone would skip the
+        // null array and emit md5("") instead.
+        when(col("text").isNotNull,
+          substring(md5(concat_ws(" ", scrubbed)), 1, 16)).as("scrub_fingerprint"))
   }
 
   private val ChunkSize = 32

@@ -1,8 +1,10 @@
 package graft.sources
 
+import java.io.IOException
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util
+import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -10,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,9 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * S7). Each file becomes one partition; rows are `(batch_id, value)`
   * with the raw JSON line in `value` — decode stays in the engine via
   * `from_json` (the Ingest path), keeping the connector transport-only
-  * the way a Kafka source is. Retry/pacing (S3) belongs here too: a
-  * partition reader that fetches over HTTP would wrap its `get` calls
-  * without touching the query plan.
+  * the way a Kafka source is.
+  *
+  * Retry/pacing (ref S3: extractor.py:116-136 — ≤3 attempts, fixed delay)
+  * lives in the partition reader: the per-batch fetch is retried up to
+  * `maxAttempts` times with `retryDelayMs` between attempts, so a
+  * transient transport failure costs one partition a bounded delay, not
+  * the job. Tune via read options `maxAttempts` / `retryDelayMs`; the
+  * `injectFailures` option makes the first N fetch attempts of every
+  * partition throw (deterministic fault injection for tests — a real
+  * HTTP transport would surface real IOExceptions in the same place).
   *
   * Usage: `spark.read.format("batched-json").load(dir)`.
   */
@@ -37,17 +46,33 @@ class BatchedJsonSource extends TableProvider with DataSourceRegister {
     BatchedJsonSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new BatchedJsonTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new BatchedJsonTable(opts.get("path"),
+      RetryConf(
+        maxAttempts = opts.getInt("maxAttempts", 3),
+        delayMs = opts.getLong("retryDelayMs", 10000L),
+        injectFailures = opts.getInt("injectFailures", 0)))
+  }
 }
 
 object BatchedJsonSource {
+  // batch_id is Long: filename numbers can be epoch millis (or anything a
+  // staging job stamps), which overflow Int.
   val schema: StructType = StructType(Seq(
-    StructField("batch_id", IntegerType, nullable = false),
+    StructField("batch_id", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  /** Per-file count of injected fetch failures so far (test fault
+    * injection; per-JVM, which is exactly the scope of a local test run).
+    */
+  private[sources] val injectedFailures = new ConcurrentHashMap[String, Integer]()
 }
 
-private class BatchedJsonTable(path: String) extends Table with SupportsRead {
+private case class RetryConf(maxAttempts: Int, delayMs: Long, injectFailures: Int)
+
+private class BatchedJsonTable(path: String, retry: RetryConf)
+    extends Table with SupportsRead {
   override def name(): String = s"batched-json:$path"
   override def schema(): StructType = BatchedJsonSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -69,33 +94,60 @@ private class BatchedJsonTable(path: String) extends Table with SupportsRead {
         // Natural-numeric order: `batch_2` before `batch_10` even without
         // zero padding. batch_id is the number parsed from the filename
         // (so staging that starts at batch_1 or has gaps keeps its ids);
-        // unnumbered files fall back to their dense sort-order index.
+        // unnumbered files get -(sortIndex + 1) — negative, hence disjoint
+        // from any parsed `\d+` id, so a mixed directory can't collide.
         val numbered = files.map { f =>
           val name = f.getFileName.toString
           val num = "\\d+".r.findFirstIn(name).map(_.toLong)
           (num, name, f)
         }.sortBy { case (num, name, _) => (num.getOrElse(Long.MaxValue), name) }
         numbered.zipWithIndex.map { case ((num, _, f), i) =>
-          BatchPartition(num.map(_.toInt).getOrElse(i), f.toString): InputPartition
+          BatchPartition(num.getOrElse(-(i + 1L)), f.toString): InputPartition
         }
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new BatchReaderFactory
+        new BatchReaderFactory(retry)
     }
 }
 
-private case class BatchPartition(batchId: Int, file: String) extends InputPartition
+private case class BatchPartition(batchId: Long, file: String) extends InputPartition
 
-private class BatchReaderFactory extends PartitionReaderFactory {
+private class BatchReaderFactory(retry: RetryConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BatchPartition]
     new PartitionReader[InternalRow] {
       // One batch file is one API response (≤25 entities in the
       // reference) — reading it eagerly per partition is the contract.
-      private val lines = Files.readAllLines(
-        Path.of(p.file), StandardCharsets.UTF_8).asScala
+      private val lines = fetchWithRetry()
         .iterator.filter(_.nonEmpty)
       private var current: String = _
+
+      private def fetchWithRetry(): Seq[String] = {
+        var attempt = 1
+        while (true) {
+          try return fetchOnce()
+          catch {
+            case _: IOException if attempt < retry.maxAttempts =>
+              attempt += 1
+              Thread.sleep(retry.delayMs)
+            case e: IOException =>
+              throw new IOException(
+                s"batch fetch failed after ${retry.maxAttempts} attempts: ${p.file}", e)
+          }
+        }
+        throw new IllegalStateException("unreachable")
+      }
+
+      private def fetchOnce(): Seq[String] = {
+        if (retry.injectFailures > 0) {
+          val n = BatchedJsonSource.injectedFailures
+            .merge(p.file, 1, (a, b) => a + b)
+          if (n <= retry.injectFailures)
+            throw new IOException(s"injected failure $n for ${p.file}")
+        }
+        Files.readAllLines(Path.of(p.file), StandardCharsets.UTF_8).asScala.toSeq
+      }
+
       override def next(): Boolean = {
         if (lines.hasNext) { current = lines.next(); true } else false
       }

@@ -69,8 +69,8 @@ class GoldenCsvSpec extends AnyFunSuite {
 
     def staged(dir: java.nio.file.Path) = {
       val df = spark.read.format("batched-json").load(dir.toString)
-      assert(df.select($"batch_id").distinct().as[Int].collect().sorted.toSeq
-        == Seq(3, 7), "batch_id must be the filename's number")
+      assert(df.select($"batch_id").distinct().as[Long].collect().sorted.toSeq
+        == Seq(3L, 7L), "batch_id must be the filename's number")
       spark.read.json(df.select($"value").as[String])
     }
     val facilitiesRaw = spark.read.schema(graft.model.Schemas.facilitiesRaw).json(Seq(

@@ -109,9 +109,13 @@ class PropertySpec extends AnyFunSuite {
     // Window [lo, hi] = [0, 10]; band width 10 — timestamps land on and
     // around band edges (0, 9, 10, 11, 20) so both the 1-band and 2-band
     // left duplication paths and inclusive endpoints are exercised.
+    // Negative timestamps pin floor-division banding: truncating `div`
+    // would give the band containing t=0 width 2w−1 and (worse) band the
+    // left window endpoints asymmetrically around zero.
     val sideGen = for {
       k <- Gen.oneOf[Option[Long]](Some(1L), Some(2L), None)
-      ts <- Gen.oneOf(0L, 1L, 5L, 9L, 10L, 11L, 15L, 19L, 20L, 25L)
+      ts <- Gen.oneOf(-21L, -20L, -11L, -10L, -9L, -1L,
+        0L, 1L, 5L, 9L, 10L, 11L, 15L, 19L, 20L, 25L)
     } yield (k, ts)
     def one[T](g: Gen[T], seed: Long): T =
       g.apply(Gen.Parameters.default, Seed(seed)).get

@@ -60,4 +60,30 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(math.abs(ao - eo).toDouble / eo <= 0.02, s"orders: $ao vs $eo")
     }
   }
+
+  test("null text: q38 drops, q39 buckets to 'test', t7 fingerprints null (oracle-aligned)") {
+    // The driver fixtures carry no null text, so the oracle gate can't see
+    // this path — pin Spark to the oracle SQL's null propagation here:
+    // `||`/md5(NULL) excludes the row from q38, CASE-falls-through to
+    // 'test' in q39, and array_to_string(NULL) yields a NULL fingerprint.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("nulltext").toString
+    Seq((1L, Option("the value of a row"), "en", "web", 18L),
+        (2L, Option.empty[String], "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val sampled = SparkEntry.queries("q38_hash_sample")(spark, tmp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!sampled.contains(2L), "null-text row must not be sampled")
+    val splits = SparkEntry.queries("q39_split_assign")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(splits.getOrElse(("web", "test"), 0L) >= 1L,
+      "null-text row must fall through to the last split")
+    assert(splits.values.sum == 2L)
+    val t7 = SparkEntry.queries("t7_scrub")(spark, tmp)
+      .filter(col("doc_id") === 2L).collect().head
+    assert(t7.isNullAt(t7.fieldIndex("n_redacted")))
+    assert(t7.isNullAt(t7.fieldIndex("scrub_fingerprint")))
+  }
 }

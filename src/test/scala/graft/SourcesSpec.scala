@@ -98,9 +98,48 @@ class SourcesSpec extends AnyFunSuite {
     val df = spark.read.format("batched-json").load(dir.toString)
     val byBatch = df
       .select($"batch_id", get_json_object($"value", "$.n").cast("int").as("n"))
-      .as[(Int, Int)].collect().toMap
+      .as[(Long, Int)].collect().toMap
     // batch_id i must contain file batch_i's row, not the lexicographic i-th.
     (0 to 10).foreach(i => assert(byBatch(i) == i, s"batch $i got ${byBatch(i)}"))
+  }
+
+  test("DSv2 source: epoch-millis batch numbers survive as Long; unnumbered files get disjoint ids") {
+    val dir = Files.createTempDirectory("batches_mixed")
+    Files.writeString(dir.resolve("batch_1760485500000.json"), """{"n":1}""" + "\n")
+    Files.writeString(dir.resolve("unnumbered.json"), """{"n":2}""" + "\n")
+    val df = spark.read.format("batched-json").load(dir.toString)
+    val ids = df.select($"batch_id").as[Long].collect().sorted.toSeq
+    // The parsed epoch-millis id is preserved (no Int wrap) and the
+    // unnumbered file's fallback id is negative — disjoint by construction.
+    assert(ids.contains(1760485500000L), s"ids were $ids")
+    assert(ids.count(_ < 0) == 1, s"ids were $ids")
+  }
+
+  test("DSv2 reader retries a flaky batch fetch and succeeds (S3)") {
+    val dir = Files.createTempDirectory("batches_flaky")
+    Files.writeString(dir.resolve("batch_0.json"), """{"n":0}""" + "\n")
+    val df = spark.read.format("batched-json")
+      .option("injectFailures", 2) // fail twice, then succeed
+      .option("maxAttempts", 3)
+      .option("retryDelayMs", 1)
+      .load(dir.toString)
+    assert(df.count() == 1) // 3rd attempt lands inside the attempt budget
+  }
+
+  test("DSv2 reader gives up after maxAttempts on a persistently failing batch (S3)") {
+    val dir = Files.createTempDirectory("batches_dead")
+    Files.writeString(dir.resolve("batch_0.json"), """{"n":0}""" + "\n")
+    val df = spark.read.format("batched-json")
+      .option("injectFailures", 99)
+      .option("maxAttempts", 3)
+      .option("retryDelayMs", 1)
+      .load(dir.toString)
+    val e = intercept[Exception](df.count())
+    // The terminal error names the attempt budget, wrapping the last cause.
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("after 3 attempts"))))
   }
 
   test("foreachBatch sink: idempotent per-batch parquet log (S8)") {
