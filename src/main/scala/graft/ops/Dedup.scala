@@ -185,6 +185,8 @@ object Dedup {
     * production blocking path when no label exists): pairs only within a
     * hash bucket derived from the data itself. Same pair math as d5 —
     * the variants differ exactly in where candidate pairs come from.
+    * Single-table baseline (≤64 buckets); [[d8bNearDupMultiband]] is the
+    * scale default.
     */
   def d8EmbeddingLshNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
@@ -197,6 +199,31 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.bucket").as("bucket"),
         round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+  }
+
+  /** d8b — near-dup pairs from multi-table capped LSH
+    * ([[Similarity.cappedBands]]: [[Similarity.BandTables]] band tables
+    * of [[Similarity.BandBits]] sign bits OR'd for recall, population cap
+    * so a degenerate bucket emits zero pairs — worst case stays linear).
+    * Collisions are scored per band table and deduped with a pair-keyed
+    * aggregation AFTER scoring, so the dedup shuffle carries an 8-byte
+    * cosine, not two 64-dim vectors; min() over bit-identical duplicates
+    * is pure dedup.
+    */
+  def d8bNearDupMultiband(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val c = Similarity.cappedBands(e, "vec_id", "v")
+    c.as("a")
+      .join(c.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cs"))
+      .groupBy(col("vec_a"), col("vec_b")) // collides-in->1-table counts once
+      .agg(min(col("cs")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
   }
 
@@ -251,7 +278,8 @@ object Dedup {
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
-    "d8_embedding_lsh_neardup" -> d8EmbeddingLshNearDup)
+    "d8_embedding_lsh_neardup" -> d8EmbeddingLshNearDup,
+    "d8b_neardup_multiband" -> d8bNearDupMultiband)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -339,6 +367,15 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3""".stripMargin,
+    "d8b_neardup_multiband" ->
+      s"""WITH ${Similarity.bandedCteSql},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |  FROM banded a
+         |  JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id
+         |  JOIN capped c ON c.tbl = a.tbl AND c.bucket = a.bucket)
+         |SELECT vec_a, vec_b, cos_sim FROM cand WHERE cos_sim >= 0.3""".stripMargin,
     "d8_embedding_lsh_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |    ${Similarity.bucketSql("embedding")} AS bucket FROM embeddings)

@@ -102,7 +102,10 @@ object Similarity {
   /** s2 — LSH-bucketed ANN: nearest neighbor within the same sign-bit
     * bucket for every vector (approximate — bucket boundaries lose some
     * true neighbors, which is the accuracy/cost trade the bucket count
-    * tunes).
+    * tunes). Single-table baseline: 6 bits ⇒ ≤64 buckets, which keeps
+    * recall high on a small corpus but leaves the within-bucket join
+    * quadratic at scale — [[s2bAnnMultiband]] is the scale default
+    * (more bits, OR'd tables, population cap).
     */
   def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
@@ -123,6 +126,107 @@ object Similarity {
         struct(col("cos_sim"), (-col("neighbor_id")).as("neg_id"))).as("best"))
       .select(col("query_id"), col("best.neighbor_id"), col("best.bucket"),
         col("best.cos_sim"))
+  }
+
+  // --- Multi-table (banded) sign LSH: the scale-safe default. -----------
+  //
+  // One table of NBuckBits=6 sign bits caps out at 64 buckets: at 100×
+  // corpus the within-bucket self-join is O((n/64)²) per bucket and a
+  // dense region of embedding space hot-spots one task. The banded form
+  // fixes both knobs at once:
+  //   - BandBits (12) sign bits per table ⇒ 4096 buckets per table, so
+  //     mean bucket population shrinks 64× and the quadratic term with it;
+  //   - BandTables (4) tables over disjoint component ranges, OR'd —
+  //     a pair is a candidate if it collides in ANY table — which buys
+  //     back the recall the narrower buckets lose;
+  //   - MaxBucket caps the population a bucket may have and still emit
+  //     pairs (mirrors d4's MaxPostings): a degenerate bucket (all-equal
+  //     region, adversarial corpus) contributes ZERO pairs instead of a
+  //     quadratic task, making worst-case cost linear in corpus size.
+  private[ops] val BandBits = 12
+  private[ops] val BandTables = 4
+  private[ops] val MaxBucket = 1000
+
+  /** Per-table sign-bucket keys: element `b` is the bucket of table `b`,
+    * built from sign bits of components [b·bits+1, (b+1)·bits].
+    */
+  private[ops] def bandBuckets(v: Column, bits: Int, nTables: Int): Column =
+    array((0 until nTables).map { b =>
+      (1 to bits).map(i =>
+        when(element_at(v, b * bits + i) > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }: _*)
+
+  /** Rows exploded into (row, tbl, bucket) band memberships, keeping only
+    * buckets whose population is in [2, maxBucket]. The cap is a window
+    * count over (tbl, bucket) — NOT a separate aggregate joined back —
+    * so the frame is computed with ONE scan and ONE shuffle: the band
+    * explode and bucket math sit below the (tbl, bucket) exchange, the
+    * downstream self-join partitions by the same keys (no new exchange),
+    * and both join sides reuse the single exchange (the d2 lesson:
+    * identical shuffle subtrees dedup; broadcast never does).
+    */
+  private[ops] def cappedBands(e: DataFrame, idCol: String, vecCol: String,
+      bits: Int = BandBits, nTables: Int = BandTables,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    // posexplode_outer, not posexplode: the plain generator lets
+    // InferFiltersFromGenerate substitute the whole bucket-math array
+    // into an inferred `size(arr) > 0` filter below this projection,
+    // doubling the per-row work (the d4 lesson). The array is a non-null
+    // 4-element literal, so the row sets are identical.
+    val banded = e
+      .select(col(idCol), col(vecCol),
+        posexplode_outer(bandBuckets(col(vecCol), bits, nTables))
+          .as(Seq("tbl", "bucket")))
+    banded
+      .withColumn("n_bucket",
+        count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .filter(col("n_bucket").between(2, maxBucket))
+      .drop("n_bucket")
+  }
+
+  /** Unordered candidate pairs (idCol_a < idCol_b) colliding in ≥1 band
+    * table, deduped across tables — the library-surface blocking
+    * primitive (the oracled operators s2b/d8b layer scoring on the same
+    * join; the skew tests pin the population-cap bound on it).
+    */
+  def multibandPairs(e: DataFrame, idCol: String, vecCol: String,
+      bits: Int = BandBits, nTables: Int = BandTables,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val c = cappedBands(e, idCol, vecCol, bits, nTables, maxBucket)
+    c.as("a")
+      .join(c.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"),
+        col(s"a.$vecCol").as(s"${vecCol}_a"), col(s"b.$vecCol").as(s"${vecCol}_b"))
+      .dropDuplicates(s"${idCol}_a", s"${idCol}_b")
+  }
+
+  /** s2b — multi-table LSH ANN: per vector, the best neighbor among
+    * candidates from any band table. Directed collisions feed a max_by
+    * argmax per query (partial+final agg, no sort window); a pair
+    * colliding in several tables yields identical (payload, order-key)
+    * rows, so duplicates cannot flip the argmax and no pre-dedup pass is
+    * needed. Vectors whose every bucket is singleton (or over the cap)
+    * have no candidates and are absent — the recall/cost trade the
+    * (bits, tables) pair tunes.
+    */
+  def s2bAnnMultiband(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val c = cappedBands(e, "vec_id", "v")
+    c.as("a")
+      .join(c.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(max_by(
+        struct(col("neighbor_id"), col("cos_sim")),
+        struct(col("cos_sim"), (-col("neighbor_id")).as("neg_id"))).as("best"))
+      .select(col("query_id"), col("best.neighbor_id"), col("best.cos_sim"))
   }
 
   private val NCentroids = 8
@@ -265,6 +369,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_cosine" -> s1KnnCosine,
     "s2_ann_lsh" -> s2AnnLsh,
+    "s2b_ann_multiband" -> s2bAnnMultiband,
     "s3_ivf_ann" -> s3IvfAnn,
     "s4_pq_codes" -> s4PqCodes,
     "s5_pq_search" -> s5PqSearch)
@@ -273,6 +378,25 @@ object Similarity {
     (1 to NBuckBits).map(i =>
       s"CASE WHEN $v[$i] > 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
+
+  /** Banded + capped CTEs over `embeddings`, shared by the s2b/d8b
+    * oracles. Deliberately an independent formulation: GROUP BY … HAVING
+    * population cap instead of Spark's window count — same capped-bucket
+    * semantics, different machinery on each engine.
+    */
+  private[ops] def bandedCteSql: String = {
+    def tblBucketSql(b: Int): String =
+      (1 to BandBits).map(i =>
+        s"CASE WHEN embedding[${b * BandBits + i}] > 0 THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+    val caseSql = (0 until BandTables)
+      .map(b => s"WHEN $b THEN ${tblBucketSql(b)}").mkString(" ")
+    s"""banded AS (SELECT vec_id, embedding, g.tbl,
+       |    CASE g.tbl $caseSql END AS bucket
+       |  FROM embeddings, generate_series(0, ${BandTables - 1}) g(tbl)),
+       |capped AS (SELECT tbl, bucket FROM banded GROUP BY 1, 2
+       |           HAVING count(*) BETWEEN 2 AND $MaxBucket)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "s1_knn_cosine" ->
@@ -287,6 +411,19 @@ object Similarity {
          |  FROM sims)
          |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "s2b_ann_multiband" ->
+      s"""WITH $bandedCteSql,
+         |cand AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |  FROM banded a
+         |  JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id <> b.vec_id
+         |  JOIN capped c ON c.tbl = a.tbl AND c.bucket = a.bucket),
+         |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn = 1""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |           FROM embeddings),

@@ -68,6 +68,19 @@ class PlanChecksSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(p).length == 1, p.take(2000))
   }
 
+  test("s2b: multiband self-join reuses one exchange — one embeddings scan, cap via window") {
+    // Same property as d2: the band explode + bucket math sit below ONE
+    // (tbl, bucket) shuffle; the window cap and both self-join sides run
+    // on the reused exchange. AQE decides reuse at runtime, so assert on
+    // the final adaptive plan.
+    val df = SparkEntry.queries("s2b_ann_multiband")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"), s"multiband self-join no longer reuses:\n$fin")
+    assert("FileScan parquet".r.findAllIn(fin).length == 1,
+      s"embeddings scanned more than once:\n$fin")
+  }
+
   test("q36: all column profiles come from a single scan") {
     val p = SparkEntry.queries("q36_dq_profile")(spark, dir)
       .queryExecution.sparkPlan.toString

@@ -46,6 +46,32 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("multiband LSH: a degenerate all-in-one-bucket input emits bounded pairs") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // 40 identical-sign vectors: every band table hashes all of them into
+    // ONE bucket — the adversarial corpus that makes uncapped LSH
+    // quadratic. With the cap below the population, the bucket must emit
+    // ZERO pairs (bounded worst case); with the cap at the population,
+    // all C(40,2) pairs appear (the cap is a guard, not a recall cut at
+    // sane populations).
+    val n = 40
+    val e = (0 until n).map(i =>
+      (i.toLong, Array.fill(64)(1.0 + i * 1e-9))).toDF("vec_id", "v")
+    val capped = Similarity.multibandPairs(e, "vec_id", "v", maxBucket = n - 1)
+    assert(capped.count() == 0, "over-cap bucket must contribute no pairs")
+    val uncapped = Similarity.multibandPairs(e, "vec_id", "v", maxBucket = n)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2)
+    // Mixed case: one degenerate positive-sign cluster over the cap plus
+    // two negative-sign vectors under it — only the small bucket's single
+    // pair survives.
+    val mixed = e.unionByName((100 until 102).map(i =>
+      (i.toLong, Array.fill(64)(-1.0))).toDF("vec_id", "v"))
+    val pairs = Similarity.multibandPairs(mixed, "vec_id", "v", maxBucket = n - 1)
+      .select($"vec_id_a", $"vec_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)))
+  }
+
   test("saltedSum == direct groupBy sum") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("k"), col("l_quantity"), col("l_extendedprice"))
