@@ -112,6 +112,32 @@ object Ingest {
       }
       .start()
 
+  /** The full reference fallback loop (S10/J8, dashboard.py:277-307)
+    * over a JDBC lookup: per micro-batch, snapshot the lookup via
+    * `spark.read.jdbc`, enrich, land misses on the side channel AND
+    * resolve them against the upstream registry with an idempotent
+    * lookup upsert ([[graft.sources.JdbcLookup.resolveMisses]]) — so the
+    * next batch's snapshot enriches them. Same never-mutate-mid-query
+    * contract as [[enrichWithRefresh]]; the dim provider is just the
+    * database now.
+    */
+  def enrichWithJdbcLookup(events: DataFrame, url: String,
+      dir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dim = graft.sources.JdbcLookup.readLookup(spark, url)
+        enrichFacility(batch, dim)
+          .filter(col("region").isNotNull)
+          .write.mode("overwrite").parquet(s"$dir/enriched/batch_$batchId")
+        val misses = enrichmentMisses(batch, dim)
+        misses.write.mode("overwrite").parquet(s"$dir/misses/batch_$batchId")
+        graft.sources.JdbcLookup.resolveMisses(spark, url, misses): Unit
+      }
+      .start()
+
   /** Region enrichment (ref dashboard.py:384, J9): 5-row broadcast dim. */
   def enrichMarket(events: DataFrame, regionDim: DataFrame): DataFrame =
     events.join(broadcast(regionDim), Seq("region_id"), "left_outer")

@@ -142,6 +142,60 @@ class SourcesSpec extends AnyFunSuite {
       chain(e).exists(t => Option(t.getMessage).exists(_.contains("after 3 attempts"))))
   }
 
+  test("JDBC lookup-miss fallback: miss → registry upsert → next batch enriches (S10/J8)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.JdbcLookup
+    // Embedded Derby stands in for the reference's PostgreSQL: same JDBC
+    // surface, runs offline. Quoted lowercase column names (Derby folds
+    // unquoted ones to upper); unquoted table names so Spark's plain
+    // INSERT INTO facility_lookup resolves.
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate("""CREATE TABLE facility_lookup ("facility_id" VARCHAR(16) NOT NULL PRIMARY KEY, "facility_name" VARCHAR(64), "region" VARCHAR(8), "lat" DOUBLE, "lon" DOUBLE, "fuel_tech" VARCHAR(32))""")
+    st.executeUpdate("""CREATE TABLE ner_facility ("facility_id" VARCHAR(16), "facility_name" VARCHAR(64), "fuel_type_id" VARCHAR(32), "location_id" INT)""")
+    st.executeUpdate("""CREATE TABLE ner_location ("location_id" INT, "lat" DOUBLE, "lon" DOUBLE, "region" VARCHAR(8))""")
+    st.executeUpdate("INSERT INTO facility_lookup VALUES ('ALP', 'Alpha', 'NSW1', -33.1, 151.2, 'solar_utility')")
+    // BET exists upstream (registry ⋈ location) but not in the lookup;
+    // GMA exists nowhere — the stays-dead-lettered path.
+    st.executeUpdate("INSERT INTO ner_facility VALUES ('BET', 'Beta', 'coal_black', 7)")
+    st.executeUpdate("INSERT INTO ner_location VALUES (7, -37.8, 144.9, 'VIC1')")
+    st.close(); conn.close()
+
+    def facJson(id: String, ts: String) =
+      s"""{"facility_id":"$id","timestamp":"$ts","power_mw":1.0,"co2_tonnes":0.0}"""
+    val in = MemoryStream[String]
+    val dir = Files.createTempDirectory("jdbc_enrich").toString
+    val q = graft.stream.Ingest.enrichWithJdbcLookup(
+      graft.stream.Ingest.facilityEvents(in.toDF()), url, dir)
+    try {
+      in.addData(facJson("BET", "2025-10-15T10:05:00+11:00"),
+        facJson("GMA", "2025-10-15T10:05:00+11:00"))
+      q.processAllAvailable()
+      val missed0 = spark.read.parquet(s"$dir/misses/batch_0")
+        .select($"facility_id").as[String].collect().toSet
+      assert(missed0 == Set("BET", "GMA"))
+      // The in-batch resolution landed BET in the Derby lookup; the NEXT
+      // batch's snapshot enriches it. GMA stays a miss (unknown upstream).
+      in.addData(facJson("BET", "2025-10-15T10:10:00+11:00"),
+        facJson("GMA", "2025-10-15T10:10:00+11:00"))
+      q.processAllAvailable()
+      val enriched1 = spark.read.parquet(s"$dir/enriched/batch_1")
+        .select($"facility_id", $"region", $"fuel_tech")
+        .as[(String, String, String)].collect().toSet
+      assert(enriched1 == Set(("BET", "VIC1", "coal_black")))
+      val missed1 = spark.read.parquet(s"$dir/misses/batch_1")
+        .select($"facility_id").as[String].collect().toSet
+      assert(missed1 == Set("GMA"))
+    } finally q.stop()
+    // Idempotency: re-resolving an id that is now present inserts nothing
+    // (the DO-NOTHING half of the reference's ON CONFLICT upsert).
+    assert(JdbcLookup.resolveMisses(spark, url,
+      Seq("BET").toDF("facility_id")) == 0L)
+    assert(JdbcLookup.readLookup(spark, url)
+      .filter($"facility_id" === "BET").count() == 1L)
+  }
+
   test("foreachBatch sink: idempotent per-batch parquet log (S8)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
