@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dashboard-parity batch queries over the latest-state frames (SURVEY
@@ -50,6 +50,28 @@ object Metrics {
   def withFuelEmoji(df: DataFrame, fuelCol: String = "fuel"): DataFrame =
     df.withColumn("fuel_emoji",
       coalesce(element_at(typedLit(fuelEmoji), col(fuelCol)), lit("⚡")))
+
+  /** P18 — headline-metric display labels (ref dashboard.py:590-597):
+    * thousands separators, 1 decimal under 1000 in magnitude else 0,
+    * unit suffix; null/unparseable coerces to 0.0 like the reference's
+    * `float(val) except → 0.0` guard. `format_number` is codegen'd and
+    * locale-fixed (en_US grouping, matching Python's `,` format).
+    * Presentation-layer only — deliberately NOT oracle-mapped: number
+    * formatting is exactly the kind of engine-dialect surface the
+    * correctness gate should not hinge on (NOTES.md); pinned by unit
+    * test instead.
+    */
+  def metricLabel(c: Column, unit: String): Column = {
+    val v = coalesce(c.cast("double"), lit(0.0))
+    concat(
+      when(abs(v) < 1000, format_number(v, 1)).otherwise(format_number(v, 0)),
+      lit(" " + unit))
+  }
+
+  /** The headline frame with its two reference display labels. */
+  def withMetricLabels(headline: DataFrame): DataFrame = headline
+    .withColumn("power_label", metricLabel(col("total_power_mw"), "MW"))
+    .withColumn("co2_label", metricLabel(col("total_co2_tonnes"), "t CO₂"))
 
   /** Filter-option domains (A10, ref dashboard.py:470-475): sorted
     * distinct fuels (exploded) and regions.

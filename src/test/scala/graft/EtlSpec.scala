@@ -273,6 +273,19 @@ class EtlSpec extends AnyFunSuite {
     assert(out("Wind") == "🌬️" && out("Mystery Fuel") == "⚡")
   }
 
+  test("Metrics.metricLabel: reference display format — separators, 1dp<1000 else 0dp, unit (P18)") {
+    import graft.queries.Metrics
+    // 1234.6, not 1234.5: Spark's format_number rounds half-up, Python's
+    // format spec half-even — off-tie values agree, exact .5 ties don't.
+    val out = Seq(Some(12.34), Some(999.96), Some(1234.6), Some(-2500.4), None)
+      .toDF("v")
+      .select(Metrics.metricLabel($"v", "MW").as("label"))
+      .as[String].collect().toSeq
+    // Mirrors dashboard.py:595: f"{v:,.1f} MW" below 1000 in magnitude,
+    // f"{v:,.0f} MW" at or above; None coerces to 0.0.
+    assert(out == Seq("12.3 MW", "1,000.0 MW", "1,235 MW", "-2,500 MW", "0.0 MW"))
+  }
+
   test("headline metrics incl. modal timestamp, smallest tie-break (ref dashboard.py:716-729)") {
     val latest = Seq(
       ("ALP", T2, 12.0, 0.5), ("BET", T1, 95.0, 80.0), ("DLT", T2, 3.0, 0.0))
