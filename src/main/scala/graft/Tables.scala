@@ -21,4 +21,23 @@ object Tables {
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Spread a scan across the cluster when the file layout
+    * under-parallelizes it: parquet splits can't be finer than row
+    * groups, so a single-row-group file (these fixtures; any
+    * small-file corpus) scans as ONE task and every narrow transform
+    * above it — md5 shingling, tokenizing — runs single-threaded no
+    * matter how many cores exist. The round-robin repartition costs one
+    * tiny shuffle of the raw rows and buys back full parallelism for
+    * the compute-heavy stage above. No-op when the scan already has
+    * enough splits — at real scale (thousands of row groups) adding a
+    * reshuffle of the whole input would be pure loss, so callers get
+    * the guard for free. Only safe below order-insensitive aggregation
+    * (min/max/count): round-robin changes partial-agg grouping, which
+    * a float partial sum would expose (never use it there).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
 }

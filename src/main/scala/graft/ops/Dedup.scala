@@ -75,7 +75,10 @@ object Dedup {
     * and a skewed bucket is AQE-splittable).
     */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(load(s, dir, "documents")
+    // spread: the md5 signature pass is the cost — single-row-group
+    // input would otherwise run it on one core (min() partials are
+    // order-insensitive, so the round-robin is hash-safe).
+    val sigs = minhashSigs(graft.Tables.spread(load(s, dir, "documents"))
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3))
     // Signatures ride along through the band explode so the pair join
@@ -113,7 +116,7 @@ object Dedup {
     */
   def d3Simhash(s: SparkSession, dir: String): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val tokHash = load(s, dir, "documents")
+    val tokHash = graft.Tables.spread(load(s, dir, "documents"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
     val bitSums = (1 to 16).map(i =>
@@ -151,7 +154,7 @@ object Dedup {
     * single-scan plan).
     */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = load(s, dir, "documents")
+    val sh = graft.Tables.spread(load(s, dir, "documents"))
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("source"), shingles(col("t")).as("sh_arr"))
@@ -262,7 +265,7 @@ object Dedup {
     * pinning the aggregate's semantics declaratively).
     */
   def d7Simhash64(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    graft.Tables.spread(load(s, dir, "documents"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"),
         concat(md5(concat(lit("0:"), col("tok"))),

@@ -99,7 +99,9 @@ object TextAnalysis {
     */
   def t5NgramFreq(s: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
-    load(s, dir, "documents")
+    // spread: parallelize the bigram explode over single-row-group input
+    // (count partials are order-insensitive — hash-safe).
+    graft.Tables.spread(load(s, dir, "documents"))
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(array_distinct(
