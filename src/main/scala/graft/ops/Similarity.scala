@@ -249,12 +249,26 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centroids = e.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // Two scored legs, and that is the scale-correct shape (round-3 scan
+    // audit verified, then falsified, a recompute here): the assignment
+    // leg scores the FULL corpus exactly once through a max_by
+    // partial+final agg; the probes leg's vec_id range pushes through
+    // the window below the cross join into the scan, so it scores only
+    // the handful of query vectors. A single shared ranked pass was
+    // tried and is worse: the per-consumer partial WindowGroupLimits
+    // (1 vs nprobe) land below the exchanges, making them non-identical
+    // — so nothing is reused anyway. The grouping key is vec_id ALONE,
+    // with the vector riding in the max_by payload: grouping on the
+    // array column would make the agg sort corpus×k vector bytes
+    // instead of 8-byte ids.
     val scored = e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"),
         col("cent_id"), cosine(col("v"), col("cv")).as("cc"))
     val assigned = scored
-      .groupBy(col("vec_id"), col("v"))
-      .agg(max_by(col("cent_id"), struct(col("cc"), (-col("cent_id")).as("n"))).as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cent_id")),
+        struct(col("cc"), (-col("cent_id")).as("n"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.cent_id").as("cell"))
     val pw = Window.partitionBy("vec_id")
       .orderBy(col("cc").desc, col("cent_id").asc)
     val probes = scored

@@ -129,14 +129,20 @@ object TextAnalysis {
   def t6TfIdf(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).as("n_docs")) // lazy scalar, broadcast below
-    val terms = docs
+    val terms = graft.Tables.spread(docs)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term")
+    val tfCounts = terms.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("n_term"))
+    val tf = tfCounts
       .withColumn("doc_len",
         sum(col("n_term")).over(Window.partitionBy("doc_id")))
-    val df_ = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    // Document frequency from the tf aggregate, NOT a second
+    // explode→distinct pipeline: tf rows are already one per (doc, term),
+    // so counting them per term IS the doc frequency — and both
+    // consumers sit above the same (doc_id, term) exchange, so the
+    // tokenize+explode pass runs once (round-3 scan audit found it
+    // running twice; the shared-exchange fix is the d2 lesson).
+    val df_ = tfCounts.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(broadcast(df_), "term")

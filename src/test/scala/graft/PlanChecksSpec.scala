@@ -81,6 +81,24 @@ class PlanChecksSpec extends AnyFunSuite {
       s"embeddings scanned more than once:\n$fin")
   }
 
+  test("s3: probe leg's vec_id range reaches the scan — queries are not scored corpus-wide") {
+    // The scale property worth pinning here is pushdown, not reuse: the
+    // probes pipeline must score only the query vectors (range filter in
+    // the scan), while the assignment leg scores the corpus exactly once
+    // through a partial+final max_by agg (no sort).
+    val p = plan("s3_ivf_ann")
+    assert(p.contains("GreaterThanOrEqual(vec_id,"), s"probe range not pushed:\n$p")
+  }
+
+  test("t6: one tokenize+explode pass feeds both tf and doc-frequency") {
+    val df = SparkEntry.queries("t6_tfidf")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"), s"terms pass duplicated again:\n$fin")
+    // documents scan for terms + count-only scan for n_docs.
+    assert("FileScan parquet".r.findAllIn(fin).length <= 2, fin.take(2000))
+  }
+
   test("q36: all column profiles come from a single scan") {
     val p = SparkEntry.queries("q36_dq_profile")(spark, dir)
       .queryExecution.sparkPlan.toString
