@@ -83,7 +83,7 @@ object Dedup {
       .filter(size(col("t")) >= 3))
     // Signatures ride along through the band explode so the pair join
     // needs no extra lookups. The self-join is pinned to a shuffled
-    // merge join: a broadcast join would hash-exchange only ONE side,
+    // hash join: a broadcast join would hash-exchange only ONE side,
     // so the md5-heavy scan→shingle→signature pipeline would execute
     // once per side (observed in round 2 — broadcast exchanges are
     // never reused against shuffle exchanges). With both sides going

@@ -148,7 +148,10 @@ object Similarity {
   private[ops] val MaxBucket = 1000
 
   /** Per-table sign-bucket keys: element `b` is the bucket of table `b`,
-    * built from sign bits of components [b·bits+1, (b+1)·bits].
+    * built from sign bits of components [b·bits+1, (b+1)·bits]. Vectors
+    * must have ≥ bits·nTables dimensions (48 at the defaults) — a
+    * shorter vector fails fast with ANSI's INVALID_ARRAY_INDEX; pass
+    * smaller (bits, nTables) for low-dimensional embeddings.
     */
   private[ops] def bandBuckets(v: Column, bits: Int, nTables: Int): Column =
     array((0 until nTables).map { b =>

@@ -62,7 +62,9 @@ object Metrics {
     * test instead.
     */
   def metricLabel(c: Column, unit: String): Column = {
-    val v = coalesce(c.cast("double"), lit(0.0))
+    // try_cast, not cast: ANSI mode (this repo's default) throws on an
+    // unparseable string, which is exactly the input the guard is for.
+    val v = coalesce(c.try_cast("double"), lit(0.0))
     concat(
       when(abs(v) < 1000, format_number(v, 1)).otherwise(format_number(v, 0)),
       lit(" " + unit))

@@ -52,7 +52,11 @@ class BatchedJsonSource extends TableProvider with DataSourceRegister {
       RetryConf(
         maxAttempts = opts.getInt("maxAttempts", 3),
         delayMs = opts.getLong("retryDelayMs", 10000L),
-        injectFailures = opts.getInt("injectFailures", 0)))
+        injectFailures = opts.getInt("injectFailures", 0),
+        // Fresh injection scope per read: without it a second read of
+        // the same file in one JVM would find the counter exhausted and
+        // silently skip the failures it was asked to inject.
+        scanId = java.util.UUID.randomUUID().toString))
   }
 }
 
@@ -63,13 +67,15 @@ object BatchedJsonSource {
     StructField("batch_id", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
 
-  /** Per-file count of injected fetch failures so far (test fault
-    * injection; per-JVM, which is exactly the scope of a local test run).
+  /** Injected-failure counts per (scan, file) — the scan id scopes
+    * injection to one `.load()`, so repeated reads each see their full
+    * failure budget (per-JVM map: the scope of a local test run).
     */
   private[sources] val injectedFailures = new ConcurrentHashMap[String, Integer]()
 }
 
-private case class RetryConf(maxAttempts: Int, delayMs: Long, injectFailures: Int)
+private case class RetryConf(maxAttempts: Int, delayMs: Long,
+    injectFailures: Int, scanId: String = "")
 
 private class BatchedJsonTable(path: String, retry: RetryConf)
     extends Table with SupportsRead {
@@ -141,7 +147,7 @@ private class BatchReaderFactory(retry: RetryConf) extends PartitionReaderFactor
       private def fetchOnce(): Seq[String] = {
         if (retry.injectFailures > 0) {
           val n = BatchedJsonSource.injectedFailures
-            .merge(p.file, 1, (a, b) => a + b)
+            .merge(s"${retry.scanId}:${p.file}", 1, (a, b) => a + b)
           if (n <= retry.injectFailures)
             throw new IOException(s"injected failure $n for ${p.file}")
         }

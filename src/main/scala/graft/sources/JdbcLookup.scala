@@ -64,14 +64,21 @@ object JdbcLookup {
       .filter(col("facility_id").isin(ids.map(x => x: Any): _*))
       .select(col("facility_id"), col("facility_name"), col("region"),
         col("lat"), col("lon"), col("fuel_type_id").as("fuel_tech"))
-    // DO-NOTHING upsert: only ids not already present are appended.
+    // DO-NOTHING upsert: only ids not already present are appended. The
+    // resolved rows are collected ONCE (bounded like `ids`) and written
+    // from the driver's copy — counting and then re-executing the plan
+    // would read the live lookup twice and could insert a different set
+    // than it reported under concurrent writers.
     val fresh = found.join(readLookup(spark, url).select(col("facility_id")),
-      Seq("facility_id"), "left_anti")
-    val n = fresh.count()
-    if (n > 0)
-      fresh.write.format("jdbc")
+        Seq("facility_id"), "left_anti")
+      .collect()
+    if (fresh.nonEmpty)
+      spark.createDataFrame(
+          java.util.Arrays.asList(fresh: _*),
+          found.schema)
+        .write.format("jdbc")
         .option("url", url).option("dbtable", LookupTable)
         .mode("append").save()
-    n
+    fresh.length.toLong
   }
 }

@@ -132,9 +132,14 @@ object Ingest {
         enrichFacility(batch, dim)
           .filter(col("region").isNotNull)
           .write.mode("overwrite").parquet(s"$dir/enriched/batch_$batchId")
-        val misses = enrichmentMisses(batch, dim)
-        misses.write.mode("overwrite").parquet(s"$dir/misses/batch_$batchId")
-        graft.sources.JdbcLookup.resolveMisses(spark, url, misses): Unit
+        enrichmentMisses(batch, dim)
+          .write.mode("overwrite").parquet(s"$dir/misses/batch_$batchId")
+        // Resolve from the parquet just written, not the lazy frame: the
+        // side channel and the resolved set stay one snapshot, and the
+        // batch⋈dim plan doesn't re-execute (with a third lookup read)
+        // per micro-batch.
+        graft.sources.JdbcLookup.resolveMisses(spark, url,
+          spark.read.parquet(s"$dir/misses/batch_$batchId")): Unit
       }
       .start()
 

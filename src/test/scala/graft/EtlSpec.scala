@@ -284,6 +284,12 @@ class EtlSpec extends AnyFunSuite {
     // Mirrors dashboard.py:595: f"{v:,.1f} MW" below 1000 in magnitude,
     // f"{v:,.0f} MW" at or above; None coerces to 0.0.
     assert(out == Seq("12.3 MW", "1,000.0 MW", "1,235 MW", "-2,500 MW", "0.0 MW"))
+    // Unparseable strings take the reference's except→0.0 path (try_cast;
+    // a plain ANSI cast would throw instead of labeling).
+    val strs = Seq("12.5", "n/a").toDF("v")
+      .select(Metrics.metricLabel($"v", "MW").as("label"))
+      .as[String].collect().toSeq
+    assert(strs == Seq("12.5 MW", "0.0 MW"))
   }
 
   test("headline metrics incl. modal timestamp, smallest tie-break (ref dashboard.py:716-729)") {

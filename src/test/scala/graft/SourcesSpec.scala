@@ -124,6 +124,15 @@ class SourcesSpec extends AnyFunSuite {
       .option("retryDelayMs", 1)
       .load(dir.toString)
     assert(df.count() == 1) // 3rd attempt lands inside the attempt budget
+    // A second read of the same flaky directory gets its own injection
+    // scope — the failures (and the retry path) happen again, instead of
+    // the first read's exhausted counter silently disabling them.
+    val again = spark.read.format("batched-json")
+      .option("injectFailures", 2)
+      .option("maxAttempts", 2) // budget one short of the failures
+      .option("retryDelayMs", 1)
+      .load(dir.toString)
+    intercept[Exception](again.count())
   }
 
   test("DSv2 reader gives up after maxAttempts on a persistently failing batch (S3)") {
