@@ -246,6 +246,63 @@ object Dedup {
       .filter(col("cos_sim") >= 0.3)
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every vertex's label converges to the
+    * smallest id reachable from it, which is the canonical cluster id.
+    * This is the step a production dedup pipeline runs AFTER pair
+    * generation (d2/d4/d8b emit pairs; transitive duplicates A~B~C must
+    * collapse to ONE cluster before choosing a keeper, or the keeper
+    * choice flip-flops between overlapping pairs).
+    *
+    * Scale shape: each round is one equi-join (labels into the edge
+    * list) + one min-aggregation — fully distributed, nothing
+    * driver-side but the loop counter and a converged? count. Rounds =
+    * graph diameter, and near-dup clusters are shallow (a giant
+    * diameter-10⁶ duplicate chain would mean the corpus is one
+    * document); `maxIter` caps pathological inputs, converging early
+    * when a round changes no label. The persist/unpersist pair keeps
+    * each round's labels materialized exactly once (iterative lineage
+    * would otherwise re-run all previous rounds per action).
+    */
+  def connectedComponents(edges: DataFrame, src: String = "a",
+      dst: String = "b", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(src).as("a"), col(dst).as("b"))
+      .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = sym.join(labels, sym("a") === labels("id"))
+        .select(col("b").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val out = labels.select(col("id"), col("label"))
+    labels.unpersist()
+    out
+  }
+
+  /** d9 — dedup clusters: the d2 MinHash candidate pairs collapsed to
+    * transitive clusters; output is every clustered document with its
+    * canonical cluster id (= smallest doc_id in the cluster, which is
+    * also the keeper d1/d6 would choose).
+    */
+  def d9DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      d2MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+
   /** d6 — normalized dedup: the middle rung of the dedup ladder (exact
     * bytes → normalized text → near-dup). Keying on the whitespace/case
     * normalized fingerprint catches trivially-reformatted copies that d1
@@ -282,9 +339,35 @@ object Dedup {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "d8_embedding_lsh_neardup" -> d8EmbeddingLshNearDup,
-    "d8b_neardup_multiband" -> d8bNearDupMultiband)
+    "d8b_neardup_multiband" -> d8bNearDupMultiband,
+    "d9_dedup_clusters" -> d9DedupClusters)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** d2's oracle, shared: d9 wraps it in a recursive-CTE closure. */
+  private val d2OracleSql: String = {
+    val sigSql = (0 until NumHashes).map(j =>
+      s"list_min(list_transform(sh, x -> substr(md5('0:' || x) || md5('1:' || x), ${8 * j + 1}, 8)))")
+      .mkString("[", ",\n    ", "]")
+    val bandSql = (0 until NumBands).map(b =>
+      s"sig[${2 * b + 1}] || sig[${2 * b + 2}]").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(toks) >= 3),
+       |sigs AS (SELECT doc_id, $sigSql AS sig FROM sh),
+       |bands AS (SELECT doc_id, i - 1 AS band_idx, ($bandSql)[i] AS band_key
+       |          FROM sigs, generate_series(1, $NumBands) g(i)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |           AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(list_sum(list_transform(generate_series(1, $NumHashes),
+       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |    / $NumHashes, 3) AS est_jaccard
+       |FROM pairs
+       |JOIN sigs sa ON sa.doc_id = doc_a
+       |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -314,29 +397,22 @@ object Dedup {
          |  FROM h GROUP BY doc_id)
          |SELECT doc_id, $bits AS simhash64 FROM s""".stripMargin
     },
-    "d2_minhash_lsh" -> {
-      val sigSql = (0 until NumHashes).map(j =>
-        s"list_min(list_transform(sh, x -> substr(md5('0:' || x) || md5('1:' || x), ${8 * j + 1}, 8)))")
-        .mkString("[", ",\n    ", "]")
-      val bandSql = (0 until NumBands).map(b =>
-        s"sig[${2 * b + 1}] || sig[${2 * b + 2}]").mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(toks) >= 3),
-         |sigs AS (SELECT doc_id, $sigSql AS sig FROM sh),
-         |bands AS (SELECT doc_id, i - 1 AS band_idx, ($bandSql)[i] AS band_key
-         |          FROM sigs, generate_series(1, $NumBands) g(i)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |          FROM bands a JOIN bands b
-         |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |           AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(list_sum(list_transform(generate_series(1, $NumHashes),
-         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-         |    / $NumHashes, 3) AS est_jaccard
-         |FROM pairs
-         |JOIN sigs sa ON sa.doc_id = doc_a
-         |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin
-    },
+    "d2_minhash_lsh" -> d2OracleSql,
+    "d9_dedup_clusters" ->
+      // Independent formulation: transitive closure by recursive CTE
+      // (the oracle can afford closure materialization at oracle scale;
+      // the engine runs distributed label propagation instead), then the
+      // component id is the smallest reachable doc id.
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM ($d2OracleSql) dp),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |          UNION SELECT doc_b AS a, doc_a AS b FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
     "d3_simhash" -> {
       val sums = (1 to 16).map(i =>
         s"sum(CASE WHEN substr(h, $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s_$i")

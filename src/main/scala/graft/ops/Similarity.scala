@@ -248,7 +248,10 @@ object Similarity {
     * deployment feeds k-means centroids in — the operator is identical).
     */
   def s3IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = load(s, dir, "embeddings")
+    // spread: the corpus×centroid scoring is per-row compute above the
+    // scan; max_by/row_number are comparison-based (order-insensitive),
+    // so the round-robin is hash-safe.
+    val e = graft.Tables.spread(load(s, dir, "embeddings"))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centroids = e.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))

@@ -137,6 +137,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents ≡ union-find incl. chains needing multiple propagation rounds") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      verts.map(v => v -> find(v)).toMap
+    }
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L))
+      .suchThat { case (a, b) => a != b }
+    def one[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    // Random graphs + an adversarial descending path (19→18→…→0), whose
+    // min label must walk the whole chain — the multi-round case.
+    val cases = (0 until 3).map(i => one(Gen.listOfN(12, edgeGen), 500L + i)) :+
+      (19L to 1L by -1L).map(i => (i, i - 1)).toSeq
+    cases.foreach { edges =>
+      val got = graft.ops.Dedup.connectedComponents(
+          edges.toDF("a", "b"), maxIter = 32)
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(20, edges), s"components mismatch for $edges")
+    }
+  }
+
   test("ingest partitions the stream: validated + rejected == input") {
     val goodFac = Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.chooseNum(-10.0, 10.0))
       .map { case (id, p) =>
