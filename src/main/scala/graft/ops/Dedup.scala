@@ -260,9 +260,16 @@ object Dedup {
     * graph diameter, and near-dup clusters are shallow (a giant
     * diameter-10⁶ duplicate chain would mean the corpus is one
     * document); `maxIter` caps pathological inputs, converging early
-    * when a round changes no label. The persist/unpersist pair keeps
-    * each round's labels materialized exactly once (iterative lineage
-    * would otherwise re-run all previous rounds per action).
+    * when a round changes no label.
+    *
+    * Each round's labels are `localCheckpoint`ed, not merely persisted:
+    * an iterative plan nests the whole previous round's lineage, so by
+    * round 20 the logical plan is exponentially deep — planning time,
+    * plan-string rendering, and failure recovery all blow up (observed
+    * as an OOM from AQE's explain rendering). The checkpoint truncates
+    * lineage to the materialized partitions, keeping every round's plan
+    * constant-size; a production run on unreliable executors would use
+    * reliable `checkpoint()` (HDFS-backed) every few rounds instead.
     */
   def connectedComponents(edges: DataFrame, src: String = "a",
       dst: String = "b", maxIter: Int = 20): DataFrame = {
@@ -270,7 +277,7 @@ object Dedup {
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -278,7 +285,7 @@ object Dedup {
         .select(col("b").as("id"), col("label"))
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).count()
@@ -287,9 +294,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    val out = labels.select(col("id"), col("label"))
-    labels.unpersist()
-    out
+    labels.select(col("id"), col("label"))
   }
 
   /** d9 — dedup clusters: the d2 MinHash candidate pairs collapsed to

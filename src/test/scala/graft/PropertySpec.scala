@@ -137,6 +137,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multibandPairs ≡ in-memory banding mirror; identical vectors always pair") {
+    import graft.ops.Similarity
+    val bits = 12; val tables = 4; val cap = 1000
+    def mirrorPairs(vecs: Seq[(Long, Array[Double])]): Set[(Long, Long)] = {
+      val buckets = for {
+        (id, v) <- vecs; t <- 0 until tables
+      } yield ((t, (0 until bits).map(i =>
+        if (v(t * bits + i) > 0) 1L << i else 0L).sum), id)
+      buckets.groupBy(_._1).values
+        .filter(g => g.size >= 2 && g.size <= cap)
+        .flatMap { g =>
+          val ids = g.map(_._2)
+          for (a <- ids; b <- ids if a < b) yield (a, b)
+        }.toSet
+    }
+    def one[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val vecGen = Gen.listOfN(48, Gen.oneOf(-1.0, -0.25, 0.25, 1.0))
+    for (seedOff <- 0 until 3) {
+      val base = (0 until 10).map(i =>
+        (i.toLong, one(vecGen, 700L + 10 * seedOff + i).toArray))
+      // Clone vector 0 as id 99: identical vectors collide in EVERY
+      // table, so (0, 99) is a guaranteed pair — the recall floor that
+      // makes multiband blocking usable for exact-dup detection too.
+      val vecs = base :+ (99L, base.head._2.clone())
+      val got = Similarity.multibandPairs(
+          vecs.toDF("vec_id", "v"), "vec_id", "v", bits, tables, cap)
+        .select($"vec_id_a", $"vec_id_b").as[(Long, Long)].collect().toSet
+      assert(got == mirrorPairs(vecs), s"seed offset $seedOff")
+      assert(got.contains((0L, 99L)))
+    }
+  }
+
   test("connectedComponents ≡ union-find incl. chains needing multiple propagation rounds") {
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()
