@@ -41,6 +41,26 @@ class PipelineSpec extends AnyFunSuite {
     spark.read.json(Seq(s"""{"results":[$results]}""").toDS())
   }
 
+  test("dedup pipeline closure: pairs → clusters → keeper filter leaves no surviving pair") {
+    // The curation flow the dedup operators exist for, composed end to
+    // end on real fixture data: candidate pairs (d2) → transitive
+    // clusters (d9) → drop every clustered non-keeper → the surviving
+    // corpus generates ZERO candidate pairs. (Signatures are per-doc
+    // functions, so pairs over survivors = original pairs restricted to
+    // survivors, and each original pair lost at least one side.)
+    val dir = "/root/testdata/sf0.001"
+    val clusters = graft.ops.Dedup.d9DedupClusters(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+    val survivors = docs.join(
+      clusters.filter($"doc_id" =!= $"cluster_id").select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    assert(survivors.count() < docs.count(), "fixtures contain near-dups")
+    val pairs = graft.ops.Dedup.d2MinhashLsh(spark, dir)
+      .join(survivors.select($"doc_id".as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(survivors.select($"doc_id".as("doc_b")), Seq("doc_b"), "left_semi")
+    assert(pairs.count() == 0, "a candidate pair survived the keeper filter")
+  }
+
   test("batch ETL → melt → stream ingest → enrich → filter → windowed totals") {
     // ---- batch half (ref extractor.py) ----
     val power = metricJson(Seq(
