@@ -145,13 +145,19 @@ object Relational {
         col("cnt"))
   }
 
-  /** q11 — A11 exact interpolated percentiles (p50/p95) per group. */
+  /** q11 — A11 exact interpolated percentiles (p50/p95) per group.
+    * Rounded at 4 decimals, where the true value terminates (2-dp
+    * prices interpolated at fracs that are multiples of 0.05 → ≤4 dp):
+    * rounding at 2 dp lands exactly ON a x.xx5 boundary whenever the
+    * p50 pair differs by an odd cent, and the two engines' interpolation
+    * ulps then round opposite ways (hit at sf0.001, round 3).
+    */
   def q11Percentile(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
 
   /** q12 — O sort + limit top-k with a total order (ties broken by key). */
   def q12TopK(s: SparkSession, dir: String): DataFrame =
@@ -553,8 +559,8 @@ object Relational {
         |WHERE rn = 1""".stripMargin,
     "q11_percentile" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q12_topk" ->
       """SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
