@@ -46,13 +46,14 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Two measured runs, report the min — JIT noise at this scale is
-    // ±15% and the min is the reproducible figure. Spark's cache is
-    // cleared before every timed run so cached intermediates are measured
-    // cold. A failing query reports -1, never its elapsed-to-failure time
-    // (a regression must not read as a speedup).
+    // Three measured runs, report the min — run-to-run noise at this
+    // scale is ±10-15% (measured, round 3), larger than most real
+    // per-query deltas, and the min is the reproducible figure. Spark's
+    // cache is cleared before every timed run so cached intermediates
+    // are measured cold. A failing query reports -1, never its
+    // elapsed-to-failure time (a regression must not read as a speedup).
     val results = headline.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
