@@ -202,7 +202,32 @@ object TextAnalysis {
         size(slice(col("t"), col("s"), lit(ChunkSize))).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", slice(col("t"), col("s"), lit(ChunkSize))).as("chunk_text"))
 
+  /** t9 — within-document repetition stats (the Gopher-style duplicate
+    * word / duplicate n-gram signals used to drop low-quality docs):
+    * token and bigram cardinalities as exact integers. Ratios are left
+    * to the consumer — integer counts are the cross-engine-stable
+    * statement (a rounded ratio can land on a decimal tie). Narrow
+    * per-row transform, no shuffle; null text propagates null counts.
+    */
+  def t9Repetition(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nBi = greatest(size(col("t")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("t"), lit(1), nBi), slice(col("t"), lit(2), nBi),
+      (a, b) => concat(a, lit(" "), b))
+    load(s, dir, "documents")
+      .select(col("doc_id"), t.as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct_words"),
+        (size(col("t")) - size(array_distinct(col("t")))).cast("long")
+          .as("n_dup_words"),
+        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_repetition" -> t9Repetition,
     "t1_quality_score" -> t1QualityScore,
     "t2_token_count" -> t2TokenCount,
     "t3_lang_id" -> t3LangId,
@@ -216,6 +241,15 @@ object TextAnalysis {
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "t9_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+         |  CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_dup_words,
+         |  CAST(len(list_distinct(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n_distinct_bigrams
+         |FROM t""".stripMargin,
     "t1_quality_score" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,

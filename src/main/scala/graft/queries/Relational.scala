@@ -454,7 +454,86 @@ object Relational {
           .as("n_converted"))
   }
 
+  /** q41 — per-key top-k: highest-value orders within each priority class,
+    * rank ties broken by key for a total order. Spark 3.5+ plans a
+    * WindowGroupLimit below the shuffle, so each map task forwards at most
+    * k rows per group — the per-group sort never sees the full partition
+    * at 100 TB (asserted in PlanChecksSpec).
+    */
+  def q41TopKPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    load(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+  }
+
+  /** q42 — deterministic stratified sample: a fixed-size per-stratum draw
+    * ordered by md5 of the key, so every engine / run / partitioning picks
+    * the same rows (train-set curation: "25 docs per language"). Same
+    * WindowGroupLimit map-side cap as q41; the md5 order key costs one
+    * hash per row, no extra pass.
+    */
+  def q42StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    load(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 25)
+      .select(col("lang"), col("doc_id"))
+  }
+
+  /** q43 — running total per user over event time. Money is accumulated in
+    * integer cents (`floor(value*100)`): a cumulative double sum is
+    * evaluation-order-sensitive (DuckDB's segment-tree frames vs Spark's
+    * sequential accumulation), while integer addition is exact in any
+    * order — the only cross-engine-stable way to state a running sum.
+    */
+  def q43RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("running_cents", sum(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("running_cents"))
+  }
+
+  /** q44 — fixed-width histogram of order value: one hash aggregation,
+    * bins derived arithmetically (never a distinct-values pass), counts
+    * plus per-bin mass. The 100 TB histogram shape: map-side partials,
+    * bin cardinality bounded by the value domain, not the row count.
+    */
+  def q44Histogram(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("bin_total"))
+
+  /** q45 — ordered group concatenation (string_agg): nation roster per
+    * region as one delimited string. collect_list order is partition-
+    * nondeterministic, so the list is sorted before joining — the only
+    * stable statement of string_agg. Group width is dimension-bounded
+    * here; for unbounded groups cap with slice() before array_join.
+    */
+  def q45GroupConcat(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "nation")
+      .join(broadcast(load(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"),
+        count(lit(1)).cast("long").as("n_nations"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_topk_per_key" -> q41TopKPerKey,
+    "q42_stratified_sample" -> q42StratifiedSample,
+    "q43_running_total" -> q43RunningTotal,
+    "q44_histogram" -> q44Histogram,
+    "q45_group_concat" -> q45GroupConcat,
     "q33_lag_delta" -> q33LagDelta,
     "q35_approx_percentile" -> q35ApproxPercentile,
     "q36_dq_profile" -> q36DqProfile,
@@ -687,6 +766,38 @@ object Relational {
         |      FROM events
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |WHERE prev_ts IS NOT NULL""".stripMargin,
+    "q41_topk_per_key" ->
+      """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
+        |  round(o_totalprice, 2) AS totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |      FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+    "q42_stratified_sample" ->
+      """SELECT lang, doc_id
+        |FROM (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |      FROM documents) t
+        |WHERE rk <= 25""".stripMargin,
+    "q43_running_total" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_cents
+        |FROM events""".stripMargin,
+    "q44_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS bin_total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q45_group_concat" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name ASC) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q34_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,

@@ -45,6 +45,20 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n${p.take(800)}")
   }
 
+  test("q41/q42: rank filter plans a WindowGroupLimit below the shuffle " +
+    "(map tasks forward at most k rows per group — never the full partition)") {
+    for (q <- Seq("q41_topk_per_key", "q42_stratified_sample")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost the group-limit pushdown:\n${p.take(800)}")
+    }
+  }
+
+  test("q43: running total is one shuffle + one window — no extra passes") {
+    val p = plan("q43_running_total")
+    assert("- Exchange".r.findAllIn(p).length == 1, p.take(800))
+    assert("- Window".r.findAllIn(p).length == 1, p.take(800))
+  }
+
   test("s1: query set is broadcast against the corpus scan") {
     val p = plan("s1_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
