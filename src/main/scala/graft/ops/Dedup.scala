@@ -167,7 +167,18 @@ object Dedup {
       // shingle), so the row sets are identical.
       .select(col("doc_id"), col("source"), size(col("sh_arr")).as("n_sh"),
         explode_outer(col("sh_arr")).as("sh"))
-    val postings = sh.groupBy(col("source"), col("sh"))
+      // Shingle identity by 60-bit md5 prefix (15 hex chars — the widest
+      // that can't overflow a signed long in either engine): the index
+      // shuffle then carries 8-byte keys instead of ~20-byte phrase
+      // strings. Collisions would merge two shingles' postings, but at
+      // 2^60 key space even a 10^8-shingle block expects ~0.004 of one —
+      // and the oracle computes the identical key, so both engines see
+      // the same candidates regardless. Hashed AFTER the explode: Spark
+      // does no CSE across array lambdas, so hashing inside the shingle
+      // transform would re-run per reference (4× measured on d2).
+      .select(col("doc_id"), col("source"), col("n_sh"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shk"))
+    val postings = sh.groupBy(col("source"), col("shk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
       .filter(size(col("docs")).between(2, MaxPostings))
     postings
@@ -434,8 +445,11 @@ object Dedup {
     },
     "d4_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id, source, unnest($shinglesSql) AS sh
-         |       FROM t WHERE len(toks) >= 3),
+         |shx AS (SELECT doc_id, source, unnest($shinglesSql) AS sh0
+         |        FROM t WHERE len(toks) >= 3),
+         |sh AS (SELECT doc_id, source,
+         |         CAST(('0x' || substr(md5(sh0), 1, 15)) AS BIGINT) AS sh
+         |       FROM shx),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |capped AS (SELECT source, sh FROM sh GROUP BY source, sh
          |           HAVING count(*) BETWEEN 2 AND $MaxPostings),
