@@ -232,6 +232,37 @@ object Similarity {
       .select(col("query_id"), col("best.neighbor_id"), col("best.cos_sim"))
   }
 
+  private[ops] val RerankK = 3
+
+  /** s6 — ANN with exact re-rank: the production two-stage retrieval
+    * shape. Stage 1 (recall): capped multiband LSH proposes candidates —
+    * cost bounded linear by the population cap. Stage 2 (precision):
+    * exact cosine over candidates only, top-k per query by a rank window
+    * (WindowGroupLimit keeps the per-group sort map-bounded). A pair
+    * colliding in several band tables scores identically, but k>1 means
+    * duplicates would occupy ranks — so candidates dedup on
+    * (query, neighbor) BEFORE ranking, a shuffle that carries an 8-byte
+    * score rather than two vectors.
+    */
+  def s6AnnRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val c = cappedBands(e, "vec_id", "v")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    c.as("a")
+      .join(c.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RerankK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_sim"))
+  }
+
   private val NCentroids = 8
   private val IvfQueries = 5 // vec_id in [NCentroids, NCentroids+IvfQueries)
   private val IvfTopK = 3
@@ -390,6 +421,7 @@ object Similarity {
     "s1_knn_cosine" -> s1KnnCosine,
     "s2_ann_lsh" -> s2AnnLsh,
     "s2b_ann_multiband" -> s2bAnnMultiband,
+    "s6_ann_rerank" -> s6AnnRerank,
     "s3_ivf_ann" -> s3IvfAnn,
     "s4_pq_codes" -> s4PqCodes,
     "s5_pq_search" -> s5PqSearch)
@@ -444,6 +476,20 @@ object Similarity {
          |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
          |  FROM cand)
          |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn = 1""".stripMargin,
+    "s6_ann_rerank" ->
+      s"""WITH $bandedCteSql,
+         |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |  FROM banded a
+         |  JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id <> b.vec_id
+         |  JOIN capped c ON c.tbl = a.tbl AND c.bucket = a.bucket),
+         |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
+         |FROM ranked WHERE rn <= $RerankK""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |           FROM embeddings),

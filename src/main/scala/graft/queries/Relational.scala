@@ -528,7 +528,51 @@ object Relational {
         .as("nations"),
         count(lit(1)).cast("long").as("n_nations"))
 
+  /** q46 — statistical aggregates (stddev, correlation) stated so they
+    * are exact across engines AND across partition-merge orders: the
+    * built-in `stddev`/`corr` accumulate doubles whose partial-merge
+    * order varies run to run (Welford merges), so their last ulps are
+    * not reproducible. Here every sum is over exact integer cents in
+    * DECIMAL (overflow-safe, order-independent), and the closed-form
+    * variance/correlation is one fixed double expression over those
+    * exact sums — bit-identical on any engine, any partitioning.
+    * Map-side partial aggregation still applies (decimal sums merge).
+    */
+  def q46Stats(s: SparkSession, dir: String): DataFrame = {
+    val qc = (col("l_quantity") * 100).cast("decimal(18,0)")
+    val pc = (col("l_extendedprice") * 100).cast("decimal(18,0)")
+    val n = count(lit(1))
+    val d = (c: Column) => c.cast("double")
+    val (sq, sp) = (sum(qc), sum(pc))
+    val (sq2, sp2, sqp) = (sum(qc * qc), sum(pc * pc), sum(qc * pc))
+    load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        n.as("n"),
+        round(sqrt((d(sp2) - d(sp) * d(sp) / d(n)) / (d(n) - lit(1.0))) / 100, 4)
+          .as("stddev_price"),
+        round((d(n) * d(sqp) - d(sq) * d(sp)) /
+          (sqrt(d(n) * d(sq2) - d(sq) * d(sq)) *
+            sqrt(d(n) * d(sp2) - d(sp) * d(sp))), 6).as("corr_qty_price"))
+  }
+
+  /** q47 — §2.7 set-op completion: INTERSECT / EXCEPT over the
+    * customer-nation and supplier-nation key sets, tagged and unioned.
+    * Distinct inputs keep each set op one shuffle on a pruned column.
+    */
+  def q47IntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val cust = load(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val supp = load(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    cust.intersect(supp).withColumn("which", lit("both"))
+      .unionByName(cust.except(supp).withColumn("which", lit("cust_only")))
+      .unionByName(supp.except(cust).withColumn("which", lit("supp_only")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_stats" -> q46Stats,
+    "q47_intersect_except" -> q47IntersectExcept,
     "q41_topk_per_key" -> q41TopKPerKey,
     "q42_stratified_sample" -> q42StratifiedSample,
     "q43_running_total" -> q43RunningTotal,
@@ -766,6 +810,36 @@ object Relational {
         |      FROM events
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |WHERE prev_ts IS NOT NULL""".stripMargin,
+    "q46_stats" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(l_quantity * 100 AS DECIMAL(18,0)) AS qc,
+        |    CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS pc
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(qc) AS DOUBLE) AS sq, CAST(sum(pc) AS DOUBLE) AS sp,
+        |    CAST(sum(qc * qc) AS DOUBLE) AS sq2,
+        |    CAST(sum(pc * pc) AS DOUBLE) AS sp2,
+        |    CAST(sum(qc * pc) AS DOUBLE) AS sqp
+        |  FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(sqrt((sp2 - sp * sp / CAST(n AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) - 1.0)) / 100, 4) AS stddev_price,
+        |  round((CAST(n AS DOUBLE) * sqp - sq * sp)
+        |        / (sqrt(CAST(n AS DOUBLE) * sq2 - sq * sq)
+        |           * sqrt(CAST(n AS DOUBLE) * sp2 - sp * sp)), 6)
+        |    AS corr_qty_price
+        |FROM a""".stripMargin,
+    "q47_intersect_except" ->
+      """WITH cust AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |supp AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS which
+        |  FROM (SELECT nationkey FROM cust INTERSECT SELECT nationkey FROM supp) t
+        |UNION ALL
+        |SELECT nationkey, 'cust_only' AS which
+        |  FROM (SELECT nationkey FROM cust EXCEPT SELECT nationkey FROM supp) t
+        |UNION ALL
+        |SELECT nationkey, 'supp_only' AS which
+        |  FROM (SELECT nationkey FROM supp EXCEPT SELECT nationkey FROM cust) t""".stripMargin,
     "q41_topk_per_key" ->
       """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
         |  round(o_totalprice, 2) AS totalprice
