@@ -570,7 +570,49 @@ object Relational {
       .unionByName(supp.except(cust).withColumn("which", lit("supp_only")))
   }
 
+  /** q48 — per-group feature normalization (z-score of document length
+    * within language): group stats from exact integer sums (same
+    * order-independence argument as q46 — a windowed double mean is not
+    * merge-order-reproducible), broadcast-joined back onto the rows.
+    * Two passes over a 100 TB corpus is the honest cost of
+    * normalize-by-group; the stats side is a few rows per group.
+    */
+  def q48Zscore(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val nc = col("n_chars").cast("decimal(18,0)")
+    val stats = load(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(nc).as("s1"), sum(nc * nc).as("s2"))
+      .select(col("lang"),
+        (d(col("s1")) / d(col("n"))).as("mean_chars"),
+        sqrt((d(col("s2")) - d(col("s1")) * d(col("s1")) / d(col("n"))) /
+          (d(col("n")) - lit(1.0))).as("sd_chars"))
+    load(s, dir, "documents")
+      .join(broadcast(stats), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        round((d(col("n_chars")) - col("mean_chars")) / col("sd_chars"), 6)
+          .as("z_chars"))
+  }
+
+  /** q49 — full-outer merge of two aggregate legs (per-nation customer
+    * and supplier counts): USING-style key coalescing, absent side
+    * zero-filled. Both legs pre-aggregate before the join, so the join
+    * cardinality is the key domain, not the fact-row count.
+    */
+  def q49FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = load(s, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nationkey"), "full_outer")
+      .na.fill(0L, Seq("n_cust", "n_supp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_zscore" -> q48Zscore,
+    "q49_full_outer" -> q49FullOuter,
     "q46_stats" -> q46Stats,
     "q47_intersect_except" -> q47IntersectExcept,
     "q41_topk_per_key" -> q41TopKPerKey,
@@ -810,6 +852,27 @@ object Relational {
         |      FROM events
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |WHERE prev_ts IS NOT NULL""".stripMargin,
+    "q48_zscore" ->
+      """WITH a AS (SELECT lang, count(*) AS n,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(n_chars AS DECIMAL(18,0))
+        |             * CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s2
+        |  FROM documents GROUP BY lang),
+        |st AS (SELECT lang, s1 / CAST(n AS DOUBLE) AS mean_chars,
+        |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) - 1.0)) AS sd_chars
+        |  FROM a)
+        |SELECT doc_id, d.lang,
+        |  round((CAST(n_chars AS DOUBLE) - mean_chars) / sd_chars, 6) AS z_chars
+        |FROM documents d JOIN st ON d.lang = st.lang""".stripMargin,
+    "q49_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL JOIN s ON c.nationkey = s.nationkey""".stripMargin,
     "q46_stats" ->
       """WITH c AS (SELECT l_returnflag,
         |    CAST(l_quantity * 100 AS DECIMAL(18,0)) AS qc,
