@@ -104,9 +104,7 @@ object TextAnalysis {
     graft.Tables.spread(load(s, dir, "documents"))
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))))
+      .select(col("doc_id"), explode(array_distinct(bigrams(col("t"))))
         .as("bigram"))
       .groupBy("bigram")
       // (doc_id, bigram) is already unique (array_distinct per doc), so a
@@ -202,6 +200,19 @@ object TextAnalysis {
         size(slice(col("t"), col("s"), lit(ChunkSize))).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", slice(col("t"), col("s"), lit(ChunkSize))).as("chunk_text"))
 
+  /** Adjacent-token bigrams ("wᵢ wᵢ₊₁") in document order — the ONE
+    * formulation shared by t5 and t9 (and mirrored once in
+    * [[bigramsSql]]): separator or empty/null behavior changes in one
+    * place, not four. Empty below 2 tokens; null for a null array
+    * (null text), matching the oracle's NULL list propagation.
+    */
+  private[ops] def bigrams(t: Column): Column =
+    when(t.isNull, lit(null).cast("array<string>"))
+      .when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** t9 — within-document repetition stats (the Gopher-style duplicate
     * word / duplicate n-gram signals used to drop low-quality docs):
     * token and bigram cardinalities as exact integers. Ratios are left
@@ -211,10 +222,6 @@ object TextAnalysis {
     */
   def t9Repetition(s: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
-    val nBi = greatest(size(col("t")) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(col("t"), lit(1), nBi), slice(col("t"), lit(2), nBi),
-      (a, b) => concat(a, lit(" "), b))
     load(s, dir, "documents")
       .select(col("doc_id"), t.as("t"))
       .select(
@@ -223,7 +230,8 @@ object TextAnalysis {
         size(array_distinct(col("t"))).cast("long").as("n_distinct_words"),
         (size(col("t")) - size(array_distinct(col("t")))).cast("long")
           .as("n_dup_words"),
-        size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+        size(array_distinct(bigrams(col("t")))).cast("long")
+          .as("n_distinct_bigrams"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,6 +248,13 @@ object TextAnalysis {
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Oracle-side mirror of [[bigrams]] over a token-list column `arr`.
+    * `range` excludes its stop (≡ generate_series to len-1), is empty
+    * below 2 tokens, and propagates a NULL list for NULL input.
+    */
+  private def bigramsSql(arr: String): String =
+    s"list_transform(range(1, len($arr)), i -> $arr[i] || ' ' || $arr[i+1])"
+
   val oracle: Map[String, String] = Map(
     "t9_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
@@ -247,8 +262,8 @@ object TextAnalysis {
          |  CAST(len(toks) AS BIGINT) AS n_words,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
          |  CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_dup_words,
-         |  CAST(len(list_distinct(list_transform(range(1, len(toks)),
-         |    i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n_distinct_bigrams
+         |  CAST(len(list_distinct(${bigramsSql("toks")})) AS BIGINT)
+         |    AS n_distinct_bigrams
          |FROM t""".stripMargin,
     "t1_quality_score" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
@@ -334,8 +349,7 @@ object TextAnalysis {
     "t5_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,
-         |         unnest(list_distinct(list_transform(generate_series(1, len(t) - 1),
-         |           i -> t[i] || ' ' || t[i+1]))) AS bigram
+         |         unnest(list_distinct(${bigramsSql("t")})) AS bigram
          |       FROM t WHERE len(t) >= 2)
          |SELECT bigram, count(*) AS doc_freq
          |FROM bg GROUP BY bigram

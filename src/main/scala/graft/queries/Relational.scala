@@ -528,6 +528,22 @@ object Relational {
         .as("nations"),
         count(lit(1)).cast("long").as("n_nations"))
 
+  private val toD = (c: Column) => c.cast("double")
+
+  /** Sample standard deviation from exact power sums (n, Σx, Σx²) —
+    * shared by q46/q48 and mirrored ONCE on the oracle side by
+    * [[sdOfSumsSql]], because cross-engine bit-identity depends on the
+    * exact expression shape. NULL (on both engines, by the same guard)
+    * when n < 2 or the fp-rounded variance is non-positive: without it a
+    * constant group gives sqrt of a tiny NEGATIVE double — Spark NaN vs
+    * a DuckDB out-of-range error — and a single-row group divides by
+    * zero — Spark NaN vs DuckDB NULL.
+    */
+  private def sdOfSums(n: Column, s1: Column, s2: Column): Column = {
+    val varNum = toD(s2) - toD(s1) * toD(s1) / toD(n)
+    when(n > 1 && varNum > 0, sqrt(varNum / (toD(n) - lit(1.0))))
+  }
+
   /** q46 — statistical aggregates (stddev, correlation) stated so they
     * are exact across engines AND across partition-merge orders: the
     * built-in `stddev`/`corr` accumulate doubles whose partial-merge
@@ -537,23 +553,26 @@ object Relational {
     * variance/correlation is one fixed double expression over those
     * exact sums — bit-identical on any engine, any partitioning.
     * Map-side partial aggregation still applies (decimal sums merge).
+    * Degenerate groups (single row, zero variance) yield NULL on both
+    * engines ([[sdOfSums]] and the matching correlation guard).
     */
   def q46Stats(s: SparkSession, dir: String): DataFrame = {
     val qc = (col("l_quantity") * 100).cast("decimal(18,0)")
     val pc = (col("l_extendedprice") * 100).cast("decimal(18,0)")
     val n = count(lit(1))
-    val d = (c: Column) => c.cast("double")
+    val d = toD
     val (sq, sp) = (sum(qc), sum(pc))
     val (sq2, sp2, sqp) = (sum(qc * qc), sum(pc * pc), sum(qc * pc))
+    val vq = d(n) * d(sq2) - d(sq) * d(sq)
+    val vp = d(n) * d(sp2) - d(sp) * d(sp)
     load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         n.as("n"),
-        round(sqrt((d(sp2) - d(sp) * d(sp) / d(n)) / (d(n) - lit(1.0))) / 100, 4)
-          .as("stddev_price"),
-        round((d(n) * d(sqp) - d(sq) * d(sp)) /
-          (sqrt(d(n) * d(sq2) - d(sq) * d(sq)) *
-            sqrt(d(n) * d(sp2) - d(sp) * d(sp))), 6).as("corr_qty_price"))
+        round(sdOfSums(n, sp, sp2) / 100, 4).as("stddev_price"),
+        when(vq > 0 && vp > 0,
+          round((d(n) * d(sqp) - d(sq) * d(sp)) / (sqrt(vq) * sqrt(vp)), 6))
+          .as("corr_qty_price"))
   }
 
   /** q47 — §2.7 set-op completion: INTERSECT / EXCEPT over the
@@ -578,19 +597,19 @@ object Relational {
     * normalize-by-group; the stats side is a few rows per group.
     */
   def q48Zscore(s: SparkSession, dir: String): DataFrame = {
-    val d = (c: Column) => c.cast("double")
     val nc = col("n_chars").cast("decimal(18,0)")
     val stats = load(s, dir, "documents")
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum(nc).as("s1"), sum(nc * nc).as("s2"))
       .select(col("lang"),
-        (d(col("s1")) / d(col("n"))).as("mean_chars"),
-        sqrt((d(col("s2")) - d(col("s1")) * d(col("s1")) / d(col("n"))) /
-          (d(col("n")) - lit(1.0))).as("sd_chars"))
+        (toD(col("s1")) / toD(col("n"))).as("mean_chars"),
+        // NULL sd for a degenerate stratum (one doc / constant length)
+        // → NULL z on both engines, never NaN (see sdOfSums).
+        sdOfSums(col("n"), col("s1"), col("s2")).as("sd_chars"))
     load(s, dir, "documents")
       .join(broadcast(stats), Seq("lang"))
       .select(col("doc_id"), col("lang"),
-        round((d(col("n_chars")) - col("mean_chars")) / col("sd_chars"), 6)
+        round((toD(col("n_chars")) - col("mean_chars")) / col("sd_chars"), 6)
           .as("z_chars"))
   }
 
@@ -656,6 +675,15 @@ object Relational {
     "q26_exists_flag" -> q26ExistsFlag,
     "q27_avg_guard" -> q27AvgGuard,
     "q28_time_horizon" -> q28TimeHorizon)
+
+  /** Oracle-side mirror of [[sdOfSums]]: same expression shape, same
+    * degenerate-group guard, over double-cast power-sum columns.
+    */
+  private def sdOfSumsSql(n: String, s1: String, s2: String): String = {
+    val nD = s"CAST($n AS DOUBLE)"
+    s"CASE WHEN $n > 1 AND ($s2 - $s1 * $s1 / $nD) > 0 " +
+      s"THEN sqrt(($s2 - $s1 * $s1 / $nD) / ($nD - 1.0)) END"
+  }
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -853,14 +881,13 @@ object Relational {
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |WHERE prev_ts IS NOT NULL""".stripMargin,
     "q48_zscore" ->
-      """WITH a AS (SELECT lang, count(*) AS n,
+      s"""WITH a AS (SELECT lang, count(*) AS n,
         |    CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s1,
         |    CAST(sum(CAST(n_chars AS DECIMAL(18,0))
         |             * CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s2
         |  FROM documents GROUP BY lang),
         |st AS (SELECT lang, s1 / CAST(n AS DOUBLE) AS mean_chars,
-        |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
-        |         / (CAST(n AS DOUBLE) - 1.0)) AS sd_chars
+        |    ${sdOfSumsSql("n", "s1", "s2")} AS sd_chars
         |  FROM a)
         |SELECT doc_id, d.lang,
         |  round((CAST(n_chars AS DOUBLE) - mean_chars) / sd_chars, 6) AS z_chars
@@ -874,7 +901,7 @@ object Relational {
         |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
         |FROM c FULL JOIN s ON c.nationkey = s.nationkey""".stripMargin,
     "q46_stats" ->
-      """WITH c AS (SELECT l_returnflag,
+      s"""WITH c AS (SELECT l_returnflag,
         |    CAST(l_quantity * 100 AS DECIMAL(18,0)) AS qc,
         |    CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS pc
         |  FROM lineitem),
@@ -885,11 +912,12 @@ object Relational {
         |    CAST(sum(qc * pc) AS DOUBLE) AS sqp
         |  FROM c GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round(sqrt((sp2 - sp * sp / CAST(n AS DOUBLE))
-        |             / (CAST(n AS DOUBLE) - 1.0)) / 100, 4) AS stddev_price,
-        |  round((CAST(n AS DOUBLE) * sqp - sq * sp)
+        |  round(${sdOfSumsSql("n", "sp", "sp2")} / 100, 4) AS stddev_price,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sq2 - sq * sq) > 0
+        |        AND (CAST(n AS DOUBLE) * sp2 - sp * sp) > 0
+        |       THEN round((CAST(n AS DOUBLE) * sqp - sq * sp)
         |        / (sqrt(CAST(n AS DOUBLE) * sq2 - sq * sq)
-        |           * sqrt(CAST(n AS DOUBLE) * sp2 - sp * sp)), 6)
+        |           * sqrt(CAST(n AS DOUBLE) * sp2 - sp * sp)), 6) END
         |    AS corr_qty_price
         |FROM a""".stripMargin,
     "q47_intersect_except" ->

@@ -42,12 +42,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("q43: final running value per user equals the per-user cents sum") {
     import org.apache.spark.sql.functions._
-    val last = SparkEntry.queries("q43_running_total")(spark, dir)
-      .groupBy("user_id").agg(max_by(col("running_cents"), col("event_id")).as("final"))
-    // event_id strictly increases within the fixture's per-user order —
-    // assert that premise too (ties would make max_by ambiguous).
     val ev = Tables.load(spark, dir, "events")
-    assert(ev.groupBy("user_id", "event_id").count().filter(col("count") > 1).count() == 0)
+    // The window orders by (ts, event_id), so "final" must be selected by
+    // that SAME order — picking max event_id would silently assume ids
+    // increase with time, which a regenerated fixture need not satisfy.
+    val lastId = ev.groupBy("user_id")
+      .agg(max_by(col("event_id"), struct(col("ts"), col("event_id")))
+        .as("last_event"))
+    val last = SparkEntry.queries("q43_running_total")(spark, dir)
+      .join(lastId, "user_id")
+      .filter(col("event_id") === col("last_event"))
+      .select(col("user_id"), col("running_cents").as("final"))
     val direct = ev.groupBy("user_id")
       .agg(sum(floor(col("value") * 100).cast("long")).as("expected"))
     assert(last.join(direct, "user_id")
@@ -93,6 +98,29 @@ class QueriesSmokeSpec extends AnyFunSuite {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim")))
     val argmax = rows(SparkEntry.queries("s2b_ann_multiband")(spark, dir))
     assert(top1 == argmax)
+  }
+
+  test("q48: degenerate strata (single doc / constant length) yield NULL z, never NaN") {
+    // The fixtures have no degenerate language groups, so the oracle gate
+    // can't see this path. Unguarded, a single-row group divides by zero
+    // (Spark NaN vs DuckDB NULL) and a constant group can sqrt a tiny
+    // negative variance (Spark NaN vs a DuckDB hard error) — sdOfSums
+    // guards both identically on both engines; pin the Spark half here.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("degenstrata").toString
+    Seq((1L, "a", "solo", "web", 40L),
+        (2L, "b", "const", "web", 7L), (3L, "c", "const", "web", 7L),
+        (4L, "d", "ok", "web", 5L), (5L, "e", "ok", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val z = SparkEntry.queries("q48_zscore")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(z(1L).isEmpty && z(2L).isEmpty && z(3L).isEmpty,
+      s"degenerate strata must be NULL: $z")
+    assert(z(4L).exists(v => !v.isNaN) && z(5L).exists(v => !v.isNaN))
+    assert(z(4L).contains(-z(5L).get), "two-point stratum must be symmetric")
   }
 
   test("q35: GK percentile sketch stays within 1% of exact percentiles") {
