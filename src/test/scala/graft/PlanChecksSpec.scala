@@ -59,6 +59,23 @@ class PlanChecksSpec extends AnyFunSuite {
     assert("- Window".r.findAllIn(p).length == 1, p.take(800))
   }
 
+  test("q46: exact-sum stats stay one partial+final aggregation — one shuffle") {
+    val p = plan("q46_stats")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+    assert("- Exchange".r.findAllIn(p).length == 1, "expected exactly one shuffle")
+  }
+
+  test("q48: group stats broadcast back onto the rows — no sort-merge join") {
+    val p = plan("q48_zscore")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "stats join fell back to SMJ")
+  }
+
+  test("s6: re-rank window plans a WindowGroupLimit below the shuffle") {
+    val p = plan("s6_ann_rerank")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
   test("s1: query set is broadcast against the corpus scan") {
     val p = plan("s1_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
