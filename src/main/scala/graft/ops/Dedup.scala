@@ -330,6 +330,30 @@ object Dedup {
         .as("norm_fingerprint"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** d10 — incremental dedup: which documents of an incoming batch
+    * (source = 'src0' stands in for the delta) are new to the corpus —
+    * within-batch deduped (keeper = min id per normalized fingerprint,
+    * same normalization as d6) AND absent from the existing corpus.
+    * Stated as ONE union-tagged aggregation keyed by fingerprint — one
+    * scan, one shuffle, map-side partials — NOT an anti-join: at 100 TB
+    * the corpus is the huge side, and a left_anti would shuffle it as
+    * the build/stream side anyway without the single-pass agg's partial
+    * reduction (an all-corpus fingerprint set never materializes
+    * anywhere).
+    */
+  def d10IncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16)
+          .as("fp"),
+        (col("source") === "src0").as("incoming"))
+      .groupBy("fp")
+      .agg(
+        max(when(!col("incoming"), 1).otherwise(0)).as("in_corpus"),
+        min(when(col("incoming"), col("doc_id"))).as("keeper"))
+      .filter(col("in_corpus") === 0 && col("keeper").isNotNull)
+      .select(col("keeper").as("doc_id"), col("fp"))
+
   /** d7 — 64-bit SimHash via the custom one-pass mergeable aggregate
     * ([[graft.functions.SimHash64Agg]]): same explode as d3, but the
     * per-document signature folds in a single `TypedImperativeAggregate`
@@ -356,7 +380,8 @@ object Dedup {
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "d8_embedding_lsh_neardup" -> d8EmbeddingLshNearDup,
     "d8b_neardup_multiband" -> d8bNearDupMultiband,
-    "d9_dedup_clusters" -> d9DedupClusters)
+    "d9_dedup_clusters" -> d9DedupClusters,
+    "d10_incremental_dedup" -> d10IncrementalDedup)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -395,6 +420,15 @@ object Dedup {
         |    AS norm_fingerprint,
         |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "d10_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp,
+        |    source = 'src0' AS incoming
+        |  FROM documents)
+        |SELECT min(CASE WHEN incoming THEN doc_id END) AS doc_id, fp
+        |FROM t GROUP BY fp
+        |HAVING max(CASE WHEN NOT incoming THEN 1 ELSE 0 END) = 0
+        |   AND min(CASE WHEN incoming THEN doc_id END) IS NOT NULL""".stripMargin,
     "d7_simhash64" -> {
       val sums = (1 to 64).map(i =>
         s"sum(CASE WHEN substr(h, $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s_$i")

@@ -629,7 +629,23 @@ object Relational {
       .na.fill(0L, Seq("n_cust", "n_supp"))
   }
 
+  /** q50 — explicit GROUPING SETS: per-flag and per-status aggregates in
+    * one pass (a set selection rollup/cube can't express), disambiguated
+    * by grouping() markers like q34. One Expand + one aggregation —
+    * never two scans unioned.
+    */
+  def q50GroupingSets(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_grouping_sets" -> q50GroupingSets,
     "q48_zscore" -> q48Zscore,
     "q49_full_outer" -> q49FullOuter,
     "q46_stats" -> q46Stats,
@@ -880,6 +896,13 @@ object Relational {
         |      FROM events
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |WHERE prev_ts IS NOT NULL""".stripMargin,
+    "q50_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q48_zscore" ->
       s"""WITH a AS (SELECT lang, count(*) AS n,
         |    CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s1,

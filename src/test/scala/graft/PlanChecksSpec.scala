@@ -76,6 +76,21 @@ class PlanChecksSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("d10: incremental dedup is one scan + one shuffle — no anti-join of the corpus") {
+    val p = plan("d10_incremental_dedup")
+    // "- Scan" counts tree nodes only (formatted mode repeats each node
+    // in the details section).
+    assert("- Scan parquet".r.findAllIn(p).length == 1, p.take(800))
+    assert("- Exchange".r.findAllIn(p).length == 1, p.take(800))
+    assert(!p.contains("Join"), "tagged aggregation replaced by a join")
+  }
+
+  test("q50: grouping sets plan one Expand + one aggregation exchange") {
+    val p = plan("q50_grouping_sets")
+    assert(p.contains("Expand"), p.take(800))
+    assert("- Exchange".r.findAllIn(p).length == 1, p.take(800))
+  }
+
   test("s1: query set is broadcast against the corpus scan") {
     val p = plan("s1_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
