@@ -324,10 +324,20 @@ object Dedup {
     * normalized fingerprint catches trivially-reformatted copies that d1
     * misses; same one-aggregation cost.
     */
+  /** Whitespace/case-normalized 16-hex content fingerprint — the ONE
+    * formulation shared by d6 and d10 (mirrored once by [[normFpSql]]):
+    * d10's "absent from the corpus" premise is only sound while its
+    * fingerprint is bit-identical to d6's.
+    */
+  private def normFp(text: Column): Column =
+    substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
+
+  private val normFpSql =
+    "substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)"
+
   def d6NormDedup(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
-      .groupBy(substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16)
-        .as("norm_fingerprint"))
+      .groupBy(normFp(col("text")).as("norm_fingerprint"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
   /** d10 — incremental dedup: which documents of an incoming batch
@@ -343,9 +353,7 @@ object Dedup {
     */
   def d10IncrementalDedup(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
-      .select(col("doc_id"),
-        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16)
-          .as("fp"),
+      .select(col("doc_id"), normFp(col("text")).as("fp"),
         (col("source") === "src0").as("incoming"))
       .groupBy("fp")
       .agg(
@@ -416,13 +424,11 @@ object Dedup {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "d6_norm_dedup" ->
-      """SELECT substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
-        |    AS norm_fingerprint,
+      s"""SELECT $normFpSql AS norm_fingerprint,
         |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "d10_incremental_dedup" ->
-      """WITH t AS (SELECT doc_id,
-        |    substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16) AS fp,
+      s"""WITH t AS (SELECT doc_id, $normFpSql AS fp,
         |    source = 'src0' AS incoming
         |  FROM documents)
         |SELECT min(CASE WHEN incoming THEN doc_id END) AS doc_id, fp

@@ -123,6 +123,27 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(z(4L).contains(-z(5L).get), "two-point stratum must be symmetric")
   }
 
+  test("d10: corpus exclusion and within-batch keeper dedup (fixture-invisible paths)") {
+    // The driver fixtures contain no cross-source or within-batch
+    // duplicate fingerprints, so the oracle gate passes d10 vacuously —
+    // pin the two properties it exists for on a purpose-built corpus.
+    // Normalization must match d6's (case/whitespace folding).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("incrdedup").toString
+    Seq(
+      (1L, "Already   known\ttext", "en", "src5", 18L), // corpus
+      (2L, "already known text", "en", "src0", 18L),    // dup of corpus → excluded
+      (3L, "fresh text a", "en", "src0", 12L),          // new, duplicated in batch
+      (4L, "FRESH  text a", "en", "src0", 12L),         //   → keeper = min id (3)
+      (5L, "corpus only", "en", "src7", 11L))           // not incoming → ignored
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("d10_incremental_dedup")(spark, tmp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(3L), s"expected only the batch keeper of the novel text, got $out")
+  }
+
   test("q35: GK percentile sketch stays within 1% of exact percentiles") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("q35_approx_percentile")(spark, dir)
