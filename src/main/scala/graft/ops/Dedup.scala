@@ -362,6 +362,26 @@ object Dedup {
       .filter(col("in_corpus") === 0 && col("keeper").isNotNull)
       .select(col("keeper").as("doc_id"), col("fp"))
 
+  /** Streaming counterpart of [[d10IncrementalDedup]]: novelty of an
+    * incoming document STREAM against a static corpus. Per micro-batch a
+    * stream-static left-anti join drops known fingerprints (the corpus
+    * side is re-broadcast per batch — refresh it out-of-band like
+    * [[graft.stream.Ingest.enrichWithRefresh]]); `dropDuplicates` state
+    * then suppresses re-arrivals ACROSS batches (at-least-once delivery,
+    * same doc in two batches). State grows with distinct novel
+    * fingerprints — bound it upstream with a watermark +
+    * `dropDuplicatesWithinWatermark` when novelty only matters within a
+    * time horizon, or periodically fold emitted fingerprints back into
+    * the corpus side and restart (the batch/stream split d10 defines).
+    */
+  def incrementalDedupStream(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val fps = corpus.select(normFp(col("text")).as("fp")).distinct()
+    incoming
+      .withColumn("fp", normFp(col("text")))
+      .join(fps, Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
+  }
+
   /** d7 — 64-bit SimHash via the custom one-pass mergeable aggregate
     * ([[graft.functions.SimHash64Agg]]): same explode as d3, but the
     * per-document signature folds in a single `TypedImperativeAggregate`

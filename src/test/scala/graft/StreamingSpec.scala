@@ -172,6 +172,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming incremental dedup: corpus known drops, in-batch and cross-batch dups collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "already known text")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Dedup.incrementalDedupStream(
+      in.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("incr_t").start()
+    withQuery(q) {
+      // normalization must fold case/whitespace like the batch operator
+      in.addData((2L, "Already   KNOWN\ttext"), (3L, "fresh a"), (4L, "FRESH  a"))
+      q.processAllAvailable()
+      val b1 = spark.table("incr_t").select($"doc_id").as[Long].collect().toSet
+      assert(!b1.contains(2L), "corpus-known doc must be dropped")
+      assert(b1.size == 1 && (b1 == Set(3L) || b1 == Set(4L)),
+        s"in-batch dup must collapse to one keeper: $b1")
+      in.addData((5L, "fresh a"), (6L, "brand new")) // redelivery + novel
+      q.processAllAvailable()
+      val b2 = spark.table("incr_t").select($"doc_id").as[Long].collect().toSet
+      assert(!b2.contains(5L), "cross-batch redelivery must be suppressed by state")
+      assert(b2.contains(6L) && b2.size == 2)
+    }
+  }
+
   test("stream-stream join: facility ⋈ market on (region, 5-min bucket) with dual watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("ALP", "NSW1"), ("BET", "VIC1"))
