@@ -29,6 +29,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without query impl: $extra")
   }
 
+  test("every query is oracle-mapped except the two sketches (rows-only by design)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == Set("q30_approx_distinct", "q35_approx_percentile"),
+      s"unexpected oracle-less queries: $missing")
+  }
+
   test("q42: each stratum yields exactly min(25, stratum size) rows") {
     import org.apache.spark.sql.functions._
     val perStratum = SparkEntry.queries("q42_stratified_sample")(spark, dir)
