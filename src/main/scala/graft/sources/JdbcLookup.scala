@@ -38,7 +38,7 @@ object JdbcLookup {
       .option("url", url).option("dbtable", table).load()
     // Normalize case: databases that fold unquoted identifiers (Derby →
     // upper) would otherwise leak fold-case column names into the plan.
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
   }
 
   /** Current lookup snapshot — call once per micro-batch (J8). */
