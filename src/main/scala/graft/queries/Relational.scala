@@ -644,7 +644,40 @@ object Relational {
         grouping(col("l_returnflag")).cast("long").as("g_flag"),
         grouping(col("l_linestatus")).cast("long").as("g_status"))
 
+  /** q51 — date arithmetic surface: calendar month add (both engines
+    * clamp end-of-month identically), day and whole-month deltas as
+    * exact integers (Spark's fractional `months_between` has no
+    * cross-engine-stable statement — year/month arithmetic does).
+    * Narrow per-row projection, no shuffle.
+    */
+  def q51DateArith(s: SparkSession, dir: String): DataFrame = {
+    val d0 = to_date(col("o_orderdate"))
+    load(s, dir, "orders").select(
+      col("o_orderkey"),
+      add_months(d0, 3).cast("string").as("due_3m"),
+      datediff(d0, to_date(lit("1995-01-01"))).cast("long").as("days_since_open"),
+      ((year(d0) - 1995) * 12 + month(d0) - 1).cast("long").as("months_since_open"))
+  }
+
+  /** q52 — schema-evolving union: customers and suppliers merged into one
+    * entity ledger where a column (acctbal) exists on only one leg —
+    * `unionByName(allowMissingColumns)` null-fills the absent side by
+    * NAME, never by position (the silent-miscolumn bug positional union
+    * invites on evolved schemas).
+    */
+  def q52UnionEvolved(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer").select(
+      col("c_custkey").as("entity_key"), col("c_name").as("name"),
+      round(col("c_acctbal"), 2).as("acctbal"), lit("customer").as("entity"))
+    val su = load(s, dir, "supplier").select(
+      col("s_suppkey").as("entity_key"), col("s_name").as("name"),
+      lit("supplier").as("entity"))
+    c.unionByName(su, allowMissingColumns = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_date_arith" -> q51DateArith,
+    "q52_union_evolved" -> q52UnionEvolved,
     "q50_grouping_sets" -> q50GroupingSets,
     "q48_zscore" -> q48Zscore,
     "q49_full_outer" -> q49FullOuter,
@@ -896,6 +929,22 @@ object Relational {
         |      FROM events
         |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
         |WHERE prev_ts IS NOT NULL""".stripMargin,
+    "q51_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |       AS VARCHAR) AS due_3m,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS days_since_open,
+        |  CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |    AS months_since_open
+        |FROM orders""".stripMargin,
+    "q52_union_evolved" ->
+      """SELECT c_custkey AS entity_key, c_name AS name,
+        |  round(c_acctbal, 2) AS acctbal, 'customer' AS entity
+        |FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier'
+        |FROM supplier""".stripMargin,
     "q50_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,
