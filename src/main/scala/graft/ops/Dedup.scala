@@ -373,9 +373,20 @@ object Dedup {
     * `dropDuplicatesWithinWatermark` when novelty only matters within a
     * time horizon, or periodically fold emitted fingerprints back into
     * the corpus side and restart (the batch/stream split d10 defines).
+    *
+    * Keeper semantics DIFFER from d10, deliberately: `dropDuplicates`
+    * keeps whichever duplicate a partition encounters first, so the
+    * in-batch keeper is arbitrary (d10 guarantees min doc_id). A
+    * deterministic streaming keeper needs a per-key aggregation — a
+    * different output mode and a changing answer over time. Emitted
+    * NOVELTY (the fingerprint set) is deterministic; when keeper
+    * identity matters, run d10 over the landed output.
     */
   def incrementalDedupStream(incoming: DataFrame, corpus: DataFrame): DataFrame = {
-    val fps = corpus.select(normFp(col("text")).as("fp")).distinct()
+    // No distinct() on the corpus side: left_anti is insensitive to
+    // duplicate right rows and the broadcast build dedups keys anyway —
+    // a distinct would just add a corpus shuffle to every micro-batch.
+    val fps = corpus.select(normFp(col("text")).as("fp"))
     incoming
       .withColumn("fp", normFp(col("text")))
       .join(fps, Seq("fp"), "left_anti")
