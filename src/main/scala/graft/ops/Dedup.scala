@@ -199,14 +199,17 @@ object Dedup {
     * production blocking path when no label exists): pairs only within a
     * hash bucket derived from the data itself. Same pair math as d5 —
     * the variants differ exactly in where candidate pairs come from.
-    * Single-table baseline (≤64 buckets); [[d8bNearDupMultiband]] is the
-    * scale default.
+    * Single-table layout (≤64 buckets) with the
+    * [[Similarity.cappedSignBuckets]] population cap, so a hot bucket
+    * costs recall, never a quadratic task; [[d8bNearDupMultiband]] is
+    * the scale default.
     */
   def d8EmbeddingLshNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("bucket", Similarity.buckets(col("v")))
+    val e = Similarity.cappedSignBuckets(
+      load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("bucket", Similarity.buckets(col("v"))))
     e.as("a")
       .join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -305,6 +308,26 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // Exiting via the iteration cap means labels are still propagating:
+    // the result is a valid REFINEMENT of the true components (labels
+    // only ever shrink toward the component min) but not the fixpoint —
+    // components with diameter > maxIter stay split. Silence here would
+    // let a truncated answer masquerade as the exact one (the oracled d9
+    // path compares against an exact transitive closure), so say so.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: iteration cap $maxIter hit before convergence" +
+          " — labels are an under-merged refinement, not the fixpoint;" +
+          " raise maxIter for graphs with diameter > cap")
+    // Retention note: the returned frame IS the last round's
+    // localCheckpoint — its blocks live until the session ends (or the
+    // RDD is GC'd via ContextCleaner once callers drop the reference).
+    // Unpersisting here would delete the only copy: a localCheckpoint
+    // has no lineage to recompute from, so the caller's first action
+    // would fail. One labels copy (16 bytes × clustered docs) per call
+    // is the price of the constant-size iterative plan; callers that
+    // loop over many graphs should write results out and drop the
+    // reference so the cleaner can reclaim blocks between calls.
     labels.select(col("id"), col("label"))
   }
 
@@ -547,11 +570,14 @@ object Dedup {
          |SELECT vec_a, vec_b, cos_sim FROM cand WHERE cos_sim >= 0.3""".stripMargin,
     "d8_embedding_lsh_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding,
-         |    ${Similarity.bucketSql("embedding")} AS bucket FROM embeddings)
+         |    ${Similarity.bucketSql("embedding")} AS bucket FROM embeddings),
+         |capped AS (SELECT bucket FROM e GROUP BY 1
+         |           HAVING count(*) BETWEEN 2 AND ${Similarity.MaxBucket})
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
          |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM e a JOIN e b
          |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |JOIN capped c ON c.bucket = a.bucket
          |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin,
     "d5_embedding_neardup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -7,19 +7,25 @@ import graft.Tables.load
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, decoded per-partition in batches.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic stub ([[decodeStub]]) — what is real and
-  * tested is the Spark-side shape a 100 TB media pipeline needs:
+  * The decode path is LIVE for the formats the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — [[decodeImage]]); payloads
+  * that aren't decodable images fall back to the deterministic
+  * [[decodeStub]]. The testdata carries no media column at all (the
+  * `documents` payload is UTF-8 text bytes — never a valid image), so
+  * the oracled queries exercise exactly the stub branch while
+  * MultimodalSpec pins the real branch on PNG/JPEG bytes it encodes
+  * in-test. The Spark-side shape a 100 TB media pipeline needs is the
+  * same either way:
   *   - payloads ride a `BinaryType` column next to typed metadata;
   *   - decode runs via `mapPartitions` over an iterator (the Scala analog
-  *     of a batched pandas-UDF), so a real codec would amortize model /
-  *     codec init once per partition and stream batches without
-  *     materializing a partition in memory;
+  *     of a batched pandas-UDF), so codec init amortizes once per
+  *     partition and batches stream without materializing a partition in
+  *     memory;
   *   - output is a typed Dataset row (schema checked at compile time).
   *
   * The stub derives metadata purely from the md5 of the payload, so the
   * DuckDB oracle reproduces it from hex math — the plumbing is
-  * correctness-gated even though the codec is fake.
+  * correctness-gated even where the codec path can't run.
   */
 object Multimodal {
 
@@ -28,10 +34,28 @@ object Multimodal {
       doc_id: Long, width: Long, height: Long, n_frames: Long,
       payload_bytes: Long)
 
-  /** STUB — stands in for a real image/video decode. Deterministic
-    * function of the payload's md5 so tests and the oracle can pin it.
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — the
+    * codecs every JVM ships; no external libraries). Returns None when
+    * the payload isn't a decodable image: ImageIO answers null for an
+    * unrecognized container, and a recognized-but-corrupt stream throws
+    * — both mean "not an image" here. Still images report one frame.
     */
-  private[ops] def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+  private[graft] def decodeImage(docId: Long, payload: Array[Byte]): Option[MediaMeta] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map(img => MediaMeta(
+          doc_id = docId,
+          width = img.getWidth.toLong,
+          height = img.getHeight.toLong,
+          n_frames = 1L,
+          payload_bytes = payload.length.toLong))
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** STUB — stands in for decoding formats the JVM has no codec for
+    * (video, audio). Deterministic function of the payload's md5 so
+    * tests and the oracle can pin it.
+    */
+  private[graft] def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(payload)
     def b(i: Int): Long = java.lang.Byte.toUnsignedLong(h(i))
@@ -43,20 +67,67 @@ object Multimodal {
       payload_bytes = payload.length.toLong)
   }
 
+  /** Full decode: the real codec first, stub for everything else. */
+  private[graft] def decode(docId: Long, payload: Array[Byte]): MediaMeta =
+    decodeImage(docId, payload).getOrElse(decodeStub(docId, payload))
+
+  /** Real pixel resample via Graphics2D (bilinear), preserving aspect
+    * ratio with the same integer dimension math m3 plans
+    * (`side * maxSide div longSide`), re-encoded as PNG. Identity
+    * (no-op) when the image already fits. None when the payload isn't a
+    * decodable image — a real pipeline routes those to the dead-letter
+    * side, it doesn't fabricate pixels.
+    */
+  private[graft] def resizeImage(payload: Array[Byte], maxSide: Long): Option[Array[Byte]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+        val long = math.max(w, h)
+        if (long <= maxSide) payload
+        else {
+          val (tw, th) = ((w * maxSide / long).toInt, (h * maxSide / long).toInt)
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
   /** m1 — binary payload column → per-partition batched decode → typed
     * metadata. The payload here is synthesized from `text` (UTF-8 bytes)
-    * since testdata carries no real media.
+    * since testdata carries no real media — such payloads take
+    * [[decode]]'s stub branch; real PNG/JPEG bytes through the SAME
+    * operator take the live ImageIO branch (MultimodalSpec).
     */
   def m1MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val withPayload = load(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[(Long, Array[Byte])]
-    withPayload.mapPartitions { it =>
-      // Batched iteration: a real codec would init once here and decode
-      // each batch vectorized; grouped() keeps memory bounded per batch.
-      it.grouped(64).flatMap(_.map { case (id, payload) => decodeStub(id, payload) })
-    }.toDF()
+    decodeMeta(withPayload.toDF("doc_id", "payload"))
+  }
+
+  /** The decode operator itself, payload frame in → typed metadata out —
+    * the surface a media pipeline calls with real bytes.
+    */
+  def decodeMeta(payloads: DataFrame): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // Batched iteration: codec init amortizes per partition and
+        // grouped() keeps memory bounded per batch.
+        it.grouped(64).flatMap(_.map { case (id, payload) => decode(id, payload) })
+      }.toDF()
   }
 
   private val FrameStep = 4

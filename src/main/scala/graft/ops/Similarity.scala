@@ -94,23 +94,43 @@ object Similarity {
   private val NBuckBits = 6
 
   /** Sign-bit LSH bucket: bit i set iff component i is positive. */
-  private[ops] def buckets(v: Column): Column =
+  private[graft] def buckets(v: Column): Column =
     (1 to NBuckBits).map(i =>
       when(element_at(v, i) > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Single-table sign-bucket rows with bucket population outside
+    * [2, maxBucket] dropped — the same window-count cap as
+    * [[cappedBands]], applied to the one-table layout s2/d8 use.
+    * Singleton buckets never emit pairs anyway, so the ≥2 side only
+    * prunes; the ≤maxBucket side is the scale guard: a degenerate
+    * bucket (dense embedding region at 100× corpus) contributes ZERO
+    * pairs instead of an O(pop²) task. The count is a window over the
+    * bucket key, so the frame still reaches the self-join through ONE
+    * scan and ONE (bucket) exchange that both join sides reuse.
+    */
+  private[graft] def cappedSignBuckets(e: DataFrame,
+      maxBucket: Int = MaxBucket): DataFrame =
+    e.withColumn("n_bucket",
+        count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("n_bucket").between(2, maxBucket))
+      .drop("n_bucket")
+
   /** s2 — LSH-bucketed ANN: nearest neighbor within the same sign-bit
     * bucket for every vector (approximate — bucket boundaries lose some
     * true neighbors, which is the accuracy/cost trade the bucket count
-    * tunes). Single-table baseline: 6 bits ⇒ ≤64 buckets, which keeps
-    * recall high on a small corpus but leaves the within-bucket join
-    * quadratic at scale — [[s2bAnnMultiband]] is the scale default
-    * (more bits, OR'd tables, population cap).
+    * tunes). Single-table layout: 6 bits ⇒ ≤64 buckets, which keeps
+    * recall high on a small corpus; the per-bucket population cap
+    * ([[cappedSignBuckets]]) bounds the within-bucket join so a hot
+    * bucket degrades recall, never cost. [[s2bAnnMultiband]] remains
+    * the scale default (more bits shrink mean population 64×, OR'd
+    * tables buy the recall back).
     */
   def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = load(s, dir, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", buckets(col("v")))
+    val e = cappedSignBuckets(
+      load(s, dir, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", buckets(col("v"))))
     // argmax per query via max_by (partial+final agg — no sort-window
     // shuffle); tie-break = smallest neighbor id, so the order key is
     // (cos_sim, -vec_id) maximized.
@@ -491,14 +511,19 @@ object Similarity {
          |SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, cos_sim
          |FROM ranked WHERE rn <= $RerankK""".stripMargin,
     "s2_ann_lsh" ->
+      // Independent cap formulation, as in the banded CTE: GROUP BY …
+      // HAVING population bounds instead of Spark's window count.
       s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
          |           FROM embeddings),
+         |capped AS (SELECT bucket FROM e GROUP BY 1
+         |           HAVING count(*) BETWEEN 2 AND $MaxBucket),
          |sims AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
          |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim,
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY round(${cosineSql("a.embedding", "b.embedding")}, 6) DESC,
          |               b.vec_id ASC) AS rn
-         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  JOIN capped c ON c.bucket = a.bucket)
          |SELECT query_id, neighbor_id, bucket, cos_sim FROM sims WHERE rn = 1""".stripMargin,
     "s3_ivf_ann" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv

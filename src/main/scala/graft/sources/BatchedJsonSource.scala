@@ -159,7 +159,13 @@ private class BatchReaderFactory(retry: RetryConf) extends PartitionReaderFactor
       }
       override def get(): InternalRow =
         InternalRow(p.batchId, UTF8String.fromString(current))
-      override def close(): Unit = ()
+      // Drop this partition's injection counter once the read finishes:
+      // scan ids are fresh per `.load()`, so the entry is never consulted
+      // again and keeping it would grow the per-JVM map without bound in
+      // a long-lived JVM that keeps injecting failures.
+      override def close(): Unit =
+        if (retry.injectFailures > 0)
+          BatchedJsonSource.injectedFailures.remove(s"${retry.scanId}:${p.file}")
     }
   }
 }

@@ -51,10 +51,28 @@ object JdbcLookup {
     * too — those stay on the dead-letter side channel, exactly the
     * reference's not-in-NGER path).
     */
+  /** Hard ceiling on distinct miss ids resolved per batch. A healthy
+    * batch has a handful of unknown facilities; hitting this means the
+    * batch is poisoned or misrouted (every event carrying a distinct
+    * bogus id), and an unbounded collect + IN-list would risk driver
+    * memory and an oversized JDBC statement. Failing the batch loudly is
+    * the safe behavior — the stream's dead-letter channel is where
+    * systematically-unresolvable events belong.
+    */
+  val MaxMissesPerBatch = 10000
+
   def resolveMisses(spark: SparkSession, url: String, misses: DataFrame): Long = {
-    // Bounded driver collect: distinct unknown facility ids of ONE batch.
-    val ids = misses.select(col("facility_id")).distinct()
+    // Bounded driver collect: distinct unknown facility ids of ONE batch,
+    // null-free (a null id can't be looked up and would NPE the map),
+    // limit-capped so even the probe collect is bounded.
+    val ids = misses.select(col("facility_id"))
+      .filter(col("facility_id").isNotNull)
+      .distinct().limit(MaxMissesPerBatch + 1)
       .collect().map(_.getString(0)).toSeq
+    if (ids.size > MaxMissesPerBatch)
+      throw new IllegalStateException(
+        s"resolveMisses: > $MaxMissesPerBatch distinct unknown facility ids " +
+          "in one batch — refusing the unbounded lookup (poisoned batch?)")
     if (ids.isEmpty) return 0L
     // SELECT f.name, f.fuel_type_id, l.lat/lon/region FROM facility ⋈
     // location WHERE facility_id IN (…) — the IN filter pushes into the

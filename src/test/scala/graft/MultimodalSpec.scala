@@ -1,0 +1,73 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Multimodal
+
+/** The live ImageIO decode branch, on real PNG/JPEG bytes encoded
+  * in-test (the JDK ships these codecs — no external media libraries,
+  * no fixture files). The oracled m1/m3 queries exercise only the stub
+  * branch (testdata payloads are UTF-8 text, never a valid image), so
+  * this spec is what keeps the real branch honest.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+
+  private def encode(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // Non-constant pixels so JPEG's DCT has real content to code.
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, bos), s"no JDK writer for $format")
+    bos.toByteArray
+  }
+
+  test("decodeImage reads real PNG and JPEG dimensions") {
+    val png = Multimodal.decodeImage(1L, encode(320, 200, "png"))
+    assert(png.contains(Multimodal.MediaMeta(1L, 320L, 200L, 1L,
+      encode(320, 200, "png").length.toLong)))
+    val jpg = Multimodal.decodeImage(2L, encode(48, 96, "jpg")).get
+    assert((jpg.width, jpg.height, jpg.n_frames) == (48L, 96L, 1L))
+  }
+
+  test("decode falls back to the stub on non-image payloads") {
+    val payload = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(3L, payload).isEmpty)
+    assert(Multimodal.decode(3L, payload) == Multimodal.decodeStub(3L, payload))
+    // Truncated PNG: recognized container, corrupt stream — still stub.
+    val broken = encode(64, 64, "png").take(24)
+    assert(Multimodal.decode(4L, broken) == Multimodal.decodeStub(4L, broken))
+  }
+
+  test("decodeMeta routes mixed payloads per-row: live dims for images, stub for the rest") {
+    import spark.implicits._
+    val textBytes = "plain text payload".getBytes("UTF-8")
+    val rows = Seq(
+      (10L, encode(128, 64, "png")),
+      (11L, textBytes))
+    val out = Multimodal.decodeMeta(rows.toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) == ((128L, 64L, 1L)))
+    val stub = Multimodal.decodeStub(11L, textBytes)
+    assert(out(11L) == ((stub.width, stub.height, stub.n_frames)))
+  }
+
+  test("resizeImage: real resample matches m3's integer dimension math; no-op under the cap") {
+    val big = encode(640, 400, "png")
+    val thumb = Multimodal.resizeImage(big, 256L).get
+    val meta = Multimodal.decodeImage(0L, thumb).get
+    // 640×400 → long side 640 → (640*256 div 640, 400*256 div 640)
+    assert((meta.width, meta.height) == (256L, 160L))
+    val small = encode(100, 50, "png")
+    assert(Multimodal.resizeImage(small, 256L).get.sameElements(small),
+      "already-fitting image must pass through byte-identical")
+    assert(Multimodal.resizeImage("garbage".getBytes("UTF-8"), 256L).isEmpty)
+  }
+}

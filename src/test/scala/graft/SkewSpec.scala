@@ -72,6 +72,34 @@ class SkewSpec extends AnyFunSuite {
     assert(pairs == Set((100L, 101L)))
   }
 
+  test("single-table LSH: cappedSignBuckets bounds a degenerate bucket") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // Same adversarial shape as the multiband test, on the one-table
+    // layout s2/d8 use: 40 identical-sign vectors land in ONE sign
+    // bucket. Under the cap the bucket must vanish entirely (zero rows
+    // survive → zero pairs downstream); at the population the full
+    // bucket passes; singleton buckets are pruned by the ≥2 side.
+    val n = 40
+    val e = (0 until n).map(i =>
+      (i.toLong, Array.fill(64)(1.0 + i * 1e-9))).toDF("vec_id", "v")
+      .withColumn("bucket", graft.ops.Similarity.buckets(col("v")))
+    assert(Similarity.cappedSignBuckets(e, maxBucket = n - 1).count() == 0,
+      "over-cap bucket must contribute no rows")
+    assert(Similarity.cappedSignBuckets(e, maxBucket = n).count() == n)
+    // Mixed: a hot positive bucket over the cap + a 2-vector negative
+    // bucket under it + one singleton — only the small bucket survives.
+    val mixed = e.unionByName((100 until 102).map(i =>
+        (i.toLong, Array.fill(64)(-1.0))).toDF("vec_id", "v")
+        .withColumn("bucket", graft.ops.Similarity.buckets(col("v"))))
+      .unionByName(Seq((200L, Array.tabulate(64)(j => if (j % 2 == 0) 1.0 else -1.0)))
+        .toDF("vec_id", "v")
+        .withColumn("bucket", graft.ops.Similarity.buckets(col("v"))))
+    val kept = Similarity.cappedSignBuckets(mixed, maxBucket = n - 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(100L, 101L))
+  }
+
   test("saltedSum == direct groupBy sum") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("k"), col("l_quantity"), col("l_extendedprice"))
