@@ -21,6 +21,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
+      graft.ops.Kmeans.queries ++
       graft.ops.Multimodal.queries ++
       graft.ops.AsOf.queries ++
       graft.ops.Sampling.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracle ++
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
+      graft.ops.Kmeans.oracle ++
       graft.ops.Multimodal.oracle ++
       graft.ops.AsOf.oracle ++
       graft.ops.Sampling.oracle ++

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Distributed k-means (Lloyd's iterations) over the `embeddings` table —
+  * the trainer that makes the IVF/PQ ANN family self-contained (s3/s4
+  * previously documented "a real deployment feeds k-means centroids in").
+  *
+  * Scale shape per iteration:
+  *   - ASSIGNMENT is the s3 argmax pattern: corpus × broadcast centroids,
+  *     reduced by a `min_by` partial+final aggregation — one corpus scan,
+  *     one tiny shuffle of 8-byte ids, no sort window.
+  *   - UPDATE is one aggregation to k×(dim+1) numbers (per-cell component
+  *     sums + count) with map-side partials; the k resulting rows round-trip
+  *     through the driver as the next iteration's broadcast literals. That
+  *     driver hop is k rows (bounded, like the dimension-option collects the
+  *     plan audit already allows) and it buys plan hygiene: every iteration
+  *     re-plans from literal centroids, so there is NO nested lineage to
+  *     checkpoint (the d9 problem never arises).
+  *
+  * Cross-engine determinism (the reason everything is integer math):
+  * float centroid means are partial-agg-order-dependent, so instead each
+  * component is quantized ONCE — `floor(x * 10^6)` on the double-widened
+  * float, exact because a float32 mantissa (24 bits) times 10^6 (20 bits)
+  * fits a double's 53 — and from there assignment distances are exact long
+  * sums of squares and centroid updates are floor-divisions of exact
+  * integer sums (`Math.floorDiv` ↔ the `(s - pmod(s, n)) // n` identity in
+  * SQL). Fixed iteration count, deterministic tie-breaks (smallest cell
+  * id), empty cells keep their previous centroid.
+  */
+object Kmeans {
+
+  private[graft] val K = 8
+  private[graft] val Iters = 3
+  private[graft] val Dim = 64
+  private[graft] val Scale = 1000000L
+
+  /** float array → exact scaled-long array (the ONE quantization). */
+  private[graft] def quantize(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer squared-L2 between two scaled-long arrays. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One assignment pass: every vector to its nearest centroid (squared-L2
+    * asc, cell asc). Centroids arrive as driver-side literals and broadcast;
+    * the argmin is a `min_by` aggregation keyed by the 8-byte id with the
+    * vector riding in the payload (the s3 lesson: never group on the array).
+    */
+  private def assign(e: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cdf = cents.toDF("cell", "cv")
+    e.crossJoin(broadcast(cdf))
+      .select(col("id"), col("q"), col("cell"), sqDist(col("q"), col("cv")).as("dist"))
+      .groupBy("id")
+      .agg(min_by(struct(col("cell"), col("q"), col("dist")),
+        struct(col("dist"), col("cell"))).as("best"))
+      .select(col("id"), col("best.cell").as("cell"), col("best.q").as("q"),
+        col("best.dist").as("dist"))
+  }
+
+  /** Lloyd's: `iters` × (assign → integer-mean update), then a final
+    * assignment against the trained centroids. `e` must be
+    * `(id: long, q: array<long>)` with `dim`-length vectors. Returns the
+    * final assignment frame and the trained centroids.
+    */
+  private[graft] def lloyd(e: DataFrame, init: Seq[(Long, Seq[Long])],
+      iters: Int = Iters, dim: Int = Dim): (DataFrame, Seq[(Long, Seq[Long])]) = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val a = assign(e, cents)
+      val sums = (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s_$i"))
+      // k rows × (dim+1) longs — the bounded driver hop.
+      val stats = a.groupBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map(r => r.getLong(0) -> r).toMap
+      cents = cents.map { case (cell, prev) =>
+        stats.get(cell) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            // floorDiv, not /: sums go negative and the oracle's pmod
+            // identity floors — truncation would diverge on negatives.
+            cell -> Seq.tabulate(dim)(i => Math.floorDiv(r.getLong(2 + i), n))
+          case None => cell -> prev // empty cell keeps its centroid
+        }
+      }
+    }
+    (assign(e, cents), cents)
+  }
+
+  /** Trained centroids for downstream IVF/PQ consumers: `(cell, cv)` with
+    * scaled-long components (divide by [[Scale]] for float space).
+    */
+  def trainCentroids(s: SparkSession, dir: String,
+      k: Int = K, iters: Int = Iters): Seq[(Long, Seq[Long])] = {
+    val e = corpus(s, dir)
+    lloyd(e, initFrom(e, k), iters)._2
+  }
+
+  /** First-k-vectors init — deterministic, and exactly what s3/s4 use as
+    * their fixed codebooks, so trained centroids are a drop-in refinement.
+    */
+  private def initFrom(e: DataFrame, k: Int): Seq[(Long, Seq[Long])] =
+    e.filter(col("id") < k).orderBy("id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toSeq
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    // spread: per-row distance math above a single-row-group scan; the
+    // reductions are integer sums / min_by — order-insensitive, hash-safe.
+    graft.Tables.spread(load(s, dir, "embeddings"))
+      .select(col("vec_id").as("id"), quantize(col("embedding")).as("q"))
+
+  /** s7 — k-means cell assignment after [[Iters]] Lloyd's iterations:
+    * `(vec_id, cell, dist)`, all exact integers, hash-pinned against the
+    * oracle's unrolled-CTE replay of the identical arithmetic.
+    */
+  def s7KmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val (assigned, _) = lloyd(e, initFrom(e, K))
+    assigned.select(col("id").as("vec_id"), col("cell"), col("dist"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_kmeans_assign" -> s7KmeansAssign)
+
+  /** The oracle unrolls the fixed iteration count as CTE rounds c0→c1→…,
+    * replaying the same integer arithmetic: same quantization, same
+    * squared-L2, same pmod-floored integer mean, same tie-breaks, and the
+    * same keep-on-empty via the left join + COALESCE.
+    */
+  val oracle: Map[String, String] = Map(
+    "s7_kmeans_assign" -> {
+      val distSql =
+        s"list_sum(list_transform(generate_series(1, $Dim), i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))"
+      def assignCte(t: Int, centCte: String): String =
+        s"""a$t AS (SELECT vec_id, q, cell, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+           |  FROM (SELECT v.vec_id, v.q, c.cell, $distSql AS dist
+           |        FROM q v CROSS JOIN $centCte c))""".stripMargin
+      def updateCte(t: Int): String =
+        s"""m$t AS (SELECT a.cell, comp.i,
+           |    CAST(sum(a.q[comp.i]) AS BIGINT) AS s, count(*) AS n
+           |  FROM (SELECT cell, q FROM a$t WHERE rn = 1) a CROSS JOIN comp
+           |  GROUP BY a.cell, comp.i),
+           |u$t AS (SELECT cell,
+           |    list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) ORDER BY i) AS cv
+           |  FROM m$t GROUP BY cell),
+           |c$t AS (SELECT c.cell, COALESCE(u.cv, c.cv) AS cv
+           |  FROM c${t - 1} c LEFT JOIN u$t u ON u.cell = c.cell)""".stripMargin
+      val rounds = (1 to Iters)
+        .map(t => assignCte(t, s"c${t - 1}") + ",\n" + updateCte(t))
+        .mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |comp AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+         |c0 AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < $K),
+         |$rounds,
+         |${assignCte(Iters + 1, s"c$Iters")}
+         |SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist
+         |FROM a${Iters + 1} WHERE rn = 1""".stripMargin
+    })
+}

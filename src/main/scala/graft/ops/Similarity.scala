@@ -306,6 +306,29 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centroids = e.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    s3IvfAnnWith(e, centroids)
+  }
+
+  /** s3 with k-means-trained cells ([[Kmeans.trainCentroids]], scaled
+    * longs mapped back to float space) — the self-contained IVF story.
+    * Not oracle-registered: the operator is s3's exact shape (pinned
+    * there); only the centroid source differs.
+    */
+  def s3IvfAnnTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.Tables.spread(load(s, dir, "embeddings"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val trained = Kmeans.trainCentroids(s, dir)
+      .map { case (cell, cv) => (cell, cv.map(_.toDouble / Kmeans.Scale)) }
+      .toDF("cent_id", "cv")
+    s3IvfAnnWith(e, trained)
+  }
+
+  /** The IVF operator proper, centroid source pluggable: assignment leg
+    * scores the full corpus once (max_by partial+final), probe leg's
+    * vec_id range pushes to the scan — see [[s3IvfAnn]]'s plan notes.
+    */
+  private def s3IvfAnnWith(e: DataFrame, centroids: DataFrame): DataFrame = {
     // Two scored legs, and that is the scale-correct shape (round-3 scan
     // audit verified, then falsified, a recompute here): the assignment
     // leg scores the FULL corpus exactly once through a max_by
