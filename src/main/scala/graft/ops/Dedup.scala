@@ -416,6 +416,94 @@ object Dedup {
       .dropDuplicates("fp")
   }
 
+  /** A (fingerprint, keeper) pair — the streaming keeper row. */
+  final case class FpKeeper(fp: String, doc_id: Long)
+
+  /** Per-fingerprint running-min keeper state: emits a revision whenever
+    * a smaller doc_id arrives, so the LATEST emission per fingerprint
+    * always equals d10's keeper (min doc_id over everything seen). State
+    * is one long per fingerprint; `exists()` guards the primitive-state
+    * null (a bare `get()` on absent state unboxes null to 0, which would
+    * silently beat every real id).
+    */
+  class MinKeeperProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, FpKeeper, FpKeeper] {
+    @transient private var minId: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      minId = getHandle.getValueState[Long]("minId",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[FpKeeper],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FpKeeper] = {
+      val incoming = rows.map(_.doc_id).min
+      if (!minId.exists() || incoming < minId.get()) {
+        minId.update(incoming)
+        Iterator.single(FpKeeper(key, incoming))
+      } else Iterator.empty
+    }
+  }
+
+  /** Deterministic-keeper streaming counterpart of [[d10IncrementalDedup]]
+    * (closing the keeper-semantics gap [[incrementalDedupStream]]
+    * documents): same per-batch stream-static left-anti against the
+    * corpus, then a `transformWithState` per-fingerprint min aggregation
+    * in update mode. Emissions only ever revise a keeper DOWNWARD, so the
+    * latest (equivalently: smallest) emission per fingerprint equals the
+    * batch keeper d10 would choose over the same replayed input,
+    * regardless of batch boundaries or arrival order. State: 8 bytes per
+    * novel fingerprint (bound it with upstream watermarking, or fold
+    * state back via [[foldBackCorpus]] and restart, when novelty has a
+    * horizon).
+    */
+  def incrementalDedupStreamKeyed(incoming: DataFrame,
+      corpus: DataFrame): org.apache.spark.sql.Dataset[FpKeeper] = {
+    val s = incoming.sparkSession
+    import s.implicits._
+    val fps = corpus.select(normFp(col("text")).as("fp"))
+    incoming
+      .withColumn("fp", normFp(col("text")))
+      .join(fps, Seq("fp"), "left_anti")
+      .select(col("fp"), col("doc_id").cast("long").as("doc_id"))
+      .as[FpKeeper]
+      .groupByKey(_.fp)
+      .transformWithState(new MinKeeperProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** Compaction: fold emitted novel fingerprints back into the corpus
+    * fingerprint set — the third leg of the incremental-dedup story
+    * (d10 finds novelty against a corpus; the stream suppresses
+    * re-arrivals; periodically the landed novelty must BECOME corpus so
+    * stream state can be reset instead of growing forever).
+    *
+    * `corpusFps` is `(fp, keeper_doc_id)` (what [[d6NormDedup]] emits,
+    * renamed), `novel` is `(doc_id, fp)` (what [[d10IncrementalDedup]]
+    * emits). One union + one min-aggregation — the d10 single-pass shape;
+    * min() makes the fold idempotent (re-folding the same novelty, or
+    * folding overlapping novelty sets, converges to the same keepers) and
+    * keeps d6/d10 keeper semantics (smallest doc_id wins) even if a
+    * later fold carries a smaller id for an existing fingerprint.
+    */
+  /** d6 as a frame-level operator: the corpus fingerprint set
+    * `(fp, keeper_doc_id)` of any `(doc_id, text)` frame — the input
+    * shape [[foldBackCorpus]] maintains.
+    */
+  def corpusFingerprints(docs: DataFrame): DataFrame =
+    docs.groupBy(normFp(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+
+  def foldBackCorpus(corpusFps: DataFrame, novel: DataFrame): DataFrame =
+    corpusFps.select(col("fp"), col("keeper_doc_id"))
+      .unionByName(novel.select(col("fp"), col("doc_id").as("keeper_doc_id")))
+      .groupBy("fp")
+      .agg(min(col("keeper_doc_id")).as("keeper_doc_id"))
+
   /** d7 — 64-bit SimHash via the custom one-pass mergeable aggregate
     * ([[graft.functions.SimHash64Agg]]): same explode as d3, but the
     * per-document signature folds in a single `TypedImperativeAggregate`

@@ -195,6 +195,88 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic streaming keeper == d10 batch keeper on the same replayed input (RocksDB)") {
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val corpus = Seq((1L, "already known text")).toDF("doc_id", "text")
+      val in = MemoryStream[(Long, String)]
+      val q = Dedup.incrementalDedupStreamKeyed(
+        in.toDF().toDF("doc_id", "text"), corpus)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("keeper_t").start()
+      withQuery(q) {
+        // Adversarial arrival order: the LARGER id arrives first, the
+        // true keeper (smaller id) only in a later batch — exactly where
+        // dropDuplicates' first-seen keeper diverges from d10's min.
+        in.addData((10L, "fresh a"), (12L, "fresh b"), (2L, "ALREADY  known\ttext"))
+        q.processAllAvailable()
+        in.addData((5L, "FRESH  a"), (12L, "fresh b"), (7L, "fresh c"))
+        q.processAllAvailable()
+        // Latest emission per fp == smallest emission (keepers only ever
+        // revise downward) — compare against the batch-d10 semantics
+        // computed directly: min doc_id per fp, corpus fps excluded.
+        val streamKeepers = spark.table("keeper_t")
+          .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+          .select($"fp", $"doc_id").as[(String, Long)].collect().toMap
+        val batchKeepers = Map( // min id per novel text: a→5, b→12, c→7
+          "fresh a" -> 5L, "fresh b" -> 12L, "fresh c" -> 7L)
+        assert(streamKeepers.values.toSet == batchKeepers.values.toSet,
+          s"stream keepers must match d10 min-id keepers: $streamKeepers")
+        assert(streamKeepers.size == 3, "corpus-known fp must never emit")
+        // The revision stream itself: fp(a) must have emitted 10 then 5.
+        val aEmits = spark.table("keeper_t")
+          .select($"doc_id").as[Long].collect().toSet
+        assert(aEmits.contains(10L) && aEmits.contains(5L),
+          s"keeper revision (10→5) must be visible in update mode: $aEmits")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("foldBackCorpus: corpus' = corpus ∪ novel, idempotent, and the next d10 pass is empty") {
+    import graft.ops.Dedup
+    // Corpus fingerprints (d6 shape) + a d10 novelty batch (disjoint fps
+    // by construction) fold into one keeper set; re-folding the same
+    // novelty is a no-op; folding a smaller id for an existing fp lowers
+    // its keeper (min semantics, matching d6/d10).
+    val corpusFps = Seq(("fpA", 1L), ("fpB", 4L))
+      .toDF("fp", "keeper_doc_id")
+    val novel = Seq((7L, "fpC"), (9L, "fpD")).toDF("doc_id", "fp")
+    val folded = Dedup.foldBackCorpus(corpusFps, novel)
+    val m1 = folded.as[(String, Long)].collect().toMap
+    assert(m1 == Map("fpA" -> 1L, "fpB" -> 4L, "fpC" -> 7L, "fpD" -> 9L))
+    val again = Dedup.foldBackCorpus(folded, novel).as[(String, Long)].collect().toMap
+    assert(again == m1, "re-folding the same novelty must be a no-op")
+    val lower = Dedup.foldBackCorpus(folded, Seq((2L, "fpB")).toDF("doc_id", "fp"))
+      .as[(String, Long)].collect().toMap
+    assert(lower("fpB") == 2L, "smaller id lowers the keeper (min semantics)")
+    // Round trip with the real operators on a tmp corpus: after folding
+    // d10's novelty back, re-running the incremental stream over the same
+    // batch finds nothing new.
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDocs = Seq((1L, "known text")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "fresh x"), (11L, "fresh y"), (12L, "KNOWN  text"))
+      .toDF("doc_id", "text")
+    val novelty = Dedup.incrementalDedupStream(incoming, corpusDocs)
+      .select($"doc_id", $"fp")
+    val corpus2 = Dedup.foldBackCorpus(
+      Dedup.corpusFingerprints(corpusDocs), novelty)
+    // Re-running the same incoming batch against the folded corpus must
+    // find nothing novel: join through the fingerprints of corpus2.
+    val corpus2Docs = incoming.unionByName(corpusDocs)
+      .join(corpus2.withColumnRenamed("keeper_doc_id", "doc_id"),
+        Seq("doc_id"), "left_semi")
+    assert(Dedup.incrementalDedupStream(incoming, corpus2Docs).count() == 0,
+      "every fingerprint of the folded batch must now be corpus-known")
+  }
+
   test("stream-stream join: facility ⋈ market on (region, 5-min bucket) with dual watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("ALP", "NSW1"), ("BET", "VIC1"))
