@@ -41,8 +41,19 @@ object Kmeans {
   private[graft] def quantize(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * Scale).cast("long"))
 
-  /** Exact integer squared-L2 between two scaled-long arrays. */
+  /** Exact integer squared-L2 between two scaled-long arrays — the
+    * native codegen'd kernel ([[graft.functions.SqDistLong]]): one fused
+    * long loop inside whole-stage codegen instead of per-element
+    * higher-order-function lambdas. Long addition is associative, so it
+    * is bit-identical to [[sqDistComposed]] (FunctionsSpec pins it).
+    */
   private def sqDist(a: Column, b: Column): Column =
+    graft.functions.SqDistLong.sq_dist_long(a, b)
+
+  /** Composed-builtins form — the semantic spec the native expression is
+    * tested bit-identical against.
+    */
+  private[graft] def sqDistComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 

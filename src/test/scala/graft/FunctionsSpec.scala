@@ -27,6 +27,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairs.filter(col("native").isNull).count() == 0)
   }
 
+  test("native sq_dist_long == composed integer squared-L2, incl. edge cases") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), graft.ops.Kmeans.quantize(col("embedding")).as("q"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(5000)
+      .select(
+        graft.functions.SqDistLong.sq_dist_long(col("a.q"), col("b.q")).as("native"),
+        graft.ops.Kmeans.sqDistComposed(col("a.q"), col("b.q")).as("composed"))
+    assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
+    assert(pairs.filter(col("native").isNull).count() == 0)
+    // identical vectors → 0; length mismatch → null (like the composed
+    // zip_with null pad); empty arrays → 0
+    val edge = Seq(
+      (Seq(1L, 2L), Seq(1L, 2L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+      .select(graft.functions.SqDistLong.sq_dist_long($"a", $"b").as("d"))
+      .as[Option[Long]].collect().toSeq
+    assert(edge == Seq(Some(0L), Some(0L)))
+    val mism = Seq((Seq(1L, 2L), Seq(1L)))
+      .toDF("a", "b")
+      .select(graft.functions.SqDistLong.sq_dist_long($"a", $"b").as("d"))
+      .as[Option[Long]].collect().toSeq
+    assert(mism == Seq(None))
+  }
+
   test("hoisted-norm dot-product cosine == fused cosine, bit for bit") {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
