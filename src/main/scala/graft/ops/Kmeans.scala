@@ -114,6 +114,28 @@ object Kmeans {
     lloyd(e, initFrom(e, k), iters)._2
   }
 
+  /** Per-subspace PQ codebook training: one Lloyd's run per subspace
+    * over that subspace's subvectors (layout shared with s4/s5 via
+    * [[Similarity.subvectors]]), seeded like s4's codebook with the
+    * first-k vectors' subvectors. Returns `(sub_idx, cent_id, cv)` in
+    * scaled-long space — [[Similarity.s4PqCodesTrained]] maps it back to
+    * float space and feeds the unchanged assignment operator. The k
+    * subspace runs share the quantized subvector frame; each is the same
+    * bounded-driver-hop iteration as [[lloyd]].
+    */
+  def trainPqCodebooks(s: SparkSession, dir: String,
+      k: Int = 8, iters: Int = Iters): Seq[(Int, Long, Seq[Long])] = {
+    val subs = Similarity.subvectors(s, dir)
+      .select(col("vec_id"), col("sub_idx"), quantize(col("sv")).as("q"))
+    (0 until graft.ops.Similarity.PqSubspaces).flatMap { b =>
+      val e = subs.filter(col("sub_idx") === b)
+        .select(col("vec_id").as("id"), col("q"))
+      val dim = graft.ops.Similarity.PqSubDim
+      val (_, cents) = lloyd(e, initFrom(e, k), iters, dim)
+      cents.map { case (cell, cv) => (b, cell, cv) }
+    }
+  }
+
   /** First-k-vectors init — deterministic, and exactly what s3/s4 use as
     * their fixed codebooks, so trained centroids are a drop-in refinement.
     */

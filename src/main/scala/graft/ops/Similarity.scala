@@ -370,8 +370,8 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("cos_sim"))
   }
 
-  private val PqSubspaces = 4
-  private val PqSubDim = 16 // 64-dim embeddings / 4 subspaces
+  private[ops] val PqSubspaces = 4
+  private[ops] val PqSubDim = 16 // 64-dim embeddings / 4 subspaces
   private val PqCodes = 8
 
   /** s4 — product-quantization code assignment: split each vector into
@@ -388,7 +388,7 @@ object Similarity {
   /** (vec_id, sub_idx, sv): every vector split into its PQ subvectors —
     * the one place the subspace layout is defined.
     */
-  private def subvectors(s: SparkSession, dir: String): DataFrame =
+  private[graft] def subvectors(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"),
@@ -401,9 +401,15 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("sub_idx").as("c_sub"),
         col("sv").as("cv"))
 
-  def s4PqCodes(s: SparkSession, dir: String): DataFrame = {
-    val subs = subvectors(s, dir)
-    val cents = codebook(subs)
+  def s4PqCodes(s: SparkSession, dir: String): DataFrame =
+    s4PqCodesWith(subvectors(s, dir), codebook(subvectors(s, dir)))
+
+  /** The PQ assignment operator proper, codebook pluggable —
+    * `(cent_id, c_sub, cv)` rows, broadcast. The oracled [[s4PqCodes]]
+    * feeds the first-`PqCodes` seed codebook; [[s4PqCodesTrained]] feeds
+    * per-subspace k-means centroids through the same shape.
+    */
+  private[ops] def s4PqCodesWith(subs: DataFrame, cents: DataFrame): DataFrame = {
     val sqDist = aggregate(
       zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
@@ -413,6 +419,21 @@ object Similarity {
       .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("code"))
       .select(col("vec_id"), col("sub_idx").cast("long").as("sub_idx"),
         col("code").as("code"))
+  }
+
+  /** s4 with per-subspace k-means-trained codebooks
+    * ([[Kmeans.trainPqCodebooks]]) — real PQ training instead of the
+    * seed codebook, through the unchanged assignment operator. Spec-
+    * gated (KmeansSpec asserts strictly lower quantization error than
+    * the seed codebook); the oracled s4 pins the operator itself.
+    */
+  def s4PqCodesTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val trained = Kmeans.trainPqCodebooks(s, dir)
+      .map { case (b, cell, cv) =>
+        (cell, b, cv.map(_.toDouble / Kmeans.Scale)) }
+      .toDF("cent_id", "c_sub", "cv")
+    s4PqCodesWith(subvectors(s, dir), trained)
   }
 
   private val PqTopK = 3

@@ -64,6 +64,43 @@ class KmeansSpec extends AnyFunSuite {
     assert(cents != init, "3 Lloyd's rounds must refine the seed centroids")
   }
 
+  test("trained PQ codebooks cut quantization error vs the seed codebook") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Kmeans, Similarity}
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val trained = Kmeans.trainPqCodebooks(s, dir)
+    assert(trained.map(t => (t._1, t._2)).toSet
+      == (for (b <- 0 until 4; c <- 0L until 8L) yield (b, c)).toSet,
+      "8 centroids per subspace, all 4 subspaces")
+    assert(trained.forall(_._3.length == 16))
+    // Quantization error = Σ over (vector, subspace) of the distance to
+    // the nearest codebook entry. Lloyd's can only lower it vs its own
+    // seed (each step is a monotone improvement up to integer flooring).
+    def err(codebook: org.apache.spark.sql.DataFrame): Double = {
+      val subs = Similarity.subvectors(s, dir)
+      subs.join(broadcast(codebook), col("sub_idx") === col("c_sub"))
+        .select(col("vec_id"), col("sub_idx"),
+          aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d"))
+        .groupBy("vec_id", "sub_idx").agg(min("d").as("d"))
+        .agg(sum("d")).as[Double].head()
+    }
+    val seedBook = Similarity.subvectors(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("sub_idx").as("c_sub"),
+        col("sv").as("cv"))
+    val trainedBook = trained
+      .map { case (b, c, cv) => (c, b, cv.map(_.toDouble / Kmeans.Scale)) }
+      .toDF("cent_id", "c_sub", "cv")
+    val (e0, e1) = (err(seedBook), err(trainedBook))
+    assert(e1 < e0, s"training must cut quantization error: seed=$e0 trained=$e1")
+    // The trained assignment flows through the unchanged operator shape.
+    val codes = Similarity.s4PqCodesTrained(s, dir)
+    assert(codes.count() == 2000) // 500 vectors × 4 subspaces
+    assert(codes.agg(max("code")).head().getLong(0) < 8)
+  }
+
   test("s3 consumes trained centroids: same operator shape, top-k per query") {
     import spark.implicits._
     val out = graft.ops.Similarity.s3IvfAnnTrained(spark, "/root/testdata/sf0.001")
