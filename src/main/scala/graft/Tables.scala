@@ -38,6 +38,12 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // df.rdd.getNumPartitions materializes the RDD lineage eagerly to
+    // read the scan's split count — a plan-time side effect (cheap: no
+    // job runs, but the physical plan is built twice). Acceptable while
+    // spread() sits on a handful of hash-heavy operators; if it ever
+    // wraps every query, probe the split count from the FileIndex
+    // instead of the RDD.
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 
@@ -62,4 +68,20 @@ object Tables {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Hive-style partitioned layout (`path/col=value/…`) — the read-side
+    * counterpart to bucketing: a filter on the partition column prunes
+    * whole directories at PLANNING time (`PartitionFilters` on the scan,
+    * zero I/O for excluded partitions), which is how a 100 TB table
+    * answers a one-day query by reading one day. Partition by low-
+    * cardinality, always-filtered columns (date, region); high-
+    * cardinality keys belong in buckets — a million tiny directories is
+    * its own scaling failure (PartitioningSpec pins both the pruned plan
+    * and the file-level behavior).
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write
+      .partitionBy(cols: _*)
+      .mode("overwrite")
+      .parquet(path)
 }
