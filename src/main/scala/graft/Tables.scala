@@ -47,27 +47,9 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
   }
 
-  /** Write `df` as a bucketed (and per-bucket sorted) catalog table —
-    * the storage-layout half of shuffle elimination: two tables bucketed
-    * on the same key with the same bucket count join WITHOUT any
-    * exchange (each bucket pair streams through a sort-merge join), and
-    * a `groupBy` on the bucket key skips its shuffle too. This is the
-    * fact-⋈-fact answer at 100 TB, where neither side broadcasts and a
-    * repeated join key makes the per-query shuffle the dominant cost:
-    * pay one bucketed write, then every subsequent join/agg on that key
-    * is exchange-free (BucketingSpec pins the plan). Spark buckets by
-    * `hash(key) mod n` at write time; the sortBy makes the merge side
-    * sort-free on read.
-    */
-  def writeBucketed(df: DataFrame, table: String, path: String,
-      buckets: Int, key: String): Unit =
-    df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .option("path", path)
-      .mode("overwrite")
-      .format("parquet")
-      .saveAsTable(table)
+  // Bucketed (write-time pre-shuffled) tables live in
+  // [[graft.sources.Bucketed]] — BucketedSpec pins the exchange-free
+  // fact-fact join and the bucket-count-mismatch fallback.
 
   /** Hive-style partitioned layout (`path/col=value/…`) — the read-side
     * counterpart to bucketing: a filter on the partition column prunes

@@ -44,4 +44,31 @@ class BucketedSpec extends AnyFunSuite {
       Bucketed.drop(spark, "ord_b")
     }
   }
+
+  test("mismatched bucket counts fall back to a correct join (no silent wrong answers)") {
+    val base = Files.createTempDirectory("bucketed2").toString
+    Bucketed.write(
+      Tables.load(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      "ord_b8", s"$base/o8", "o_custkey", 8)
+    Bucketed.write(
+      Tables.load(spark, dir, "customer").select(col("c_custkey")),
+      "cust_b4", s"$base/c4", "c_custkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 8 vs 4 buckets: Spark shuffles one side or coalesces buckets —
+      // either way the join result must match the plain shuffled join.
+      val joined = spark.table("ord_b8")
+        .join(spark.table("cust_b4"), col("o_custkey") === col("c_custkey"))
+      val plain = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(spark, dir, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"))
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Bucketed.drop(spark, "ord_b8")
+      Bucketed.drop(spark, "cust_b4")
+    }
+  }
 }
