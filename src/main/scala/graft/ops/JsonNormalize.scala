@@ -48,6 +48,10 @@ object JsonNormalize {
     * top-level columns: `payload.meta.lang` → `payload_meta_lang`.
     * Arrays and scalars pass through under their flattened name. Pure
     * projection — one pass of column rewrites, no data movement.
+    * Caveat: a pre-existing column literally named like a flattened
+    * path (`payload_a` next to `payload.a`) would collide — Spark
+    * allows duplicate output names, and downstream by-name resolution
+    * then fails with AMBIGUOUS_REFERENCE (loud, not silent).
     */
   def flatten(df: DataFrame): DataFrame = {
     def cols(prefix: String, c: Column, t: org.apache.spark.sql.types.DataType): Seq[(String, Column)] =

@@ -401,8 +401,10 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("sub_idx").as("c_sub"),
         col("sv").as("cv"))
 
-  def s4PqCodes(s: SparkSession, dir: String): DataFrame =
-    s4PqCodesWith(subvectors(s, dir), codebook(subvectors(s, dir)))
+  def s4PqCodes(s: SparkSession, dir: String): DataFrame = {
+    val subs = subvectors(s, dir)
+    s4PqCodesWith(subs, codebook(subs))
+  }
 
   /** The PQ assignment operator proper, codebook pluggable —
     * `(cent_id, c_sub, cv)` rows, broadcast. The oracled [[s4PqCodes]]

@@ -675,7 +675,36 @@ object Relational {
     c.unionByName(su, allowMissingColumns = true)
   }
 
+  /** q53 — distribution ranks: per-user `ntile` quartile, `percent_rank`
+    * and `cume_dist` over the event timeline — the remaining analytic
+    * window surface beyond lag (q33) / row_number top-k (q41) / running
+    * sums (q43).
+    *
+    * Determinism: the order key `(ts, event_id)` is unique per user, so
+    * rank == row position and peer groups are singletons; percent_rank
+    * and cume_dist are then single IEEE divisions of identical integers
+    * in both engines — emitted UNROUNDED (a round() could sit on a
+    * terminating-decimal tie; the raw doubles are bit-identical).
+    *
+    * Scale: the partition key is user_id (high cardinality) — each
+    * window partition is one user's events, so no giant-partition sort
+    * task. Per-key full ranking over a LOW-cardinality key would be the
+    * classic window bottleneck; that shape is deliberately absent (q41's
+    * WindowGroupLimit covers bounded per-key ranking).
+    */
+  def q53DistRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("user_id"), col("event_id"), col("quartile"),
+        col("pct_rank"), col("cume"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_dist_ranks" -> q53DistRanks,
     "q51_date_arith" -> q51DateArith,
     "q52_union_evolved" -> q52UnionEvolved,
     "q50_grouping_sets" -> q50GroupingSets,
@@ -945,6 +974,13 @@ object Relational {
         |UNION ALL
         |SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier'
         |FROM supplier""".stripMargin,
+    "q53_dist_ranks" ->
+      """SELECT user_id, event_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q50_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt,

@@ -155,4 +155,24 @@ class PlanChecksSpec extends AnyFunSuite {
     val p = plan("q2_filter_project")
     assert(p.contains("codegen id"), "no WholeStageCodegen spans in q2")
   }
+
+  test("s7: final assignment runs the native distance kernel inside one " +
+    "partial+final aggregation — no HOF lambdas, one shuffle") {
+    val p = plan("s7_kmeans_assign")
+    // The corpus×centroid distance must be the codegen'd expression, not
+    // the aggregate(zip_with(…)) lambda chain (HOFs evaluate outside
+    // whole-stage codegen — the reason sq_dist_long exists).
+    assert(p.contains("sq_dist_long"), s"native kernel missing:\n${p.take(800)}")
+    assert(!p.contains("zip_with"), "HOF lambda leaked back into the kernel")
+    // min_by argmin = partial+final aggregation pair over ONE agg
+    // exchange; centroids arrive via broadcast (no join shuffle). The
+    // second exchange is `spread`'s round-robin, which exists only
+    // because the fixture parquet is a single row group.
+    assert("- Exchange".r.findAllIn(p).length <= 2,
+      s"unexpected extra shuffle:\n${p.take(800)}")
+    assert("- SortAggregate".r.findAllIn(p).length == 2 ||
+      "- HashAggregate".r.findAllIn(p).length == 2 ||
+      "- ObjectHashAggregate".r.findAllIn(p).length == 2,
+      s"argmin must be a partial+final pair:\n${p.take(800)}")
+  }
 }
