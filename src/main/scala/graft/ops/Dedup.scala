@@ -476,6 +476,14 @@ object Dedup {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** d6 as a frame-level operator: the corpus fingerprint set
+    * `(fp, keeper_doc_id)` of any `(doc_id, text)` frame — the input
+    * shape [[foldBackCorpus]] maintains.
+    */
+  def corpusFingerprints(docs: DataFrame): DataFrame =
+    docs.groupBy(normFp(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"))
+
   /** Compaction: fold emitted novel fingerprints back into the corpus
     * fingerprint set — the third leg of the incremental-dedup story
     * (d10 finds novelty against a corpus; the stream suppresses
@@ -490,14 +498,6 @@ object Dedup {
     * keeps d6/d10 keeper semantics (smallest doc_id wins) even if a
     * later fold carries a smaller id for an existing fingerprint.
     */
-  /** d6 as a frame-level operator: the corpus fingerprint set
-    * `(fp, keeper_doc_id)` of any `(doc_id, text)` frame — the input
-    * shape [[foldBackCorpus]] maintains.
-    */
-  def corpusFingerprints(docs: DataFrame): DataFrame =
-    docs.groupBy(normFp(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("keeper_doc_id"))
-
   def foldBackCorpus(corpusFps: DataFrame, novel: DataFrame): DataFrame =
     corpusFps.select(col("fp"), col("keeper_doc_id"))
       .unionByName(novel.select(col("fp"), col("doc_id").as("keeper_doc_id")))

@@ -48,10 +48,15 @@ object JsonNormalize {
     * top-level columns: `payload.meta.lang` → `payload_meta_lang`.
     * Arrays and scalars pass through under their flattened name. Pure
     * projection — one pass of column rewrites, no data movement.
-    * Caveat: a pre-existing column literally named like a flattened
-    * path (`payload_a` next to `payload.a`) would collide — Spark
-    * allows duplicate output names, and downstream by-name resolution
-    * then fails with AMBIGUOUS_REFERENCE (loud, not silent).
+    * Caveat: the `_` separator can collide two DISTINCT paths — a
+    * pre-existing column literally named like a flattened path
+    * (`payload_a` next to `payload.a`), or sibling nested paths whose
+    * names contain underscores (`payload.a_b` and `payload.a.b` both
+    * flatten to `payload_a_b`). Spark allows duplicate output names, so
+    * the flatten itself succeeds; downstream by-name resolution then
+    * fails with AMBIGUOUS_REFERENCE (loud, not silent). Payload schemas
+    * that mix underscore and nesting conventions need a collision-free
+    * separator chosen by the caller (rename before flattening).
     */
   def flatten(df: DataFrame): DataFrame = {
     def cols(prefix: String, c: Column, t: org.apache.spark.sql.types.DataType): Seq[(String, Column)] =

@@ -85,7 +85,11 @@ object Multimodal {
         val long = math.max(w, h)
         if (long <= maxSide) payload
         else {
-          val (tw, th) = ((w * maxSide / long).toInt, (h * maxSide / long).toInt)
+          // max(1, …): an extreme aspect ratio (2000×1 at maxSide 256)
+          // floors the short side to 0, and a 0-dim BufferedImage throws —
+          // which the not-an-image catch below would silently misroute.
+          val (tw, th) = (math.max(1L, w * maxSide / long).toInt,
+            math.max(1L, h * maxSide / long).toInt)
           val out = new java.awt.image.BufferedImage(
             tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = out.createGraphics()

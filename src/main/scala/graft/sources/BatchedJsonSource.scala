@@ -146,8 +146,18 @@ private class BatchReaderFactory(retry: RetryConf) extends PartitionReaderFactor
 
       private def fetchOnce(): Seq[String] = {
         if (retry.injectFailures > 0) {
-          val n = BatchedJsonSource.injectedFailures
-            .merge(s"${retry.scanId}:${p.file}", 1, (a, b) => a + b)
+          // Size cap instead of per-scan eviction: counters must outlive
+          // the read (they suppress re-injection on later actions of the
+          // same scan), so the only safe reclaim is dropping OTHER scans'
+          // entries once the map gets large — a long-dormant DataFrame
+          // re-executed after 4096 newer injection scans re-injects,
+          // which a test harness (the only user of this option) accepts.
+          val m = BatchedJsonSource.injectedFailures
+          if (m.size > 4096) {
+            val prefix = s"${retry.scanId}:"
+            m.keySet.removeIf(k => !k.startsWith(prefix))
+          }
+          val n = m.merge(s"${retry.scanId}:${p.file}", 1, (a, b) => a + b)
           if (n <= retry.injectFailures)
             throw new IOException(s"injected failure $n for ${p.file}")
         }
@@ -159,13 +169,11 @@ private class BatchReaderFactory(retry: RetryConf) extends PartitionReaderFactor
       }
       override def get(): InternalRow =
         InternalRow(p.batchId, UTF8String.fromString(current))
-      // Drop this partition's injection counter once the read finishes:
-      // scan ids are fresh per `.load()`, so the entry is never consulted
-      // again and keeping it would grow the per-JVM map without bound in
-      // a long-lived JVM that keeps injecting failures.
-      override def close(): Unit =
-        if (retry.injectFailures > 0)
-          BatchedJsonSource.injectedFailures.remove(s"${retry.scanId}:${p.file}")
+      // NOT evicted on close: the exhausted counter is what stops a
+      // SECOND action on the same loaded DataFrame (same scanId) from
+      // re-injecting its failure budget — removal here would re-arm it.
+      // Unbounded growth is handled by the size cap in fetchOnce.
+      override def close(): Unit = ()
     }
   }
 }

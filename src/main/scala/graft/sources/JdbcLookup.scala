@@ -45,12 +45,6 @@ object JdbcLookup {
   def readLookup(spark: SparkSession, url: String): DataFrame =
     read(spark, url, LookupTable)
 
-  /** Resolve this batch's misses against the upstream registry and
-    * append the found facilities to the lookup, idempotently. Returns
-    * the number of rows inserted (0 when every miss is unknown upstream
-    * too — those stay on the dead-letter side channel, exactly the
-    * reference's not-in-NGER path).
-    */
   /** Hard ceiling on distinct miss ids resolved per batch. A healthy
     * batch has a handful of unknown facilities; hitting this means the
     * batch is poisoned or misrouted (every event carrying a distinct
@@ -61,6 +55,12 @@ object JdbcLookup {
     */
   val MaxMissesPerBatch = 10000
 
+  /** Resolve this batch's misses against the upstream registry and
+    * append the found facilities to the lookup, idempotently. Returns
+    * the number of rows inserted (0 when every miss is unknown upstream
+    * too — those stay on the dead-letter side channel, exactly the
+    * reference's not-in-NGER path).
+    */
   def resolveMisses(spark: SparkSession, url: String, misses: DataFrame): Long = {
     // Bounded driver collect: distinct unknown facility ids of ONE batch,
     // null-free (a null id can't be looked up and would NPE the map),

@@ -69,5 +69,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeImage(small, 256L).get.sameElements(small),
       "already-fitting image must pass through byte-identical")
     assert(Multimodal.resizeImage("garbage".getBytes("UTF-8"), 256L).isEmpty)
+    // Extreme aspect ratio: the short side floors to 0 in the integer
+    // math and must clamp to 1, not crash (or worse, misroute a valid
+    // image to None through the not-an-image catch).
+    val banner = encode(2000, 1, "png")
+    val bm = Multimodal.decodeImage(0L, Multimodal.resizeImage(banner, 256L).get).get
+    assert((bm.width, bm.height) == (256L, 1L), s"got ${(bm.width, bm.height)}")
   }
 }

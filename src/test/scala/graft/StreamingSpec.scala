@@ -218,16 +218,22 @@ class StreamingSpec extends AnyFunSuite {
         in.addData((5L, "FRESH  a"), (12L, "fresh b"), (7L, "fresh c"))
         q.processAllAvailable()
         // Latest emission per fp == smallest emission (keepers only ever
-        // revise downward) — compare against the batch-d10 semantics
-        // computed directly: min doc_id per fp, corpus fps excluded.
+        // revise downward) — compare the FULL fp→keeper map against the
+        // batch-d10 semantics computed by the batch operator itself
+        // (corpusFingerprints = min doc_id per normalized fingerprint)
+        // over the replayed input minus corpus-known texts, so swapped
+        // keepers across fingerprints cannot pass.
         val streamKeepers = spark.table("keeper_t")
           .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
           .select($"fp", $"doc_id").as[(String, Long)].collect().toMap
-        val batchKeepers = Map( // min id per novel text: a→5, b→12, c→7
-          "fresh a" -> 5L, "fresh b" -> 12L, "fresh c" -> 7L)
-        assert(streamKeepers.values.toSet == batchKeepers.values.toSet,
-          s"stream keepers must match d10 min-id keepers: $streamKeepers")
-        assert(streamKeepers.size == 3, "corpus-known fp must never emit")
+        val batchKeepers = Dedup.corpusFingerprints(Seq(
+            (10L, "fresh a"), (12L, "fresh b"),
+            (5L, "FRESH  a"), (12L, "fresh b"), (7L, "fresh c"))
+            .toDF("doc_id", "text"))
+          .as[(String, Long)].collect().toMap
+        assert(streamKeepers == batchKeepers,
+          s"stream keepers must match d10 min-id keepers per fingerprint:" +
+            s" $streamKeepers vs $batchKeepers")
         // The revision stream itself: fp(a) must have emitted 10 then 5.
         val aEmits = spark.table("keeper_t")
           .select($"doc_id").as[Long].collect().toSet
