@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * bit-identical to the composed form by construction (FunctionsSpec
   * pins it) — swapping implementations cannot move the oracle hash.
   *
-  * Mismatched lengths yield null (as the composed form's zip_with null
-  * pad poisons the fold). Overflow is NOT ANSI-checked (plain Java long
-  * arithmetic): callers feed quantized embeddings whose component deltas
-  * are ≤ ~2·10⁶, i.e. ~2⁴² per 64-dim sum — 20 bits of headroom.
+  * Mismatched lengths and null ELEMENTS yield null (as the composed
+  * form: zip_with's null pad — or a null component — poisons the fold;
+  * ArrayData.getLong would silently read a null slot as 0, which is
+  * exactly the divergence the null checks below exist to prevent).
+  * Overflow is NOT ANSI-checked (plain Java long arithmetic): callers
+  * feed quantized embeddings whose component deltas are ≤ ~2·10⁶, i.e.
+  * ~2⁴² per 64-dim sum — 20 bits of headroom.
   */
 case class SqDistLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,6 +50,7 @@ case class SqDistLong(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getLong(i) - y.getLong(i)
       acc += d * d
       i += 1
@@ -67,10 +71,11 @@ case class SqDistLong(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    long $d = $a.getLong($i) - $b.getLong($i);
          |    $acc += $d * $d;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

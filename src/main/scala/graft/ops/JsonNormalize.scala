@@ -37,9 +37,13 @@ object JsonNormalize {
       samplingRatio: Double = 1.0): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
+    // Null payloads are routine (optional event blobs) and must not
+    // poison inference: the json reader NPEs on a null input string,
+    // while from_json below handles null rows fine — so nulls are
+    // excluded from the inference pass only.
     val schema = s.read
       .option("samplingRatio", samplingRatio.toString)
-      .json(df.select(col(jsonCol)).as[String])
+      .json(df.select(col(jsonCol)).filter(col(jsonCol).isNotNull).as[String])
       .schema
     df.withColumn(jsonCol, from_json(col(jsonCol), schema))
   }

@@ -125,15 +125,26 @@ object Kmeans {
     */
   def trainPqCodebooks(s: SparkSession, dir: String,
       k: Int = 8, iters: Int = Iters): Seq[(Int, Long, Seq[Long])] = {
+    // Persisted once: the 4 subspace runs each drive ~iters+2 actions
+    // (init collect, per-round stats, final assign), and every action
+    // would otherwise re-scan the parquet AND re-execute the subvector
+    // explode+quantize — ~20 redundant recomputes per training call.
+    // (s7's flat corpus is deliberately NOT cached: one scan per round
+    // is the textbook k-means cost and caching a 100 TB corpus is not a
+    // plan — the exploded subvector frame here is derived work worth
+    // keeping for the bounded training window.)
     val subs = Similarity.subvectors(s, dir)
       .select(col("vec_id"), col("sub_idx"), quantize(col("sv")).as("q"))
-    (0 until graft.ops.Similarity.PqSubspaces).flatMap { b =>
-      val e = subs.filter(col("sub_idx") === b)
-        .select(col("vec_id").as("id"), col("q"))
-      val dim = graft.ops.Similarity.PqSubDim
-      val (_, cents) = lloyd(e, initFrom(e, k), iters, dim)
-      cents.map { case (cell, cv) => (b, cell, cv) }
-    }
+      .persist()
+    try {
+      (0 until graft.ops.Similarity.PqSubspaces).flatMap { b =>
+        val e = subs.filter(col("sub_idx") === b)
+          .select(col("vec_id").as("id"), col("q"))
+        val dim = graft.ops.Similarity.PqSubDim
+        val (_, cents) = lloyd(e, initFrom(e, k), iters, dim)
+        cents.map { case (cell, cv) => (b, cell, cv) }
+      }
+    } finally subs.unpersist()
   }
 
   /** First-k-vectors init — deterministic, and exactly what s3/s4 use as

@@ -34,22 +34,65 @@ object Multimodal {
       doc_id: Long, width: Long, height: Long, n_frames: Long,
       payload_bytes: Long)
 
+  /** Formats the live decode accepts. Deliberately NOT "whatever
+    * ImageIO finds a reader for": the JDK's WBMP reader has no magic
+    * number and accepts near-arbitrary bytes starting 0x00 0x00, which
+    * would mis-decode random binary (video containers, ciphertext) into
+    * fabricated dimensions instead of routing it to the stub branch.
+    */
+  private val AllowedFormats = Set("png", "jpeg", "gif", "bmp")
+
+  /** Pixel-count ceiling (≈256 MB of ARGB). Image headers are untrusted
+    * input: dimensions are read from the READER (header metadata) and
+    * checked BEFORE `read()` allocates the pixel buffer — otherwise a
+    * corrupt/adversarial header claiming 60000×60000 turns into a
+    * multi-GB allocation and an executor-killing OutOfMemoryError that
+    * no catch can make safe.
+    */
+  private val MaxPixels = 64L * 1024 * 1024
+
+  /** Guarded ImageIO read shared by decode and resize: format
+    * allowlist, header-dimension cap, memory-backed input stream (the
+    * default ImageIO path creates and deletes a DISK cache temp file
+    * per call — pure per-row I/O overhead in the m1/m3 hot path).
+    */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          if (!AllowedFormats.contains(
+              reader.getFormatName.toLowerCase(java.util.Locale.ROOT))) None
+          else {
+            reader.setInput(iis)
+            val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+            if (w <= 0 || h <= 0 || w * h > MaxPixels) None
+            else Option(reader.read(0))
+          }
+        } finally reader.dispose()
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+    finally iis.close()
+  }
+
   /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP — the
     * codecs every JVM ships; no external libraries). Returns None when
-    * the payload isn't a decodable image: ImageIO answers null for an
-    * unrecognized container, and a recognized-but-corrupt stream throws
-    * — both mean "not an image" here. Still images report one frame.
+    * the payload isn't a decodable image under [[readImage]]'s guards:
+    * no confident reader, disallowed format, implausible header
+    * dimensions, or a recognized-but-corrupt stream — all mean "not an
+    * image" here. Still images report one frame.
     */
   private[graft] def decodeImage(docId: Long, payload: Array[Byte]): Option[MediaMeta] =
-    try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-        .map(img => MediaMeta(
-          doc_id = docId,
-          width = img.getWidth.toLong,
-          height = img.getHeight.toLong,
-          n_frames = 1L,
-          payload_bytes = payload.length.toLong))
-    } catch { case _: java.io.IOException | _: RuntimeException => None }
+    readImage(payload).map(img => MediaMeta(
+      doc_id = docId,
+      width = img.getWidth.toLong,
+      height = img.getHeight.toLong,
+      n_frames = 1L,
+      payload_bytes = payload.length.toLong))
 
   /** STUB — stands in for decoding formats the JVM has no codec for
     * (video, audio). Deterministic function of the payload's md5 so
@@ -80,7 +123,7 @@ object Multimodal {
     */
   private[graft] def resizeImage(payload: Array[Byte], maxSide: Long): Option[Array[Byte]] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+      readImage(payload).map { img =>
         val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
         val long = math.max(w, h)
         if (long <= maxSide) payload

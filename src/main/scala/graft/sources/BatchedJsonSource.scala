@@ -146,20 +146,21 @@ private class BatchReaderFactory(retry: RetryConf) extends PartitionReaderFactor
 
       private def fetchOnce(): Seq[String] = {
         if (retry.injectFailures > 0) {
-          // Size cap instead of per-scan eviction: counters must outlive
-          // the read (they suppress re-injection on later actions of the
-          // same scan), so the only safe reclaim is dropping OTHER scans'
-          // entries once the map gets large — a long-dormant DataFrame
-          // re-executed after 4096 newer injection scans re-injects,
-          // which a test harness (the only user of this option) accepts.
+          // Fail-open size cap: counters must outlive the read (they
+          // suppress re-injection on later actions of the same scan),
+          // and evicting OTHER scans' entries would re-arm injection on
+          // concurrently-active scans mid-query — so nothing is ever
+          // removed; instead, once the map is at capacity, NEW
+          // (scan, file) pairs simply stop injecting. Bounded memory; a
+          // JVM past 4096 injection pairs is a test harness that has
+          // long since exercised its failure paths.
           val m = BatchedJsonSource.injectedFailures
-          if (m.size > 4096) {
-            val prefix = s"${retry.scanId}:"
-            m.keySet.removeIf(k => !k.startsWith(prefix))
+          val key = s"${retry.scanId}:${p.file}"
+          if (m.containsKey(key) || m.size < 4096) {
+            val n = m.merge(key, 1, (a, b) => a + b)
+            if (n <= retry.injectFailures)
+              throw new IOException(s"injected failure $n for ${p.file}")
           }
-          val n = m.merge(s"${retry.scanId}:${p.file}", 1, (a, b) => a + b)
-          if (n <= retry.injectFailures)
-            throw new IOException(s"injected failure $n for ${p.file}")
         }
         Files.readAllLines(Path.of(p.file), StandardCharsets.UTF_8).asScala.toSeq
       }

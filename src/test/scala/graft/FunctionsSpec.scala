@@ -51,6 +51,18 @@ class FunctionsSpec extends AnyFunSuite {
       .select(graft.functions.SqDistLong.sq_dist_long($"a", $"b").as("d"))
       .as[Option[Long]].collect().toSeq
     assert(mism == Seq(None))
+    // Null ELEMENTS poison the distance to null, exactly like the
+    // composed zip_with fold — ArrayData.getLong would silently read a
+    // null slot as 0 without the explicit per-element checks.
+    val withNulls = Seq(
+      (Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(2L), Some(3L))),
+      (Seq(Some(1L), Some(2L)), Seq(Some(4L), Some(6L))))
+      .toDF("a", "b")
+      .select(
+        graft.functions.SqDistLong.sq_dist_long($"a", $"b").as("native"),
+        graft.ops.Kmeans.sqDistComposed($"a", $"b").as("composed"))
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    assert(withNulls == Seq((None, None), (Some(25L), Some(25L))))
   }
 
   test("hoisted-norm dot-product cosine == fused cosine, bit for bit") {

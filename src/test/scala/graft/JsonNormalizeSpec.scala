@@ -55,6 +55,18 @@ class JsonNormalizeSpec extends AnyFunSuite {
       s"doc 1 explodes to 2 rows, empty/absent arrays keep one null row: $skus")
   }
 
+  test("null payloads survive: skipped by inference, decoded to null row") {
+    val tmp = java.nio.file.Files.createTempDirectory("jsonnull").toString
+    Seq((1L, """{"a": 1}"""), (2L, null: String))
+      .toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(s"$tmp/raw")
+    val out = JsonNormalize.normalize(spark.read.parquet(s"$tmp/raw"), "payload")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("payload_a") == 1L)
+    assert(out(1).isNullAt(out(1).fieldIndex("payload_a")),
+      "null payload must flatten to null fields, not fail inference")
+  }
+
   test("scalar-array explode passes through; flatten is a no-op on flat frames") {
     val flatIn = Seq((1L, "x")).toDF("id", "v")
     assert(JsonNormalize.flatten(flatIn).columns.toSeq == Seq("id", "v"))

@@ -45,6 +45,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(4L, broken) == Multimodal.decodeStub(4L, broken))
   }
 
+  test("magicless WBMP bytes take the stub, not a fabricated decode") {
+    // The JDK's WBMP reader has no magic number and accepts arbitrary
+    // bytes starting 0x00 0x00 — exactly what raw binary/video payloads
+    // can look like. The format allowlist must route these to the stub.
+    val wbmpish = Array[Byte](0, 0, 0x18, 0x18) ++ Array.fill[Byte](128)(0x55)
+    assert(Multimodal.decodeImage(5L, wbmpish).isEmpty,
+      "WBMP-shaped binary must not decode as an image")
+    assert(Multimodal.decode(5L, wbmpish) == Multimodal.decodeStub(5L, wbmpish))
+  }
+
+  test("header-claimed huge dimensions are rejected before allocation") {
+    // Patch a valid PNG's IHDR to claim 60000x60000 (and fix the CRC):
+    // the reader reports the header dims, the pixel-count cap must
+    // reject BEFORE read() allocates a multi-GB buffer.
+    val png = encode(32, 32, "png")
+    def putInt(arr: Array[Byte], off: Int, v: Int): Unit = {
+      arr(off) = (v >>> 24).toByte; arr(off + 1) = (v >>> 16).toByte
+      arr(off + 2) = (v >>> 8).toByte; arr(off + 3) = v.toByte
+    }
+    val huge = png.clone()
+    putInt(huge, 16, 60000) // IHDR width  (bytes 16-19)
+    putInt(huge, 20, 60000) // IHDR height (bytes 20-23)
+    val crc = new java.util.zip.CRC32()
+    crc.update(huge, 12, 17) // chunk type "IHDR" + 13 data bytes
+    putInt(huge, 29, crc.getValue.toInt)
+    assert(Multimodal.decodeImage(6L, huge).isEmpty,
+      "60000x60000 header must be rejected by the pixel cap")
+    assert(Multimodal.resizeImage(huge, 256L).isEmpty)
+  }
+
   test("decodeMeta routes mixed payloads per-row: live dims for images, stub for the rest") {
     import spark.implicits._
     val textBytes = "plain text payload".getBytes("UTF-8")
