@@ -155,10 +155,13 @@ object Functions {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expr(a), Bridge.expr(b)))
 
-  /** Register `cosine_sim` for SQL use in an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register the native functions for SQL use in an existing session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq_dist_long", exprs => SqDistLong(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
@@ -172,6 +175,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sq_dist_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SqDistLong].getName, "sq_dist_long"),
+      (exprs: Seq[Expression]) => SqDistLong(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SingleElementOverlapToContains)
   }
 }

@@ -47,6 +47,15 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("injectFunction: sq_dist_long resolves in SQL with exact integer result") {
+    withExtensionSession { ext =>
+      val row = ext.sql(
+        "SELECT sq_dist_long(array(1L, 2L, 3L), array(4L, 6L, 3L)) AS d")
+        .collect()(0)
+      assert(row.getLong(0) == 25L) // 3² + 4² + 0²
+    }
+  }
+
   test("injectOptimizerRule: single-element arrays_overlap rewrites to array_contains") {
     withExtensionSession { ext =>
       // Parquet-backed scan: a local relation would constant-fold the
