@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ops.Kmeans.queries ++
       graft.ops.Multimodal.queries ++
       graft.ops.AsOf.queries ++
+      graft.ops.Scd.queries ++
       graft.ops.Sampling.queries ++
       graft.ops.RangeJoin.queries
 
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.ops.Kmeans.oracle ++
       graft.ops.Multimodal.oracle ++
       graft.ops.AsOf.oracle ++
+      graft.ops.Scd.oracle ++
       graft.ops.Sampling.oracle ++
       graft.ops.RangeJoin.oracle
 }

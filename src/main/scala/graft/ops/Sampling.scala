@@ -51,9 +51,47 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q55 — deterministic weighted pick: one winner per source stratum,
+    * chosen with probability ~proportional to an integer quality weight
+    * (here `1 + n_chars div 100`, capped) — the mixture-sampling shape a
+    * training pipeline uses to over-represent higher-quality documents
+    * while staying reproducible.
+    *
+    * Mechanism: each document gets `w` tickets, each ticket hashes to
+    * md5(doc_id ':' ticket), and the stratum winner is the minimum hash
+    * (ties broken by doc_id — unreachable for md5 but stated). More
+    * tickets → proportionally more chances to hold the minimum. Like
+    * q38/q39 this is a pure function of the data: stable across runs,
+    * engines, partitionings and cluster sizes, unlike rand()-weighted
+    * reservoirs.
+    *
+    * Scale: the ticket explode is bounded by the weight cap (≤8×), the
+    * min(struct) aggregate is map-side partial (each task forwards ONE
+    * candidate per stratum), so the shuffle carries #partitions×#strata
+    * tiny rows regardless of corpus size. `div` vs `//`: n_chars ≥ 0 so
+    * truncating and flooring division agree (the q40 negative-operand
+    * caveat doesn't apply).
+    */
+  def q55WeightedPick(s: SparkSession, dir: String): DataFrame =
+    weightedPick(load(s, dir, "documents"), "source", "doc_id",
+      least(lit(8L), lit(1L) + expr("n_chars div 100")))
+
+  /** Core of q55: min-ticket-hash winner per stratum. `weight` must be a
+    * positive integral Column (≤ some small cap — it multiplies rows).
+    */
+  def weightedPick(df: DataFrame, stratum: String, id: String,
+      weight: Column): DataFrame =
+    df.select(col(stratum), col(id), explode(sequence(lit(1L), weight)).as("t"))
+      .withColumn("h",
+        md5(concat(col(id).cast("string"), lit(":"), col("t").cast("string"))))
+      .groupBy(stratum)
+      .agg(min(struct(col("h"), col(id))).as("m"))
+      .select(col(stratum), col(s"m.$id").as("picked"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_hash_sample" -> q38HashSample,
-    "q39_split_assign" -> q39SplitAssign)
+    "q39_split_assign" -> q39SplitAssign,
+    "q55_weighted_pick" -> q55WeightedPick)
 
   private val hSql = "substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)"
 
@@ -67,5 +105,16 @@ object Sampling {
          |       WHEN $hSql < 'e' THEN 'val'
          |       ELSE 'test' END AS split,
          |  count(*) AS n_docs
-         |FROM documents GROUP BY 1, 2""".stripMargin)
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // Independent formulation: lateral ticket unnest + window rank
+    // instead of explode + min(struct).
+    "q55_weighted_pick" ->
+      """SELECT source, doc_id AS picked FROM (
+        |  SELECT d.source, d.doc_id,
+        |         row_number() OVER (PARTITION BY d.source
+        |           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(t.t AS VARCHAR)),
+        |                    d.doc_id) AS rn
+        |  FROM documents d,
+        |       UNNEST(range(1, CAST(1 + least(8, 1 + d.n_chars // 100) AS BIGINT))) AS t(t)
+        |) WHERE rn = 1""".stripMargin)
 }

@@ -13,6 +13,9 @@ object SparkTest {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Keep saveAsTable output (BucketedSpec) under target/ so test
+      // runs never litter the repo root with spark-warehouse/.
+      .config("spark.sql.warehouse.dir", "target/test-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
