@@ -703,7 +703,48 @@ object Relational {
         col("pct_rank"), col("cume"))
   }
 
+  /** q56 — cohort retention matrix: users bucketed by first-signup day,
+    * counted on each later day-offset they were active — the standard
+    * "day-N retention" table. Shape at scale: one per-user min (hash
+    * agg), one (user, day) distinct (hash agg), one broadcast join of
+    * the per-user cohort dim built from the fact itself, one final
+    * count — no windows, no per-user sort. After the (user, day)
+    * distinct each user contributes at most one row per offset, so a
+    * plain count(*) IS the distinct-user count (no count-distinct
+    * needed).
+    */
+  def q56Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val day = expr("ts div 86400000000000") // epoch-day from epoch-nanos
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(day).as("cohort_day"))
+    val activeDays = ev.select(col("user_id"), day.as("day")).distinct()
+    activeDays.join(broadcast(cohorts), "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** q57 — hopping (sliding) windows in batch: 10-minute windows every
+    * 5 minutes, so each event lands in exactly 2 overlapping windows.
+    * Completes the window-type family (q7 tumbling, q28 trailing, q32
+    * session). The overlap factor is materialized as a bounded explode
+    * (k ∈ {0,1}) feeding ONE partial+final hash agg — the batch analog
+    * of Structured Streaming's multi-window assignment, linear in
+    * events × overlap. Money sums in integer cents (q43's rule:
+    * cross-engine double partial sums are merge-order-sensitive).
+    */
+  def q57HopWindow(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(expr("ts div 1000000000").as("t_s"), col("value"),
+        explode(sequence(lit(0L), lit(1L))).as("k"))
+      .groupBy(expr("((t_s div 300) - k) * 300").as("window_start_s"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_retention" -> q56Retention,
+    "q57_hop_window" -> q57HopWindow,
     "q53_dist_ranks" -> q53DistRanks,
     "q51_date_arith" -> q51DateArith,
     "q52_union_evolved" -> q52UnionEvolved,
@@ -764,6 +805,28 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    // epoch_ns sees µs-truncated values (DuckDB coerces TIMESTAMP_NS on
+    // read) but day/second floor-division is unaffected: boundaries sit
+    // on whole µs, and truncation never crosses one.
+    "q56_retention" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_ns(ts) // 86400000000000) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events
+        |)
+        |SELECT s.cohort_day, a.day - s.cohort_day AS day_offset,
+        |       count(*) AS n_users
+        |FROM act a JOIN su s USING (user_id)
+        |WHERE a.day >= s.cohort_day
+        |GROUP BY 1, 2""".stripMargin,
+    "q57_hop_window" ->
+      """SELECT (((epoch_ns(ts) // 1000000000) // 300) - k.k) * 300 AS window_start_s,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events, UNNEST(range(0, 2)) AS k(k)
+        |GROUP BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

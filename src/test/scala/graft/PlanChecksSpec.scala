@@ -175,4 +175,16 @@ class PlanChecksSpec extends AnyFunSuite {
       "- ObjectHashAggregate".r.findAllIn(p).length == 2,
       s"argmin must be a partial+final pair:\n${p.take(800)}")
   }
+
+  test("q56: the per-user cohort dim built from the fact joins back via broadcast") {
+    val p = plan("q56_retention")
+    assert(p.contains("BroadcastHashJoin"), s"cohort join not broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "cohort join fell back to SMJ")
+  }
+
+  test("q57: hop-window assignment is explode into ONE partial+final hash agg") {
+    val p = plan("q57_hop_window")
+    assert("- HashAggregate".r.findAllIn(p).length == 2, s"expected partial+final:\n${p.take(800)}")
+    assert("- Exchange".r.findAllIn(p).length == 1, s"expected one shuffle:\n${p.take(800)}")
+  }
 }
