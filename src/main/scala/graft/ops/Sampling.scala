@@ -76,12 +76,17 @@ object Sampling {
     weightedPick(load(s, dir, "documents"), "source", "doc_id",
       least(lit(8L), lit(1L) + expr("n_chars div 100")))
 
-  /** Core of q55: min-ticket-hash winner per stratum. `weight` must be a
-    * positive integral Column (≤ some small cap — it multiplies rows).
+  /** Core of q55: min-ticket-hash winner per stratum. `weight` is an
+    * integral Column (≤ some small cap — it multiplies rows); rows with
+    * weight < 1 get NO tickets and can never win. The explicit filter
+    * matters: `sequence(1, w)` defaults its step to -1 when w < 1 and
+    * would hand a "weightless" row phantom DESCENDING tickets [1, 0, …]
+    * — diverging from the oracle's empty `range(1, w+1)`.
     */
   def weightedPick(df: DataFrame, stratum: String, id: String,
       weight: Column): DataFrame =
-    df.select(col(stratum), col(id), explode(sequence(lit(1L), weight)).as("t"))
+    df.filter(weight >= 1)
+      .select(col(stratum), col(id), explode(sequence(lit(1L), weight)).as("t"))
       .withColumn("h",
         md5(concat(col(id).cast("string"), lit(":"), col("t").cast("string"))))
       .groupBy(stratum)

@@ -706,12 +706,19 @@ object Relational {
   /** q56 — cohort retention matrix: users bucketed by first-signup day,
     * counted on each later day-offset they were active — the standard
     * "day-N retention" table. Shape at scale: one per-user min (hash
-    * agg), one (user, day) distinct (hash agg), one broadcast join of
-    * the per-user cohort dim built from the fact itself, one final
-    * count — no windows, no per-user sort. After the (user, day)
-    * distinct each user contributes at most one row per offset, so a
-    * plain count(*) IS the distinct-user count (no count-distinct
-    * needed).
+    * agg), one (user, day) distinct (hash agg), a join of the per-user
+    * cohort dim built from the fact itself, one final count — no
+    * windows, no per-user sort. After the (user, day) distinct each
+    * user contributes at most one row per offset, so a plain count(*)
+    * IS the distinct-user count (no count-distinct needed).
+    *
+    * The cohort join is deliberately NOT broadcast-hinted: the dim is
+    * user-cardinality, which GROWS with the corpus — a forced broadcast
+    * is a hard job failure past the 8 GB broadcast ceiling. AQE sees the
+    * post-aggregate size at runtime and broadcasts exactly when it fits
+    * (the executed plan on fixtures shows BroadcastHashJoin; at
+    * hundreds of millions of signups it degrades gracefully to a
+    * shuffle join on user_id).
     */
   def q56Retention(s: SparkSession, dir: String): DataFrame = {
     val ev = load(s, dir, "events")
@@ -719,7 +726,7 @@ object Relational {
     val cohorts = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(day).as("cohort_day"))
     val activeDays = ev.select(col("user_id"), day.as("day")).distinct()
-    activeDays.join(broadcast(cohorts), "user_id")
+    activeDays.join(cohorts, "user_id")
       .filter(col("day") >= col("cohort_day"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))

@@ -27,18 +27,24 @@ import org.apache.spark.sql.SparkSession
 object Compact {
 
   /** Rewrite `inPath` (parquet) to `outPath` as ~targetBytes files.
-    * Returns the file count written.
+    * Returns the file count actually written — which can be LESS than
+    * the byte-derived plan when coalesce hits the input split count
+    * (coalesce never up-splits), so callers sizing a follow-up pass must
+    * not trust the plan.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long, shuffle: Boolean = false): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    val conf = spark.sessionState.newHadoopConf()
     val src = new Path(inPath)
-    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = src.getFileSystem(conf)
     val totalBytes = fs.getContentSummary(src).getLength
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inPath)
     val packed = if (shuffle) df.repartition(n) else df.coalesce(n)
     packed.write.mode("overwrite").parquet(outPath)
-    n
+    val out = new Path(outPath)
+    out.getFileSystem(conf).listStatus(out)
+      .count(f => f.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -46,6 +46,9 @@ object ZOrder {
     *    multiply would overflow.
     */
   private def bucketExpr(d: String, min: Long, max: Long): Column = {
+    // `d` is always one of clusterWrite's internal `_zx`/`_zy` aliases —
+    // never a caller-supplied name, which could need backticks (or worse,
+    // reparse as a different expression) inside this SQL string.
     val span = max - min
     if (span == 0L) lit(0L)
     else if (span < (1L << 46)) expr(s"(($d - ${min}L) * 65535L) div ${span}L")
@@ -62,12 +65,20 @@ object ZOrder {
       numFiles: Int): Unit = {
     val Array(r) = df.agg(min(col(d1)), max(col(d1)), min(col(d2)), max(col(d2)))
       .collect()
-    df.withColumn("_z", zValue(
-        bucketExpr(d1, r.getLong(0), r.getLong(1)),
-        bucketExpr(d2, r.getLong(2), r.getLong(3))))
+    if (r.isNullAt(0)) {
+      // Empty input (min/max aggregate to null): write the empty dataset
+      // with its schema instead of NPE-ing on the bounds — clustering a
+      // date-slice that happens to be empty is routine.
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    df.withColumn("_zx", col(d1)).withColumn("_zy", col(d2))
+      .withColumn("_z", zValue(
+        bucketExpr("_zx", r.getLong(0), r.getLong(1)),
+        bucketExpr("_zy", r.getLong(2), r.getLong(3))))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
-      .drop("_z")
+      .drop("_z", "_zx", "_zy")
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -43,8 +43,10 @@ class CompactSpec extends AnyFunSuite {
     val tmp = Files.createTempDirectory("compact2").toString
     Tables.load(spark, dir, "documents").coalesce(1).write.parquet(s"$tmp/one")
     // Tiny target asks for many files, but coalesce cannot exceed the
-    // input split count — compaction must never turn into a re-split.
-    Compact.compact(spark, s"$tmp/one", s"$tmp/out", 1024)
+    // input split count — compaction must never turn into a re-split,
+    // and the RETURN value must report what was written, not the plan.
+    val n = Compact.compact(spark, s"$tmp/one", s"$tmp/out", 1024)
+    assert(n == 1)
     assert(parquetFiles(s"$tmp/out").length == 1)
   }
 }

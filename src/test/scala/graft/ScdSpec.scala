@@ -102,10 +102,15 @@ class ScdSpec extends AnyFunSuite {
   }
 
   test("weightedPick: zero/negative weight yields no tickets — doc can never win") {
-    val df = Seq(("s", 1L, 0L), ("s", 2L, 1L)).toDF("source", "doc_id", "w")
+    // Ids chosen adversarially: md5("1:0") = 81b2… beats md5("4:1") =
+    // f4a9…, so if weight-0 rows ever get phantom tickets again
+    // (sequence(1, 0) defaults to step -1 and yields [1, 0]), doc 1
+    // WOULD win and this fails — not a pass-by-hash-luck fixture.
+    val df = Seq(("s", 1L, 0L), ("s", 4L, 1L), ("s", 5L, -2L))
+      .toDF("source", "doc_id", "w")
     val got = Sampling.weightedPick(df, "source", "doc_id", col("w"))
       .as[(String, Long)].collect().toSet
-    assert(got == Set(("s", 2L)))
+    assert(got == Set(("s", 4L)))
   }
 
   test("q55 plan: min(struct) aggregate is partial+final (one candidate per task reaches the shuffle)") {

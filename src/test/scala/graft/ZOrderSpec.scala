@@ -31,6 +31,14 @@ class ZOrderSpec extends AnyFunSuite {
     for ((x, y, z) <- got) assert(z == mortonRef(x, y), s"($x, $y)")
   }
 
+  test("clusterWrite on an empty frame writes the empty dataset instead of NPE-ing on null bounds") {
+    val tmp = Files.createTempDirectory("zorder-empty").toString
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    ZOrder.clusterWrite(empty, s"$tmp/out", "a", "b", 4)
+    val got = spark.read.parquet(s"$tmp/out")
+    assert(got.count() == 0 && got.columns.toSeq == Seq("a", "b"))
+  }
+
   /** Per-file [min,max] of a column for every parquet file in `path`. */
   private def fileRanges(df: DataFrame, c: String): Array[(Long, Long)] =
     df.groupBy(input_file_name()).agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
