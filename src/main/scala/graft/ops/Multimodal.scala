@@ -217,6 +217,85 @@ object Multimodal {
         when(col("long_side") <= ThumbMax, col("height"))
           .otherwise(expr(s"(height * $ThumbMax) div long_side")).as("thumb_h"))
 
+  /** 64-bit average hash (aHash) of a decoded image: bilinear 8×8
+    * grayscale downsample, bit i set when pixel i is brighter than the
+    * mean. Integer-only luminance ((77r+150g+29b) >> 8) and integer
+    * mean, so the hash is a deterministic function of the decoded
+    * pixels. Near-duplicate images (re-encodes, small edits, minor
+    * crops) land within a few bits; unrelated images differ in ~32.
+    */
+  private[graft] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val lum = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      lum(i) = (77L * ((rgb >> 16) & 0xFF) + 150L * ((rgb >> 8) & 0xFF) +
+        29L * (rgb & 0xFF)) >> 8
+      i += 1
+    }
+    val mean = lum.sum / 64
+    lum.zipWithIndex.foldLeft(0L) { case (acc, (l, idx)) =>
+      if (l > mean) acc | (1L << idx) else acc
+    }
+  }
+
+  /** Perceptual hashes for a payload frame (`doc_id`, `payload`): one
+    * (doc_id, phash) row per DECODABLE image; non-images are dropped
+    * (route them via [[decodeMeta]]'s stub if they need accounting).
+    * Same batched `mapPartitions` shape as decodeMeta.
+    */
+  def imageHashes(payloads: DataFrame): DataFrame = {
+    val s = payloads.sparkSession
+    import s.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.flatMap { case (id, payload) =>
+        readImage(payload).map(img => (id, aHash(img)))
+      })).toDF("doc_id", "phash")
+  }
+
+  /** m4 — image near-dup pairs by perceptual-hash hamming distance ≤
+    * `maxHamming` (≤ 3 for the recall guarantee). Same banded-LSH shape
+    * as d8b, with an EXACT guarantee instead of a probabilistic one:
+    * the 64-bit hash splits into 4 disjoint 16-bit bands, and by
+    * pigeonhole any pair within hamming 3 agrees on at least one whole
+    * band — so the band-equality self-join finds every such pair, and
+    * `bit_count(xor)` then filters candidates exactly. Per-band-bucket
+    * population cap bounds the worst-case quadratic bucket (a constant
+    * hash — e.g. black frames — cannot melt one task).
+    */
+  def m4ImageNearDup(hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = hashes
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("shiftrightunsigned(phash, band * 16)").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_val"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("id_a"), col("phash").as("h_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("id_b"), col("phash").as("h_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m2_frame_sample" -> m2FrameSample,

@@ -106,4 +106,68 @@ class MultimodalSpec extends AnyFunSuite {
     val bm = Multimodal.decodeImage(0L, Multimodal.resizeImage(banner, 256L).get).get
     assert((bm.width, bm.height) == (256L, 1L), s"got ${(bm.width, bm.height)}")
   }
+
+  /** 64×64 image of 64 constant 8×8 blocks — block i bright iff bit i of
+    * `pattern` is set. aHash's 8×8 bilinear downsample lands each output
+    * pixel strictly inside one block (centers at 8i+3.5), so the hash's
+    * bit i is EXACTLY pattern's bit i whenever bright/dark straddle the
+    * mean — hamming distances in these tests are constructed, not
+    * hoped-for.
+    */
+  private def encodeBlocks(pattern: Long, format: String = "png"): Array[Byte] = {
+    val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach { i =>
+      val c = if (((pattern >> i) & 1L) == 1L) 0xC8C8C8 else 0x323232 // 200 / 50
+      val (bx, by) = ((i % 8) * 8, (i / 8) * 8)
+      (bx until bx + 8).foreach(x => (by until by + 8).foreach(y =>
+        img.setRGB(x, y, c)))
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, bos))
+    bos.toByteArray
+  }
+
+  private val checker = 0x5555555555555555L // alternating blocks, mean-straddling
+
+  test("aHash: constructed block patterns give exact, counted hamming distances") {
+    def hashOf(bytes: Array[Byte]): Long =
+      Multimodal.imageHashes(
+        spark.createDataFrame(Seq((1L, bytes))).toDF("doc_id", "payload"))
+        .collect()(0).getLong(1)
+    val base = hashOf(encodeBlocks(checker))
+    val twoFlipped = hashOf(encodeBlocks(checker ^ 3L)) // blocks 0,1 toggled
+    val inverted = hashOf(encodeBlocks(~checker))
+    assert(java.lang.Long.bitCount(base ^ twoFlipped) == 2)
+    assert(java.lang.Long.bitCount(base ^ inverted) == 64)
+    // Lossless re-encode = identical pixels = identical hash.
+    assert(hashOf(encodeBlocks(checker, "bmp")) == base)
+  }
+
+  test("m4: near-dup pairs by hamming — re-encodes and small edits pair, inverses don't, non-images drop") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, encodeBlocks(checker)),          // base (png)
+      (2L, encodeBlocks(checker, "bmp")),   // lossless re-encode: hamming 0
+      (3L, encodeBlocks(checker ^ 3L)),     // two-block edit: hamming 2
+      (4L, encodeBlocks(~checker)),         // inverse: hamming 64
+      (5L, "not an image".getBytes("UTF-8")) // dropped before hashing
+    ).toDF("doc_id", "payload")
+    val hashes = Multimodal.imageHashes(frame)
+    assert(hashes.count() == 4)
+    val pairs = Multimodal.m4ImageNearDup(hashes)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("m4: an over-cap degenerate bucket (constant hash) yields zero pairs, never a quadratic task") {
+    import spark.implicits._
+    val copies = (1L to 6L).map(i => (i, encodeBlocks(checker))).toDF("doc_id", "payload")
+    val hashes = Multimodal.imageHashes(copies)
+    // 6 identical hashes, cap 5: every band bucket is over cap — all
+    // filtered (the documented trade: a pathological constant-content
+    // cluster is dropped, not allowed to melt one executor).
+    assert(Multimodal.m4ImageNearDup(hashes, maxHamming = 3, maxBucket = 5).isEmpty)
+    // At cap (5 docs), all C(5,2) = 10 pairs surface.
+    assert(Multimodal.m4ImageNearDup(hashes.limit(5), maxBucket = 5).count() == 10)
+  }
 }
