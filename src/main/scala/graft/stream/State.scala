@@ -58,6 +58,23 @@ object State {
       .select(col("bucket.start").as("bucket_start"),
         col("total_power_mw"), col("total_co2_tonnes"))
 
+  /** Hopping (overlapping) windows — the streaming twin of batch q57:
+    * `size`-long windows every `slide`, each event contributing to
+    * size/slide of them. The engine multiplies state by that overlap
+    * factor (one aggregate row per open window), still bounded by the
+    * watermark horizon — the cost model is identical to q57's bounded
+    * overlap explode, just held in the state store instead of a
+    * shuffle.
+    */
+  def hoppingTotals(enrichedFacilityEvents: DataFrame,
+      size: String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "60 minutes"): DataFrame =
+    enrichedFacilityEvents
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), size, slide).as("bucket"))
+      .agg(sum(col("power_mw")).as("total_power_mw"))
+      .select(col("bucket.start").as("bucket_start"), col("total_power_mw"))
+
   /** Stream-stream join (engine extension; the reference aligns the two
     * event types only via the batch wide-cache left join, J6): enriched
     * facility events ⋈ market events on (region, 5-min event-time

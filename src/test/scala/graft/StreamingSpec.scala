@@ -82,6 +82,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("hopping windows: one event lands in exactly size/slide overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val totals = State.hoppingTotals(
+      Ingest.facilityEvents(in.toDF()), watermark = "10 minutes")
+    val q = totals.writeStream.outputMode("append")
+      .format("memory").queryName("totals_hop").start()
+    withQuery(q) {
+      in.addData(
+        facJson("ALP", "2025-10-15T10:05:00+11:00", 10.0, 1.0),
+        facJson("BET", "2025-10-15T10:07:00+11:00", 5.0, 2.0))
+      q.processAllAvailable()
+      in.addData(facJson("ALP", "2025-10-15T10:40:00+11:00", 7.0, 0.5))
+      q.processAllAvailable()
+      val emitted = spark.table("totals_hop")
+        .select($"bucket_start".cast("string"), $"total_power_mw").as[(String, Double)]
+        .collect().toMap
+      // 10:05/10:07 +11:00 = 23:05/23:07 UTC — both inside BOTH the
+      // [23:00, 23:10) and [23:05, 23:15) hopping windows, so the same
+      // 15.0 total must be emitted TWICE, once per overlapping bucket.
+      assert(emitted("2025-10-14 23:00:00") == 15.0)
+      assert(emitted("2025-10-14 23:05:00") == 15.0)
+    }
+  }
+
   test("flatMapGroupsWithState dict-merge: partial events overlay field-wise (§2.10)") {
     import graft.stream.MergeState
     import graft.stream.MergeState.{MergedState, PartialEvent}
