@@ -234,7 +234,60 @@ object TextAnalysis {
           .as("n_distinct_bigrams"))
   }
 
+  /** 5-token shingles in document order (empty below 5 tokens, null for
+    * null text) — [[bigrams]]'s formulation at decontamination length.
+    */
+  private def shingles5(t: Column): Column =
+    when(t.isNull, lit(null).cast("array<string>"))
+      .when(size(t) >= 5,
+        transform(sequence(lit(1), size(t) - 4),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4))))
+      .otherwise(array().cast("array<string>"))
+
+  private val EvalSource = "src0"
+  private val MaxContamPostings = 1000
+
+  /** t10 — benchmark decontamination: flag training documents sharing
+    * any 5-token shingle with the eval set (here modeled as the 'src0'
+    * source partition; in production the eval side is the benchmark
+    * suite's strings). The standard pre-training hygiene step: a doc
+    * that contains an eval shingle is a leakage risk and gets dropped
+    * or audited — n_hit_shingles ranks severity.
+    *
+    * Shape at scale (d4's inverted-index pattern): ONE tokenize+explode
+    * pass, ONE groupBy(shingle) carrying both the eval flag and the
+    * non-eval posting list, explode the flagged postings, count per
+    * doc. No self-join of the corpus, no second scan for the eval side.
+    * Shingles whose posting list exceeds [[MaxContamPostings]] are
+    * dropped like d4's cap — a corpus-common phrase is boilerplate, not
+    * memorization signal, and an uncapped hot shingle would collect
+    * unbounded doc lists. (At 100 TB, hash shingles to 60-bit keys the
+    * way d4 does to shrink the shuffle; kept as readable strings here.)
+    */
+  def t10Contamination(s: SparkSession, dir: String): DataFrame =
+    contamination(graft.Tables.spread(load(s, dir, "documents")),
+      EvalSource, MaxContamPostings)
+
+  /** Core of t10 over any (doc_id, source, text) frame. */
+  def contamination(docs: DataFrame, evalSource: String,
+      maxPostings: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles5(toks(col("text"))))).as("sh"))
+      .groupBy("sh")
+      .agg(
+        sum(when(col("source") === evalSource, 1L).otherwise(0L)).as("n_eval"),
+        collect_set(when(col("source") =!= evalSource, col("doc_id"))).as("docs"))
+      .filter(col("n_eval") > 0 && size(col("docs")) <= maxPostings)
+      .select(explode(col("docs")).as("doc_id"))
+      // (doc_id, shingle) is unique after the per-doc array_distinct, so
+      // a plain count IS the distinct contaminated-shingle count.
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_shingles"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_contamination" -> t10Contamination,
     "t9_repetition" -> t9Repetition,
     "t1_quality_score" -> t1QualityScore,
     "t2_token_count" -> t2TokenCount,
@@ -255,7 +308,26 @@ object TextAnalysis {
   private def bigramsSql(arr: String): String =
     s"list_transform(range(1, len($arr)), i -> $arr[i] || ' ' || $arr[i+1])"
 
+  // Oracle-side mirror of [[shingles5]]: range excludes its stop, so
+  // range(1, len-3) yields starts 1..len-4 ≡ Spark's sequence(1, len-4).
+  private val shingles5Sql =
+    "list_transform(range(1, len(t) - 3), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])"
+
   val oracle: Map[String, String] = Map(
+    "t10_contamination" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |         unnest(list_distinct($shingles5Sql)) AS sh
+         |       FROM t WHERE len(t) >= 5),
+         |g AS (SELECT sh,
+         |        sum(CASE WHEN source = '$EvalSource' THEN 1 ELSE 0 END) AS n_eval,
+         |        list(doc_id) FILTER (source <> '$EvalSource') AS docs
+         |      FROM sh GROUP BY sh),
+         |hits AS (SELECT unnest(docs) AS doc_id FROM g
+         |         WHERE n_eval > 0 AND len(docs) <= $MaxContamPostings)
+         |SELECT doc_id, count(*) AS n_hit_shingles
+         |FROM hits GROUP BY 1""".stripMargin,
     "t9_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,

@@ -207,4 +207,27 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(t7.isNullAt(t7.fieldIndex("n_redacted")))
     assert(t7.isNullAt(t7.fieldIndex("scrub_fingerprint")))
   }
+
+  test("t10: posting cap drops corpus-common shingles; eval docs are never flagged " +
+    "(fixture-invisible branches, purpose-built corpus)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val shared = "alpha beta gamma delta epsilon" // exactly one eval 5-gram
+    val docs = Seq(
+      (1L, "eval", shared + " zeta"),
+      (10L, "train", shared + " one"),
+      (11L, "train", shared + " two"),
+      (12L, "train", shared + " three"),
+      (20L, "train", "totally different words in here today"),
+      (21L, "train", "too few tokens")
+    ).toDF("doc_id", "source", "text")
+    // Cap 2: the shared shingle posts to 3 train docs — over cap, dropped
+    // entirely (a corpus-common phrase is boilerplate, not leakage).
+    assert(graft.ops.TextAnalysis.contamination(docs, "eval", 2).isEmpty)
+    // Cap 3: each train doc shares exactly the one shingle; the eval doc
+    // itself and non-overlapping/short docs are never flagged.
+    val got = graft.ops.TextAnalysis.contamination(docs, "eval", 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (11L, 1L), (12L, 1L)))
+  }
 }
