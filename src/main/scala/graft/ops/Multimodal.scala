@@ -57,6 +57,10 @@ object Multimodal {
     * per call — pure per-row I/O overhead in the m1/m3 hot path).
     */
   private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    // Null guard BEFORE the stream wrappers: ByteArrayInputStream(null)
+    // NPEs outside the try below, and a nullable payload column is the
+    // normal case in a real pipeline.
+    if (payload == null) return None
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
@@ -169,12 +173,16 @@ object Multimodal {
     val s = payloads.sparkSession
     import s.implicits._
     payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      // A null id or payload has nothing to decode or stub (md5(null)
+      // NPEs); dropped here, dead-lettered upstream in a real pipeline.
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // Batched iteration: codec init amortizes per partition and
-        // grouped() keeps memory bounded per batch.
-        it.grouped(64).flatMap(_.map { case (id, payload) => decode(id, payload) })
-      }.toDF()
+      // Plain streaming map — mapPartitions already amortizes codec init
+      // once per partition, and the per-row decode has no batch-level
+      // state, so buffering batches would only multiply peak memory by
+      // the batch size (64 payloads in flight for zero gain).
+      .mapPartitions(_.map { case (id, payload) => decode(id, payload) })
+      .toDF()
   }
 
   private val FrameStep = 4
@@ -256,10 +264,11 @@ object Multimodal {
     val s = payloads.sparkSession
     import s.implicits._
     payloads.select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .filter(col("doc_id").isNotNull && col("payload").isNotNull)
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(64).flatMap(_.flatMap { case (id, payload) =>
+      .mapPartitions(_.flatMap { case (id, payload) =>
         readImage(payload).map(img => (id, aHash(img)))
-      })).toDF("doc_id", "phash")
+      }).toDF("doc_id", "phash")
   }
 
   /** m4 — image near-dup pairs by perceptual-hash hamming distance ≤
@@ -274,6 +283,12 @@ object Multimodal {
     */
   def m4ImageNearDup(hashes: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    // Not a tunable-past-3 knob: with 4 disjoint bands, pigeonhole only
+    // guarantees a shared band up to hamming 3. maxHamming = 4 would
+    // RETURN results while silently missing pairs whose 4 differing bits
+    // fall one per band — fail loudly instead.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band recall guarantee holds only for maxHamming <= 3, got $maxHamming")
     import org.apache.spark.sql.expressions.Window
     val banded = hashes
       .select(col("doc_id"), col("phash"),
@@ -310,7 +325,10 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "m1_multimodal_meta" ->
-      s"""WITH h AS (SELECT doc_id, md5(text) AS h, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+      // WHERE mirrors decodeMeta's null-payload drop (vacuous on the
+      // fixtures — no null text — but keeps the formulations aligned).
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h, octet_length(CAST(text AS BLOB)) AS n
+         |           FROM documents WHERE text IS NOT NULL)
          |SELECT doc_id,
          |  CAST(64 + 8 * (${hexByteSql(0)} % 64) AS BIGINT) AS width,
          |  CAST(64 + 8 * (${hexByteSql(1)} % 64) AS BIGINT) AS height,
@@ -328,7 +346,8 @@ object Multimodal {
          |    AS frame_sig
          |FROM fr""".stripMargin,
     "m3_thumbnail" ->
-      s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents
+         |           WHERE text IS NOT NULL),
          |m AS (SELECT doc_id,
          |    CAST(64 + 8 * (${hexByteSql(0)} % 64) AS BIGINT) AS width,
          |    CAST(64 + 8 * (${hexByteSql(1)} % 64) AS BIGINT) AS height

@@ -200,18 +200,23 @@ object TextAnalysis {
         size(slice(col("t"), col("s"), lit(ChunkSize))).cast("long").as("n_chunk_tokens"),
         concat_ws(" ", slice(col("t"), col("s"), lit(ChunkSize))).as("chunk_text"))
 
-  /** Adjacent-token bigrams ("wᵢ wᵢ₊₁") in document order — the ONE
-    * formulation shared by t5 and t9 (and mirrored once in
-    * [[bigramsSql]]): separator or empty/null behavior changes in one
-    * place, not four. Empty below 2 tokens; null for a null array
-    * (null text), matching the oracle's NULL list propagation.
+  /** Adjacent-token n-grams ("wᵢ … wᵢ₊ₙ₋₁") in document order — the ONE
+    * formulation shared by t5/t9 (bigrams) and t10 (5-gram shingles),
+    * mirrored once in [[ngramsSql]]: separator or empty/null behavior
+    * changes in one place, not four. Empty below n tokens; null for a
+    * null array (null text), matching the oracle's NULL list
+    * propagation. (Dedup.shingles is deliberately separate: different
+    * contract — guard-less over pre-filtered ≥3-token input.)
     */
-  private[ops] def bigrams(t: Column): Column =
+  private[ops] def ngrams(t: Column, n: Int): Column =
     when(t.isNull, lit(null).cast("array<string>"))
-      .when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(t, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
+
+  private[ops] def bigrams(t: Column): Column = ngrams(t, 2)
 
   /** t9 — within-document repetition stats (the Gopher-style duplicate
     * word / duplicate n-gram signals used to drop low-quality docs):
@@ -233,17 +238,6 @@ object TextAnalysis {
         size(array_distinct(bigrams(col("t")))).cast("long")
           .as("n_distinct_bigrams"))
   }
-
-  /** 5-token shingles in document order (empty below 5 tokens, null for
-    * null text) — [[bigrams]]'s formulation at decontamination length.
-    */
-  private def shingles5(t: Column): Column =
-    when(t.isNull, lit(null).cast("array<string>"))
-      .when(size(t) >= 5,
-        transform(sequence(lit(1), size(t) - 4),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-            element_at(t, i + 2), element_at(t, i + 3), element_at(t, i + 4))))
-      .otherwise(array().cast("array<string>"))
 
   private val EvalSource = "src0"
   private val MaxContamPostings = 1000
@@ -269,17 +263,28 @@ object TextAnalysis {
     contamination(graft.Tables.spread(load(s, dir, "documents")),
       EvalSource, MaxContamPostings)
 
-  /** Core of t10 over any (doc_id, source, text) frame. */
+  /** Core of t10 over any (doc_id, source, text) frame. The posting cap
+    * is applied with a window count BEFORE collect_set (the cappedBands
+    * pattern, sharing the shingle clustering with the aggregation — no
+    * extra exchange): filtering after collection would still build the
+    * hot shingle's full doc list inside one aggregation buffer, which is
+    * exactly the skewed-key blowup the cap exists to avoid. A window
+    * partition spills; an agg buffer doesn't.
+    */
   def contamination(docs: DataFrame, evalSource: String,
       maxPostings: Int): DataFrame =
     docs
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(shingles5(toks(col("text"))))).as("sh"))
+        explode(array_distinct(ngrams(toks(col("text")), 5))).as("sh"))
+      .withColumn("_np",
+        sum(when(col("source") =!= evalSource, 1L).otherwise(0L))
+          .over(Window.partitionBy("sh")))
+      .filter(col("_np") <= maxPostings)
       .groupBy("sh")
       .agg(
         sum(when(col("source") === evalSource, 1L).otherwise(0L)).as("n_eval"),
         collect_set(when(col("source") =!= evalSource, col("doc_id"))).as("docs"))
-      .filter(col("n_eval") > 0 && size(col("docs")) <= maxPostings)
+      .filter(col("n_eval") > 0)
       .select(explode(col("docs")).as("doc_id"))
       // (doc_id, shingle) is unique after the per-doc array_distinct, so
       // a plain count IS the distinct contaminated-shingle count.
@@ -301,24 +306,23 @@ object TextAnalysis {
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** Oracle-side mirror of [[bigrams]] over a token-list column `arr`.
-    * `range` excludes its stop (≡ generate_series to len-1), is empty
-    * below 2 tokens, and propagates a NULL list for NULL input.
-    */
-  private def bigramsSql(arr: String): String =
-    s"list_transform(range(1, len($arr)), i -> $arr[i] || ' ' || $arr[i+1])"
+  private def bigramsSql(arr: String): String = ngramsSql(arr, 2)
 
-  // Oracle-side mirror of [[shingles5]]: range excludes its stop, so
-  // range(1, len-3) yields starts 1..len-4 ≡ Spark's sequence(1, len-4).
-  private val shingles5Sql =
-    "list_transform(range(1, len(t) - 3), " +
-      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])"
+  /** Oracle-side mirror of [[ngrams]] over a token-list column `arr`:
+    * range excludes its stop, so range(1, len-(n-2)) yields starts
+    * 1..len-n+1 ≡ Spark's sequence(1, size-(n-1)); empty below n
+    * tokens, NULL list for NULL input.
+    */
+  private def ngramsSql(arr: String, n: Int): String = {
+    val words = (0 until n).map(j => if (j == 0) s"$arr[i]" else s"$arr[i+$j]")
+    s"list_transform(range(1, len($arr) - ${n - 2}), i -> ${words.mkString(" || ' ' || ")})"
+  }
 
   val oracle: Map[String, String] = Map(
     "t10_contamination" ->
       s"""WITH t AS (SELECT doc_id, source, $toksSql AS t FROM documents),
          |sh AS (SELECT doc_id, source,
-         |         unnest(list_distinct($shingles5Sql)) AS sh
+         |         unnest(list_distinct(${ngramsSql("t", 5)})) AS sh
          |       FROM t WHERE len(t) >= 5),
          |g AS (SELECT sh,
          |        sum(CASE WHEN source = '$EvalSource' THEN 1 ELSE 0 END) AS n_eval,

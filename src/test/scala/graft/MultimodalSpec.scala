@@ -159,6 +159,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)))
   }
 
+  test("m4: null payloads/ids drop cleanly; maxHamming past the pigeonhole bound fails loudly") {
+    import spark.implicits._
+    val frame = Seq(
+      (Option(1L), Option(encodeBlocks(checker))),
+      (Option(2L), Option.empty[Array[Byte]]),   // null payload: dropped, not NPE
+      (Option.empty[Long], Option(encodeBlocks(checker))) // null id: dropped
+    ).toDF("doc_id", "payload")
+    val hashes = Multimodal.imageHashes(frame)
+    assert(hashes.as[(Long, Long)].collect().map(_._1).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Multimodal.m4ImageNearDup(hashes, maxHamming = 4)
+    }
+  }
+
   test("m4: an over-cap degenerate bucket (constant hash) yields zero pairs, never a quadratic task") {
     import spark.implicits._
     val copies = (1L to 6L).map(i => (i, encodeBlocks(checker))).toDF("doc_id", "payload")
