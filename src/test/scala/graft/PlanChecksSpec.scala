@@ -176,6 +176,17 @@ class PlanChecksSpec extends AnyFunSuite {
       s"argmin must be a partial+final pair:\n${p.take(800)}")
   }
 
+  test("t10: posting-cap window and shingle aggregation share one exchange " +
+    "(no corpus self-join, no second scan for the eval side)") {
+    val p = plan("t10_contamination")
+    assert("- Scan parquet".r.findAllIn(p).length == 1, s"expected ONE scan:\n${p.take(1000)}")
+    assert(p.contains("Window"), "posting cap must be the window count")
+    // spread's round-robin + hash(sh) + hash(doc_id) — the window's
+    // hash(sh) clustering is REUSED by the shingle aggregation.
+    assert("- Exchange".r.findAllIn(p).length <= 3,
+      s"cap window must not add its own exchange:\n${p.take(1500)}")
+  }
+
   test("q56: AQE broadcasts the small fact-derived cohort dim at runtime " +
     "(no forced hint — a user-cardinality dim must be allowed to outgrow broadcast)") {
     val df = SparkEntry.queries("q56_retention")(spark, dir)
