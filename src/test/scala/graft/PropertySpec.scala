@@ -105,6 +105,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 ≡ in-memory reference on generated histories incl. same-µs ties and null states") {
+    def one[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val rowGen = for {
+      k <- Gen.oneOf("u1", "u2")
+      st <- Gen.frequency(
+        4 -> Gen.oneOf("A", "B", "C").map(Option(_)),
+        1 -> Gen.const(Option.empty[String]))
+      // ts in [0, 20000) ns → µs values 0..19 with frequent collisions:
+      // the same-µs tie-break path is exercised, not hoped-for.
+      ts <- Gen.chooseNum(0L, 19999L)
+    } yield (k, st, ts)
+    for (seedOff <- 0 until 4) {
+      val rows = one(Gen.listOfN(25, rowGen), 300L + seedOff)
+        .zipWithIndex.map { case ((k, st, ts), i) => (k, st, ts, i.toLong) }
+      val got = graft.ops.Scd.scd2(
+          rows.toDF("k", "st", "ts", "tie"), "k", "st", "ts", "tie")
+        .as[(String, Option[String], Long, Option[Long], Int)].collect().toSet
+      val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val ordered = rs.map(r => (r._2, r._3 / 1000, r._4)).sortBy(r => (r._2, r._3))
+        // SQL keep rule: lag IS NULL (no prev row, or prev state null)
+        // OR lag <> state (three-valued: null state drops after non-null).
+        val kept = ordered.zipWithIndex.filter { case ((st, _, _), i) =>
+          val prev = if (i == 0) None else ordered(i - 1)._1
+          prev.isEmpty || (st.isDefined && prev.get != st.get)
+        }.map(_._1)
+        kept.zipWithIndex.map { case ((st, us, _), i) =>
+          (k, st, us, kept.lift(i + 1).map(_._2), i + 1)
+        }
+      }.toSet
+      assert(got == expected, s"scd2 mismatch (seed offset $seedOff)")
+    }
+  }
+
+  test("weightedPick ≡ in-memory min-ticket reference on generated weights incl. zeros") {
+    def one[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rowGen = for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      w <- Gen.chooseNum(0L, 4L)
+    } yield (src, w)
+    for (seedOff <- 0 until 4) {
+      val rows = one(Gen.listOfN(20, rowGen), 400L + seedOff)
+        .zipWithIndex.map { case ((src, w), i) => (src, i.toLong, w) }
+      val got = graft.ops.Sampling.weightedPick(
+          rows.toDF("source", "doc_id", "w").repartition(5), "source", "doc_id", col("w"))
+        .as[(String, Long)].collect().toSet
+      val expected = rows.filter(_._3 >= 1).groupBy(_._1).map { case (src, ds) =>
+        src -> ds.flatMap { case (_, id, w) =>
+          (1L to w).map(t => (md5hex(s"$id:$t"), id))
+        }.min._2
+      }.toSet[(String, Long)]
+      assert(got == expected, s"weightedPick mismatch (seed offset $seedOff)")
+    }
+  }
+
   test("rangeJoin ≡ naive all-pairs filter incl. band boundaries and null keys") {
     // Window [lo, hi] = [0, 10]; band width 10 — timestamps land on and
     // around band edges (0, 9, 10, 11, 20) so both the 1-band and 2-band
