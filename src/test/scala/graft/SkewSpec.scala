@@ -100,6 +100,47 @@ class SkewSpec extends AnyFunSuite {
     assert(kept == Set(100L, 101L))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true) — " +
+    "the built-in complement to manual salting") {
+    // Thresholds lowered because testdata is tiny; at real scale the
+    // defaults (256 MB / 5× median) trigger on their own. Salting
+    // (above) remains for the shapes AQE can't fix: skewed AGGREGATION
+    // keys and broadcast-ineligible skew under stateful operators.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // Isolate the skew rule: partition coalescing would otherwise fold
+      // the small partitions first and muddy what is being asserted.
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      // One hot key carrying 1M rows vs 100 singleton keys. The volume
+      // matters: shuffle blocks are lz4-compressed and constant-key
+      // sequential-id rows compress brutally well — a "big" partition of
+      // 50k rows lands under the 8KB threshold and nothing triggers.
+      val fact = spark.range(0, 1000000).select(lit(1L).as("k"), col("id").as("v"))
+        .union(spark.range(0, 100).select((col("id") + 2).as("k"), col("id").as("v")))
+      val dim = spark.range(0, 200).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // Global (not keyed) aggregate downstream: a keyed groupBy would
+      // reuse the join's hash partitioning, and AQE declines to split a
+      // skewed partition when that breaks co-partitioning for a
+      // downstream consumer (it would introduce an extra shuffle).
+      val joined = fact.join(dim, "k").agg(sum("w").as("sw"))
+      joined.collect() // AQE decisions exist only on the executed plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${p.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedSum == direct groupBy sum") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("k"), col("l_quantity"), col("l_extendedprice"))
