@@ -74,11 +74,18 @@ object Dedup {
     * 100 TB corpus (bucket sizes are bounded by collision probability,
     * and a skewed bucket is AQE-splittable).
     */
-  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
     // spread: the md5 signature pass is the cost — single-row-group
     // input would otherwise run it on one core (min() partials are
     // order-insensitive, so the round-robin is hash-safe).
-    val sigs = minhashSigs(graft.Tables.spread(load(s, dir, "documents"))
+    minhashPairs(graft.Tables.spread(load(s, dir, "documents")))
+
+  /** Frame-based core of d2 over any (doc_id, text) frame — the
+    * composition surface ([[Curation]]); all plan properties
+    * (ReusedExchange single signature pass, SHUFFLE_HASH pin) live here.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigs(docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3))
     // Signatures ride along through the band explode so the pair join
@@ -352,7 +359,7 @@ object Dedup {
     * d10's "absent from the corpus" premise is only sound while its
     * fingerprint is bit-identical to d6's.
     */
-  private def normFp(text: Column): Column =
+  private[ops] def normFp(text: Column): Column =
     substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
 
   private val normFpSql =

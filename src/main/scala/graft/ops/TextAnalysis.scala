@@ -189,7 +189,12 @@ object TextAnalysis {
     * (no shuffle).
     */
   def t8Chunk(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    chunk(load(s, dir, "documents"))
+
+  /** Frame-based core of t8 over any (doc_id, text) frame — the
+    * composition surface ([[Curation]]). */
+  def chunk(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 1)
       .select(col("doc_id"), col("t"),

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+/** End-to-end corpus curation: every drop reason fires on a constructed
+  * corpus, the audit explains exactly the rejected docs, and the fixture
+  * smoke run conserves documents (kept + audited = candidates).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private val base30 = (1 to 30).map(i => s"w$i").mkString(" ")
+
+  private val corpus = Seq(
+    // eval reference doc — its 5-grams define contamination
+    (1L, "secret eval question about physics and more padding words", "en", "eval"),
+    // contaminated: contains an eval 5-gram, otherwise unique words
+    (10L, "intro secret eval question about physics closing remarks here", "en", "web"),
+    // gate drops: too short / wrong language
+    (20L, "too short", "en", "web"),
+    (21L, "ein ganz anderes deutsches dokument mit vielen woertern darin", "de", "web"),
+    // exact-normalized duplicates (case/whitespace differ): keeper 30
+    (30L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet", "en", "web"),
+    (31L, "Alpha  Bravo Charlie   Delta Echo Foxtrot Golf Hotel India Juliet", "en", "web"),
+    // near-duplicates (one trailing word differs): keeper 40
+    (40L, base30, "en", "web"),
+    (41L, base30.replace("w30", "changed"), "en", "web"),
+    // clean survivor
+    (50L, "unique vocabulary document that sails through every single stage fine", "en", "web")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("curate: every stage drops exactly its targets; audit explains each") {
+    val out = Curation.curate(corpus, evalSource = "eval",
+      langs = Seq("en"), minTokens = 5)
+    val audit = out.audit.as[(Long, String)].collect().toSet
+    assert(audit == Set(
+      (20L, "gate"), (21L, "gate"),
+      (31L, "duplicate"),
+      (41L, "near_duplicate"),
+      (10L, "contaminated")))
+    val keptDocs = out.chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(keptDocs == Set(30L, 40L, 50L))
+    // Eval docs are reference material, never output.
+    assert(!keptDocs.contains(1L))
+    // Split labels are the q39 rule's domain.
+    val splits = out.chunks.select("split").distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("curate conserves documents on the fixture corpus: kept + audited = candidates") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Curation.curate(docs, evalSource = "src0",
+      langs = Seq("en", "de", "es", "fr", "zh"), minTokens = 1)
+    val kept = out.chunks.select("doc_id").distinct().count()
+    val audited = out.audit.select("doc_id").distinct().count()
+    val candidates = docs.filter(col("source") =!= "src0").count()
+    // Each candidate is dropped at exactly one stage or kept.
+    assert(out.audit.count() == audited, "audit must have one row per dropped doc")
+    assert(kept + audited == candidates,
+      s"conservation: $kept kept + $audited audited != $candidates candidates")
+    assert(kept > 0 && audited > 0)
+  }
+}
