@@ -14,12 +14,22 @@ import org.apache.spark.sql.functions._
   * reason fires.
   *
   * Every stage is the same code the per-operator oracle gate checks —
-  * this object only wires frames together, adding doc-id anti-joins
-  * between stages (hash joins on the key, broadcastable when the
-  * dropped set is small, never wider than a doc-id column). The full
-  * audit trail comes back beside the output: (doc_id, reason) for every
-  * rejected document — curation that can't explain its drops can't be
-  * debugged at 100 TB.
+  * this object wires frames together, adding doc-id anti-joins between
+  * stages (hash joins on the key, broadcastable when the dropped set is
+  * small, never wider than a doc-id column). The full audit trail comes
+  * back beside the output: (doc_id, reason) for every rejected
+  * document — curation that can't explain its drops can't be debugged
+  * at 100 TB.
+  *
+  * Execution model, stated honestly: `curate` is EAGER — the near-dup
+  * clustering inside (connectedComponents) runs Spark jobs at call time
+  * and retains its localCheckpoint blocks for the session (see the
+  * retention note on Dedup.connectedComponents). The returned `chunks`
+  * and `audit` are then independent lazy plans that share upstream
+  * stages; evaluating both recomputes the shared gate/dedup/
+  * decontamination work unless the caller persists — acceptable for a
+  * run-once batch pipeline, persist `docs` (or the result of a first
+  * materialization) when iterating.
   */
 object Curation {
 
@@ -36,9 +46,15 @@ object Curation {
   def curate(docs: DataFrame, evalSource: String, langs: Seq[String],
       minTokens: Int, minJaccard: Double = 0.5,
       maxPostings: Int = 1000): Curated = {
+    // minTokens >= 1: chunk() drops zero-token docs (nothing to emit),
+    // and a doc dropped there would appear in neither chunks nor audit —
+    // silently violating the conservation contract the spec pins.
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
     val base = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val candidates = base.filter(col("source") =!= evalSource)
-    val evalDocs = base.filter(col("source") === evalSource)
+    // Null-SAFE comparison: with =!=, a null source fails BOTH filters
+    // (three-valued logic) and the doc would vanish without an audit row.
+    val candidates = base.filter(!(col("source") <=> evalSource))
+    val evalDocs = base.filter(col("source") <=> evalSource)
 
     // 1. Quality gate (t1's shape, minimal form): real text, wanted
     // language, enough tokens to train on.
@@ -69,14 +85,15 @@ object Curation {
       .select(col("doc_id"))
     val clean = unique.join(contaminatedIds, Seq("doc_id"), "left_anti")
 
-    // 5. Deterministic split (q39's rule: content-hash first hex digit).
-    val h = substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))), 1, 1)
+    // 5. Deterministic split — the exact q39 rule, shared formulation.
     val withSplit = clean.withColumn("split",
-      when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+      Sampling.splitLabel(col("doc_id"), col("text")))
 
-    // 6. Context-window chunks (t8), split label carried per chunk.
-    val chunks = TextAnalysis.chunk(withSplit.select(col("doc_id"), col("text")))
-      .join(withSplit.select(col("doc_id"), col("source"), col("split")), "doc_id")
+    // 6. Context-window chunks (t8); source/split ride the generator so
+    // no join back to withSplit is needed (a self-join would execute the
+    // whole upstream pipeline twice — the sides prune differently and
+    // can't share exchanges).
+    val chunks = TextAnalysis.chunk(withSplit, Seq("source", "split"))
 
     val audit = Seq(
       candidates.join(gated, Seq("doc_id"), "left_anti")

@@ -24,8 +24,18 @@ object Sampling {
   // divergence in an operator whose whole contract is determinism.
   // A null key hashes to null → excluded from the sample (q38) and
   // CASE-falls-through to the last split (q39) in both engines.
-  private def hexKey(c: Column*): Column =
+  private[ops] def hexKey(c: Column*): Column =
     substring(md5(concat(c.flatMap(x => Seq(x, lit(":"))).dropRight(1): _*)), 1, 1)
+
+  /** The q39 split rule as a column — the ONE formulation of the
+    * train/val/test assignment (12/2/2 of 16), shared with
+    * [[Curation]]: changing the thresholds or hash here changes every
+    * consumer together, in lockstep with q39's oracle.
+    */
+  private[ops] def splitLabel(id: Column, text: Column): Column = {
+    val h = hexKey(id.cast("string"), text)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
 
   private val SampleDigits = Seq("0", "1", "2") // 3/16 ≈ 18.75%
 
@@ -42,14 +52,12 @@ object Sampling {
     * reported as per-(source, split) counts — the stratification audit a
     * pipeline runs before training.
     */
-  def q39SplitAssign(s: SparkSession, dir: String): DataFrame = {
-    val h = hexKey(col("doc_id").cast("string"), col("text"))
+  def q39SplitAssign(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
       .select(col("source"),
-        when(h < "c", "train").when(h < "e", "val").otherwise("test").as("split"))
+        splitLabel(col("doc_id"), col("text")).as("split"))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** q55 — deterministic weighted pick: one winner per source stratum,
     * chosen with probability ~proportional to an integer quality weight

@@ -192,18 +192,26 @@ object TextAnalysis {
     chunk(load(s, dir, "documents"))
 
   /** Frame-based core of t8 over any (doc_id, text) frame — the
-    * composition surface ([[Curation]]). */
-  def chunk(docs: DataFrame): DataFrame =
+    * composition surface ([[Curation]]). `passThrough` columns ride the
+    * generator onto every chunk row, so a caller never needs to join the
+    * chunk output back to its input (which would execute the whole
+    * upstream pipeline twice — the two sides prune different columns, so
+    * ReuseExchange can't collapse them).
+    */
+  def chunk(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
+    val extra = passThrough.map(col)
     docs
-      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id") +: toks(col("text")).as("t") +: extra: _*)
       .filter(size(col("t")) >= 1)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("s"))
+      .select(col("doc_id") +: col("t") +:
+        explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("s") +: extra: _*)
       .select(
-        col("doc_id"),
-        ((col("s") - 1) / ChunkStride).cast("long").as("chunk_idx"),
-        size(slice(col("t"), col("s"), lit(ChunkSize))).cast("long").as("n_chunk_tokens"),
-        concat_ws(" ", slice(col("t"), col("s"), lit(ChunkSize))).as("chunk_text"))
+        col("doc_id") +:
+        ((col("s") - 1) / ChunkStride).cast("long").as("chunk_idx") +:
+        size(slice(col("t"), col("s"), lit(ChunkSize))).cast("long").as("n_chunk_tokens") +:
+        concat_ws(" ", slice(col("t"), col("s"), lit(ChunkSize))).as("chunk_text") +:
+        extra: _*)
+  }
 
   /** Adjacent-token n-grams ("wᵢ … wᵢ₊ₙ₋₁") in document order — the ONE
     * formulation shared by t5/t9 (bigrams) and t10 (5-gram shingles),

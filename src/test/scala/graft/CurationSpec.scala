@@ -52,6 +52,20 @@ class CurationSpec extends AnyFunSuite {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("curate: null-source docs are candidates (null-safe compare), zero minTokens rejected") {
+    val docs = Seq(
+      (1L, "a perfectly fine document with plenty of words", "en", Option("web")),
+      (2L, "null source must not silently vanish from the pipeline", "en", Option.empty[String])
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.curate(docs, evalSource = "eval", langs = Seq("en"), minTokens = 5)
+    val seen = out.chunks.select("doc_id").distinct().as[Long].collect().toSet ++
+      out.audit.select("doc_id").as[Long].collect().toSet
+    assert(seen == Set(1L, 2L), "every candidate must surface in chunks or audit")
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs, "eval", Seq("en"), minTokens = 0)
+    }
+  }
+
   test("curate conserves documents on the fixture corpus: kept + audited = candidates") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Curation.curate(docs, evalSource = "src0",

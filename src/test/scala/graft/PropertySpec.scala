@@ -20,6 +20,9 @@ class PropertySpec extends AnyFunSuite {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  private def one[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
   private val codes = Seq("ALP", "BET", "GMA")
   private val stampGen =
     Gen.oneOf((0 until 4).map(i => f"2025-10-15T10:${5 * i}%02d:00+11:00"))
@@ -83,8 +86,6 @@ class PropertySpec extends AnyFunSuite {
         3 -> Gen.chooseNum(1.0, 9.0).map(x => Some(math.rint(x * 10) / 10)),
         1 -> Gen.const(Option.empty[Double]))
     } yield (k, ts, v)
-    def one[T](g: Gen[T], seed: Long): T =
-      g.apply(Gen.Parameters.default, Seed(seed)).get
     for (seedOff <- 0 until 4) {
       val lefts = one(Gen.listOfN(15, leftGen), 100L + seedOff)
         .distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
@@ -106,8 +107,6 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("scd2 ≡ in-memory reference on generated histories incl. same-µs ties and null states") {
-    def one[T](g: Gen[T], seed: Long): T =
-      g.apply(Gen.Parameters.default, Seed(seed)).get
     val rowGen = for {
       k <- Gen.oneOf("u1", "u2")
       st <- Gen.frequency(
@@ -140,8 +139,6 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("weightedPick ≡ in-memory min-ticket reference on generated weights incl. zeros") {
-    def one[T](g: Gen[T], seed: Long): T =
-      g.apply(Gen.Parameters.default, Seed(seed)).get
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -176,8 +173,6 @@ class PropertySpec extends AnyFunSuite {
       ts <- Gen.oneOf(-21L, -20L, -11L, -10L, -9L, -1L,
         0L, 1L, 5L, 9L, 10L, 11L, 15L, 19L, 20L, 25L)
     } yield (k, ts)
-    def one[T](g: Gen[T], seed: Long): T =
-      g.apply(Gen.Parameters.default, Seed(seed)).get
     for (seedOff <- 0 until 4) {
       val lefts = one(Gen.listOfN(12, sideGen), 300L + seedOff)
         .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
@@ -211,8 +206,6 @@ class PropertySpec extends AnyFunSuite {
           for (a <- ids; b <- ids if a < b) yield (a, b)
         }.toSet
     }
-    def one[T](g: Gen[T], seed: Long): T =
-      g.apply(Gen.Parameters.default, Seed(seed)).get
     val vecGen = Gen.listOfN(48, Gen.oneOf(-1.0, -0.25, 0.25, 1.0))
     for (seedOff <- 0 until 3) {
       val base = (0 until 10).map(i =>
@@ -245,8 +238,6 @@ class PropertySpec extends AnyFunSuite {
     }
     val edgeGen = Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L))
       .suchThat { case (a, b) => a != b }
-    def one[T](g: Gen[T], seed: Long): T =
-      g.apply(Gen.Parameters.default, Seed(seed)).get
     // Random graphs + an adversarial descending path (19→18→…→0), whose
     // min label must walk the whole chain — the multi-round case.
     val cases = (0 until 3).map(i => one(Gen.listOfN(12, edgeGen), 500L + i)) :+
