@@ -124,28 +124,33 @@ object Kmeans {
     * bounded-driver-hop iteration as [[lloyd]].
     */
   def trainPqCodebooks(s: SparkSession, dir: String,
-      k: Int = 8, iters: Int = Iters): Seq[(Int, Long, Seq[Long])] = {
-    // Persisted once: the 4 subspace runs each drive ~iters+2 actions
-    // (init collect, per-round stats, final assign), and every action
-    // would otherwise re-scan the parquet AND re-execute the subvector
-    // explode+quantize — ~20 redundant recomputes per training call.
-    // (s7's flat corpus is deliberately NOT cached: one scan per round
-    // is the textbook k-means cost and caching a 100 TB corpus is not a
-    // plan — the exploded subvector frame here is derived work worth
-    // keeping for the bounded training window.)
-    val subs = Similarity.subvectors(s, dir)
-      .select(col("vec_id"), col("sub_idx"), quantize(col("sv")).as("q"))
-      .persist()
-    try {
-      (0 until graft.ops.Similarity.PqSubspaces).flatMap { b =>
-        val e = subs.filter(col("sub_idx") === b)
-          .select(col("vec_id").as("id"), col("q"))
-        val dim = graft.ops.Similarity.PqSubDim
-        val (_, cents) = lloyd(e, initFrom(e, k), iters, dim)
-        cents.map { case (cell, cv) => (b, cell, cv) }
-      }
-    } finally subs.unpersist()
+      k: Int = K, iters: Int = Iters): Seq[(Int, Long, Seq[Long])] = {
+    val subs = quantizedSubvectors(s, dir).persist()
+    try trainPqOn(subs, k, iters) finally subs.unpersist()
   }
+
+  private def quantizedSubvectors(s: SparkSession, dir: String): DataFrame =
+    Similarity.subvectors(s, dir)
+      .select(col("vec_id"), col("sub_idx"), quantize(col("sv")).as("q"))
+
+  /** Training core over an (ideally persisted) quantized-subvector
+    * frame. Persisting matters: the 4 subspace runs each drive ~iters+2
+    * actions (init collect, per-round stats, final assign), and every
+    * action would otherwise re-scan the parquet AND re-execute the
+    * subvector explode+quantize — ~20 redundant recomputes per call.
+    * (s7's flat corpus is deliberately NOT cached: one scan per round
+    * is the textbook k-means cost and caching a 100 TB corpus is not a
+    * plan — the exploded subvector frame here is derived work worth
+    * keeping for the bounded training window.)
+    */
+  private def trainPqOn(subs: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Long, Seq[Long])] =
+    (0 until Similarity.PqSubspaces).flatMap { b =>
+      val e = subs.filter(col("sub_idx") === b)
+        .select(col("vec_id").as("id"), col("q"))
+      val (_, cents) = lloyd(e, initFrom(e, k), iters, Similarity.PqSubDim)
+      cents.map { case (cell, cv) => (b, cell, cv) }
+    }
 
   /** First-k-vectors init — deterministic, and exactly what s3/s4 use as
     * their fixed codebooks, so trained centroids are a drop-in refinement.
@@ -185,17 +190,25 @@ object Kmeans {
     */
   def s8PqTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val books = trainPqCodebooks(s, dir).toDF("sub_idx", "cent_id", "cv")
-    Similarity.subvectors(s, dir)
-      .select(col("vec_id"), col("sub_idx"), quantize(col("sv")).as("q"))
-      .join(broadcast(books), "sub_idx")
-      .select(col("vec_id"), col("sub_idx"), col("cent_id"),
-        sqDist(col("q"), col("cv")).as("dist"))
-      .groupBy("vec_id", "sub_idx")
-      .agg(min_by(struct(col("cent_id"), col("dist")),
-        struct(col("dist"), col("cent_id"))).as("b"))
-      .select(col("vec_id"), col("sub_idx").cast("long").as("sub_idx"),
-        col("b.cent_id").as("code"), col("b.dist").as("dist"))
+    // Training AND final assignment share one persisted subvector frame
+    // (training alone drives ~20 actions over it); the assignment result
+    // is localCheckpoint'd — it is output-sized (4 rows of 4 longs per
+    // vector), so materializing it lets the cache go while the returned
+    // frame stays valid (the d9 retention pattern, bounded by output).
+    val subs = quantizedSubvectors(s, dir).persist()
+    try {
+      val books = trainPqOn(subs, K, Iters).toDF("sub_idx", "cent_id", "cv")
+      subs
+        .join(broadcast(books), "sub_idx")
+        .select(col("vec_id"), col("sub_idx"), col("cent_id"),
+          sqDist(col("q"), col("cv")).as("dist"))
+        .groupBy("vec_id", "sub_idx")
+        .agg(min_by(struct(col("cent_id"), col("dist")),
+          struct(col("dist"), col("cent_id"))).as("b"))
+        .select(col("vec_id"), col("sub_idx").cast("long").as("sub_idx"),
+          col("b.cent_id").as("code"), col("b.dist").as("dist"))
+        .localCheckpoint()
+    } finally subs.unpersist()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -205,79 +218,76 @@ object Kmeans {
   /** The oracle unrolls the fixed iteration count as CTE rounds c0→c1→…,
     * replaying the same integer arithmetic: same quantization, same
     * squared-L2, same pmod-floored integer mean, same tie-breaks, and the
-    * same keep-on-empty via the left join + COALESCE.
+    * same keep-on-empty via the left join + COALESCE. ONE generator
+    * serves both s7 (flat 64-dim corpus) and s8 (the same replay with a
+    * `sub` grouping key in every partition/join/group clause) — the
+    * shared arithmetic identities exist in exactly one place.
+    *
+    * @param qCte   source CTE producing (`[sub,] vec_id, q`)
+    * @param dim    vector dimensionality inside this run
+    * @param select final projection over the last assignment CTE
+    * @param sub    whether the subspace key threads through every CTE
     */
+  private def kmeansOracleSql(qCte: String, dim: Int, select: String,
+      sub: Boolean): String = {
+    val k = if (sub) "sub, " else ""           // bare key list prefix
+    val kv = if (sub) "v.sub, " else ""        // v-qualified
+    val ka = if (sub) "a.sub, " else ""        // a-qualified
+    val kc = if (sub) "c.sub, " else ""        // c-qualified
+    val distSql = s"list_sum(list_transform(generate_series(1, $dim), " +
+      "i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))"
+    def assignCte(t: Int, centCte: String): String = {
+      val join = if (sub) s"JOIN $centCte c ON c.sub = v.sub"
+        else s"CROSS JOIN $centCte c"
+      s"""a$t AS (SELECT ${k}vec_id, q, cell, dist,
+         |    row_number() OVER (PARTITION BY ${k}vec_id
+         |                       ORDER BY dist ASC, cell ASC) AS rn
+         |  FROM (SELECT ${kv}v.vec_id, v.q, c.cell, $distSql AS dist
+         |        FROM q v $join))""".stripMargin
+    }
+    def updateCte(t: Int): String = {
+      val uJoin = if (sub) s"ON u.sub = c.sub AND u.cell = c.cell"
+        else "ON u.cell = c.cell"
+      s"""m$t AS (SELECT ${ka}a.cell, comp.i,
+         |    CAST(sum(a.q[comp.i]) AS BIGINT) AS s, count(*) AS n
+         |  FROM (SELECT ${k}cell, q FROM a$t WHERE rn = 1) a CROSS JOIN comp
+         |  GROUP BY ${ka}a.cell, comp.i),
+         |u$t AS (SELECT ${k}cell,
+         |    list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) ORDER BY i) AS cv
+         |  FROM m$t GROUP BY ${k}cell),
+         |c$t AS (SELECT ${kc}c.cell, COALESCE(u.cv, c.cv) AS cv
+         |  FROM c${t - 1} c LEFT JOIN u$t u $uJoin)""".stripMargin
+    }
+    val rounds = (1 to Iters)
+      .map(t => assignCte(t, s"c${t - 1}") + ",\n" + updateCte(t))
+      .mkString(",\n")
+    s"""WITH $qCte,
+       |comp AS (SELECT unnest(generate_series(1, $dim)) AS i),
+       |c0 AS (SELECT ${k}vec_id AS cell, q AS cv FROM q WHERE vec_id < $K),
+       |$rounds,
+       |${assignCte(Iters + 1, s"c$Iters")}
+       |$select
+       |FROM a${Iters + 1} WHERE rn = 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "s7_kmeans_assign" -> {
-      val distSql =
-        s"list_sum(list_transform(generate_series(1, $Dim), i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))"
-      def assignCte(t: Int, centCte: String): String =
-        s"""a$t AS (SELECT vec_id, q, cell, dist,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
-           |  FROM (SELECT v.vec_id, v.q, c.cell, $distSql AS dist
-           |        FROM q v CROSS JOIN $centCte c))""".stripMargin
-      def updateCte(t: Int): String =
-        s"""m$t AS (SELECT a.cell, comp.i,
-           |    CAST(sum(a.q[comp.i]) AS BIGINT) AS s, count(*) AS n
-           |  FROM (SELECT cell, q FROM a$t WHERE rn = 1) a CROSS JOIN comp
-           |  GROUP BY a.cell, comp.i),
-           |u$t AS (SELECT cell,
-           |    list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) ORDER BY i) AS cv
-           |  FROM m$t GROUP BY cell),
-           |c$t AS (SELECT c.cell, COALESCE(u.cv, c.cv) AS cv
-           |  FROM c${t - 1} c LEFT JOIN u$t u ON u.cell = c.cell)""".stripMargin
-      val rounds = (1 to Iters)
-        .map(t => assignCte(t, s"c${t - 1}") + ",\n" + updateCte(t))
-        .mkString(",\n")
-      s"""WITH q AS (SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |comp AS (SELECT unnest(generate_series(1, $Dim)) AS i),
-         |c0 AS (SELECT vec_id AS cell, q AS cv FROM q WHERE vec_id < $K),
-         |$rounds,
-         |${assignCte(Iters + 1, s"c$Iters")}
-         |SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist
-         |FROM a${Iters + 1} WHERE rn = 1""".stripMargin
-    },
-    // s8 = the s7 replay with ONE extra grouping key (the subspace):
-    // every CTE gains `sub` in its partition/join/group keys and the
-    // source rows are the quantized 16-dim subvectors.
-    "s8_pq_trained" -> {
-      val subDim = Similarity.PqSubDim
-      val distSql = s"list_sum(list_transform(generate_series(1, $subDim), " +
-        "i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))"
-      def assignCte(t: Int, centCte: String): String =
-        s"""a$t AS (SELECT sub, vec_id, q, cell, dist,
-           |    row_number() OVER (PARTITION BY sub, vec_id
-           |                       ORDER BY dist ASC, cell ASC) AS rn
-           |  FROM (SELECT v.sub, v.vec_id, v.q, c.cell, $distSql AS dist
-           |        FROM q v JOIN $centCte c ON c.sub = v.sub))""".stripMargin
-      def updateCte(t: Int): String =
-        s"""m$t AS (SELECT a.sub, a.cell, comp.i,
-           |    CAST(sum(a.q[comp.i]) AS BIGINT) AS s, count(*) AS n
-           |  FROM (SELECT sub, cell, q FROM a$t WHERE rn = 1) a CROSS JOIN comp
-           |  GROUP BY a.sub, a.cell, comp.i),
-           |u$t AS (SELECT sub, cell,
-           |    list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) ORDER BY i) AS cv
-           |  FROM m$t GROUP BY sub, cell),
-           |c$t AS (SELECT c.sub, c.cell, COALESCE(u.cv, c.cv) AS cv
-           |  FROM c${t - 1} c LEFT JOIN u$t u
-           |    ON u.sub = c.sub AND u.cell = c.cell)""".stripMargin
-      val rounds = (1 to Iters)
-        .map(t => assignCte(t, s"c${t - 1}") + ",\n" + updateCte(t))
-        .mkString(",\n")
-      s"""WITH q AS (SELECT e.vec_id, b.b AS sub,
-         |    list_transform(generate_series(1, $subDim),
-         |      i -> CAST(floor(CAST(e.embedding[b.b * $subDim + i] AS DOUBLE)
-         |                     * $Scale) AS BIGINT)) AS q
-         |  FROM embeddings e, (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS b) b),
-         |comp AS (SELECT unnest(generate_series(1, $subDim)) AS i),
-         |c0 AS (SELECT sub, vec_id AS cell, q AS cv FROM q WHERE vec_id < 8),
-         |$rounds,
-         |${assignCte(Iters + 1, s"c$Iters")}
-         |SELECT vec_id, CAST(sub AS BIGINT) AS sub_idx, cell AS code,
-         |       CAST(dist AS BIGINT) AS dist
-         |FROM a${Iters + 1} WHERE rn = 1""".stripMargin
-    })
+    "s7_kmeans_assign" -> kmeansOracleSql(
+      qCte = s"""q AS (SELECT vec_id,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+          |  FROM embeddings)""".stripMargin,
+      dim = Dim,
+      select = "SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist",
+      sub = false),
+    "s8_pq_trained" -> kmeansOracleSql(
+      qCte = s"""q AS (SELECT e.vec_id, b.b AS sub,
+          |    list_transform(generate_series(1, ${Similarity.PqSubDim}),
+          |      i -> CAST(floor(CAST(e.embedding[b.b * ${Similarity.PqSubDim} + i] AS DOUBLE)
+          |                     * $Scale) AS BIGINT)) AS q
+          |  FROM embeddings e,
+          |       (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS b) b)""".stripMargin,
+      dim = Similarity.PqSubDim,
+      select = "SELECT vec_id, CAST(sub AS BIGINT) AS sub_idx, cell AS code,\n" +
+        "       CAST(dist AS BIGINT) AS dist",
+      sub = true))
 }
