@@ -159,6 +159,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)))
   }
 
+  test("m4 pigeonhole guarantee, exhaustively: every hamming<=3 perturbation " +
+    "shares at least one 16-bit band with the original") {
+    def bandsEqual(a: Long, b: Long): Boolean =
+      (0 until 4).exists(i => ((a >>> (i * 16)) & 0xFFFFL) == ((b >>> (i * 16)) & 0xFFFFL))
+    val rnd = new scala.util.Random(7)
+    val bases = Seq(0L, -1L, 0x5555555555555555L) ++ Seq.fill(5)(rnd.nextLong())
+    for (base <- bases) {
+      // all 1-bit and all 2-bit flips — exhaustive (64 + 2016 cases)
+      for (i <- 0 until 64) {
+        assert(bandsEqual(base, base ^ (1L << i)))
+        for (j <- 0 until i)
+          assert(bandsEqual(base, base ^ (1L << i) ^ (1L << j)))
+      }
+      // 3-bit flips: exhaustive would be 41664/base; a fixed sample of
+      // triples plus the adversarial one-per-band-adjacent shapes
+      for (_ <- 0 until 2000) {
+        val Seq(i, j, k) = rnd.shuffle((0 until 64).toList).take(3)
+        assert(bandsEqual(base, base ^ (1L << i) ^ (1L << j) ^ (1L << k)))
+      }
+      // and the counterexample the require() guards: 4 flips, one per
+      // band, CAN lose every band (shows the bound is tight, not lax)
+      val fourSpread = base ^ 1L ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)
+      assert(!bandsEqual(base, fourSpread))
+    }
+  }
+
   test("m4: null payloads/ids drop cleanly; maxHamming past the pigeonhole bound fails loudly") {
     import spark.implicits._
     val frame = Seq(
