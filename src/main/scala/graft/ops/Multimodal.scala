@@ -273,13 +273,19 @@ object Multimodal {
 
   /** m4 — image near-dup pairs by perceptual-hash hamming distance ≤
     * `maxHamming` (≤ 3 for the recall guarantee). Same banded-LSH shape
-    * as d8b, with an EXACT guarantee instead of a probabilistic one:
-    * the 64-bit hash splits into 4 disjoint 16-bit bands, and by
-    * pigeonhole any pair within hamming 3 agrees on at least one whole
-    * band — so the band-equality self-join finds every such pair, and
-    * `bit_count(xor)` then filters candidates exactly. Per-band-bucket
-    * population cap bounds the worst-case quadratic bucket (a constant
-    * hash — e.g. black frames — cannot melt one task).
+    * as d8b, with recall that is EXACT for every pair whose shared
+    * band's bucket stays within `maxBucket` — not unconditionally: the
+    * 64-bit hash splits into 4 disjoint 16-bit bands, and by pigeonhole
+    * any pair within hamming 3 agrees on at least one whole band, so
+    * the band-equality self-join finds every such pair and
+    * `bit_count(xor)` filters candidates exactly. The cap is therefore
+    * a RECALL bound, not just a performance knob: an over-cap bucket
+    * (a constant hash — e.g. black frames — that would otherwise melt
+    * one task into a quadratic join) contributes NO pairs, and a pair
+    * whose only agreeing band lands in such a bucket is missed
+    * (MultimodalSpec pins this: 6 identical images at cap 5 yield zero
+    * pairs). Raise `maxBucket` when completeness among mass-duplicate
+    * hashes matters more than the bounded worst case.
     */
   def m4ImageNearDup(hashes: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {

@@ -291,17 +291,23 @@ object TextAnalysis {
     */
   def contamination(docs: DataFrame, evalSource: String,
       maxPostings: Int): DataFrame =
+    // Null-SAFE source comparison throughout: with ===/=!= a null-source
+    // doc satisfies NEITHER side (three-valued logic), so it would never
+    // be counted as a posting and could never be flagged as contaminated
+    // — yet Curation deliberately admits null-source docs as candidates.
+    // <=> makes null source mean "not the eval set", same as the
+    // oracle's IS DISTINCT FROM.
     docs
       .select(col("doc_id"), col("source"),
         explode(array_distinct(ngrams(toks(col("text")), 5))).as("sh"))
       .withColumn("_np",
-        sum(when(col("source") =!= evalSource, 1L).otherwise(0L))
+        sum(when(!(col("source") <=> evalSource), 1L).otherwise(0L))
           .over(Window.partitionBy("sh")))
       .filter(col("_np") <= maxPostings)
       .groupBy("sh")
       .agg(
-        sum(when(col("source") === evalSource, 1L).otherwise(0L)).as("n_eval"),
-        collect_set(when(col("source") =!= evalSource, col("doc_id"))).as("docs"))
+        sum(when(col("source") <=> evalSource, 1L).otherwise(0L)).as("n_eval"),
+        collect_set(when(!(col("source") <=> evalSource), col("doc_id"))).as("docs"))
       .filter(col("n_eval") > 0)
       .select(explode(col("docs")).as("doc_id"))
       // (doc_id, shingle) is unique after the per-doc array_distinct, so
@@ -336,20 +342,50 @@ object TextAnalysis {
     s"list_transform(range(1, len($arr) - ${n - 2}), i -> ${words.mkString(" || ' ' || ")})"
   }
 
+  /** Oracle-side mirror of [[contamination]] over any relation `from`
+    * with (doc_id, source, text) — shared by t10 and the composed
+    * curation oracle. IS [NOT] DISTINCT FROM mirrors the engine's
+    * null-safe `<=>`: a null-source doc counts as a non-eval posting.
+    */
+  private[ops] def contaminationSql(from: String, evalSource: String,
+      maxPostings: Int): String =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS t FROM $from),
+       |sh AS (SELECT doc_id, source,
+       |         unnest(list_distinct(${ngramsSql("t", 5)})) AS sh
+       |       FROM t WHERE len(t) >= 5),
+       |g AS (SELECT sh,
+       |        sum(CASE WHEN source IS NOT DISTINCT FROM '$evalSource'
+       |            THEN 1 ELSE 0 END) AS n_eval,
+       |        list(doc_id) FILTER (source IS DISTINCT FROM '$evalSource')
+       |          AS docs
+       |      FROM sh GROUP BY sh),
+       |hits AS (SELECT unnest(docs) AS doc_id FROM g
+       |         WHERE n_eval > 0 AND len(docs) <= $maxPostings)
+       |SELECT doc_id, count(*) AS n_hit_shingles
+       |FROM hits GROUP BY 1""".stripMargin
+
+  /** Oracle-side mirror of [[chunk]] over any relation `from` with
+    * (doc_id, text, passThrough…) — shared by t8 and the composed
+    * curation oracle; `passThrough` columns ride onto every chunk row.
+    */
+  private[ops] def chunkSql(from: String, passThrough: Seq[String]): String = {
+    val extraSel = passThrough.map(c => s", $c").mkString
+    s"""WITH t AS (SELECT doc_id$extraSel, $toksSql AS t FROM $from),
+       |c AS (SELECT doc_id$extraSel, t,
+       |        unnest(generate_series(1, len(t), $ChunkStride)) AS s
+       |      FROM t WHERE len(t) >= 1)
+       |SELECT doc_id,
+       |  CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(len(list_slice(t, s, least(s + ${ChunkSize - 1}, len(t)))) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  array_to_string(list_slice(t, s, least(s + ${ChunkSize - 1}, len(t))), ' ')
+       |    AS chunk_text$extraSel
+       |FROM c""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t10_contamination" ->
-      s"""WITH t AS (SELECT doc_id, source, $toksSql AS t FROM documents),
-         |sh AS (SELECT doc_id, source,
-         |         unnest(list_distinct(${ngramsSql("t", 5)})) AS sh
-         |       FROM t WHERE len(t) >= 5),
-         |g AS (SELECT sh,
-         |        sum(CASE WHEN source = '$EvalSource' THEN 1 ELSE 0 END) AS n_eval,
-         |        list(doc_id) FILTER (source <> '$EvalSource') AS docs
-         |      FROM sh GROUP BY sh),
-         |hits AS (SELECT unnest(docs) AS doc_id FROM g
-         |         WHERE n_eval > 0 AND len(docs) <= $MaxContamPostings)
-         |SELECT doc_id, count(*) AS n_hit_shingles
-         |FROM hits GROUP BY 1""".stripMargin,
+      contaminationSql("documents", EvalSource, MaxContamPostings),
     "t9_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,
@@ -429,17 +465,7 @@ object TextAnalysis {
          |    AS scrub_fingerprint
          |FROM t""".stripMargin
     },
-    "t8_chunk" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |c AS (SELECT doc_id, t, unnest(generate_series(1, len(t), $ChunkStride)) AS s
-         |      FROM t WHERE len(t) >= 1)
-         |SELECT doc_id,
-         |  CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
-         |  CAST(len(list_slice(t, s, least(s + ${ChunkSize - 1}, len(t)))) AS BIGINT)
-         |    AS n_chunk_tokens,
-         |  array_to_string(list_slice(t, s, least(s + ${ChunkSize - 1}, len(t))), ' ')
-         |    AS chunk_text
-         |FROM c""".stripMargin,
+    "t8_chunk" -> chunkSql("documents", Nil),
     "t5_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,

@@ -63,19 +63,26 @@ object ZOrder {
     */
   def clusterWrite(df: DataFrame, path: String, d1: String, d2: String,
       numFiles: Int): Unit = {
-    val Array(r) = df.agg(min(col(d1)), max(col(d1)), min(col(d2)), max(col(d2)))
+    val Array(r) = df
+      .agg(count(lit(1)), min(col(d1)), max(col(d1)), min(col(d2)), max(col(d2)))
       .collect()
-    if (r.isNullAt(0)) {
-      // Empty input (min/max aggregate to null): write the empty dataset
-      // with its schema instead of NPE-ing on the bounds — clustering a
-      // date-slice that happens to be empty is routine.
+    if ((1 to 4).exists(r.isNullAt)) {
+      // ANY null bound — empty input, or a dimension that is entirely
+      // null (min/max skip nulls, so d2 can be all-null while d1 is
+      // not): there is no rectangle to interleave, so write unclustered
+      // instead of NPE-ing on getLong. All four slots are checked — a
+      // guard on slot 0 alone would pass a null-d2 frame through.
+      if (r.getLong(0) > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"clusterWrite: null min/max bound on '$d1' or '$d2' " +
+            "(all-null dimension) — writing unclustered")
       df.write.mode("overwrite").parquet(path)
       return
     }
     df.withColumn("_zx", col(d1)).withColumn("_zy", col(d2))
       .withColumn("_z", zValue(
-        bucketExpr("_zx", r.getLong(0), r.getLong(1)),
-        bucketExpr("_zy", r.getLong(2), r.getLong(3))))
+        bucketExpr("_zx", r.getLong(1), r.getLong(2)),
+        bucketExpr("_zy", r.getLong(3), r.getLong(4))))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z", "_zx", "_zy")

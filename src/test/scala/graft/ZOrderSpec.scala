@@ -39,6 +39,21 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got.count() == 0 && got.columns.toSeq == Seq("a", "b"))
   }
 
+  test("clusterWrite with one all-null dimension writes unclustered instead of NPE-ing") {
+    val tmp = Files.createTempDirectory("zorder-nulldim").toString
+    // d2 entirely null while d1 is not: min(d1) passes a slot-0-only
+    // guard, then getLong on d2's null bound would NPE (ADVICE r4).
+    val df = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("a", "b")
+    ZOrder.clusterWrite(df, s"$tmp/out", "a", "b", 4)
+    assert(spark.read.parquet(s"$tmp/out").count() == 2)
+    // And the mirror case: d1 all-null, d2 populated — same fallback.
+    val df2 = Seq((Option.empty[Long], 1L), (Option.empty[Long], 2L))
+      .toDF("a", "b")
+    ZOrder.clusterWrite(df2, s"$tmp/out2", "a", "b", 4)
+    assert(spark.read.parquet(s"$tmp/out2").count() == 2)
+  }
+
   /** Per-file [min,max] of a column for every parquet file in `path`. */
   private def fileRanges(df: DataFrame, c: String): Array[(Long, Long)] =
     df.groupBy(input_file_name()).agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
