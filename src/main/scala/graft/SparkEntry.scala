@@ -26,7 +26,8 @@ object SparkEntry {
       graft.ops.AsOf.queries ++
       graft.ops.Scd.queries ++
       graft.ops.Sampling.queries ++
-      graft.ops.RangeJoin.queries
+      graft.ops.RangeJoin.queries ++
+      graft.ops.Curation.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.ops.AsOf.oracle ++
       graft.ops.Scd.oracle ++
       graft.ops.Sampling.oracle ++
-      graft.ops.RangeJoin.oracle
+      graft.ops.RangeJoin.oracle ++
+      graft.ops.Curation.oracle
 }

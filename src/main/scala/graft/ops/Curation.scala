@@ -1,17 +1,21 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The full training-corpus curation flow, composed from the engine's
-  * already-oracled operators: quality gate → normalized dedup (d6's
-  * fingerprint) → MinHash near-dup clustering (d2 pairs + d9 connected
-  * components, cluster-min keeper) → benchmark decontamination (t10) →
-  * deterministic split assignment (q39's hash rule) → context-window
-  * chunking (t8). What a user of this library actually runs end to end;
-  * CurationSpec pins the composition on a corpus built so every drop
-  * reason fires.
+  * already-oracled operators: id-validity gate → quality gate → normalized
+  * dedup (d6's fingerprint) → MinHash near-dup clustering (d2 pairs + d9
+  * connected components, cluster-min keeper) → benchmark decontamination
+  * (t10) → deterministic split assignment (q39's hash rule) →
+  * context-window chunking (t8). What a user of this library actually
+  * runs end to end; CurationSpec pins the composition on a corpus built
+  * so every drop reason fires, and the c1/c2 registry entries hash-match
+  * the whole flow against a composed-CTE DuckDB replay.
   *
   * Every stage is the same code the per-operator oracle gate checks —
   * this object wires frames together, adding doc-id anti-joins between
@@ -24,19 +28,24 @@ import org.apache.spark.sql.functions._
   * Execution model, stated honestly: `curate` is EAGER — the near-dup
   * clustering inside (connectedComponents) runs Spark jobs at call time
   * and retains its localCheckpoint blocks for the session (see the
-  * retention note on Dedup.connectedComponents). The returned `chunks`
-  * and `audit` are then independent lazy plans that share upstream
-  * stages; evaluating both recomputes the shared gate/dedup/
-  * decontamination work unless the caller persists — acceptable for a
-  * run-once batch pipeline, persist `docs` (or the result of a first
-  * materialization) when iterating.
+  * retention note on Dedup.connectedComponents), and that first pass
+  * also fills the internal caches. The input projection and the
+  * contaminated-id set are persisted (MEMORY_AND_DISK) inside `curate`,
+  * so evaluating BOTH returned frames scans the source exactly once —
+  * call [[Curated.release]] when done with the frames to free the
+  * cached blocks (the spec pins single-scan behavior).
   */
 object Curation {
 
   /** Curated output: `chunks` ready for tokenization, `audit` = one row
-    * per REJECTED candidate doc with its drop reason.
+    * per REJECTED candidate doc with its drop reason. `release()` frees
+    * the caches backing both frames — after it, re-evaluating them
+    * recomputes from the source.
     */
-  final case class Curated(chunks: DataFrame, audit: DataFrame)
+  final case class Curated(chunks: DataFrame, audit: DataFrame,
+      private val cached: Seq[DataFrame] = Nil) {
+    def release(): Unit = cached.foreach(_.unpersist(false))
+  }
 
   /** Curate `docs` ((doc_id, text, lang, source) at minimum).
     * Documents from `evalSource` define the contamination reference and
@@ -50,11 +59,26 @@ object Curation {
     // and a doc dropped there would appear in neither chunks nor audit —
     // silently violating the conservation contract the spec pins.
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    // ONE source scan feeds every branch below (chunks and audit both):
+    // the narrow 4-column projection is cached, filled by the eager
+    // clustering pass inside this call. At 100 TB this spills to disk —
+    // the price of not scanning the corpus once per returned frame.
     val base = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Null-SAFE comparison: with =!=, a null source fails BOTH filters
     // (three-valued logic) and the doc would vanish without an audit row.
-    val candidates = base.filter(!(col("source") <=> evalSource))
+    val candAll = base.filter(!(col("source") <=> evalSource))
     val evalDocs = base.filter(col("source") <=> evalSource)
+
+    // 0. Id-validity gate. A null doc_id would violate conservation
+    // silently: the dedup keeper filter (doc_id === min(doc_id)) is null
+    // and drops it, and the audit's anti-joins can't name it either —
+    // so reject it EXPLICITLY with its own audit row (the id column is
+    // the pipeline's join key everywhere; a doc without one is
+    // untrackable by construction). Eval docs keep null ids: they are
+    // reference material, never joined by id.
+    val badId = candAll.filter(col("doc_id").isNull)
+    val candidates = candAll.filter(col("doc_id").isNotNull)
 
     // 1. Quality gate (t1's shape, minimal form): real text, wanted
     // language, enough tokens to train on.
@@ -79,10 +103,14 @@ object Curation {
       .select(col("id").as("doc_id"))
     val unique = deduped.join(nearDupIds, Seq("doc_id"), "left_anti")
 
-    // 4. Decontamination (t10) against the eval docs.
+    // 4. Decontamination (t10) against the eval docs. The id set is
+    // tiny (flagged docs only) but expensive to derive (a shingle
+    // inverted index over the corpus) — cache it so the chunks and
+    // audit frames don't each rebuild the index.
     val contaminatedIds = TextAnalysis.contamination(
         unique.unionByName(evalDocs), evalSource, maxPostings)
       .select(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val clean = unique.join(contaminatedIds, Seq("doc_id"), "left_anti")
 
     // 5. Deterministic split — the exact q39 rule, shared formulation.
@@ -96,6 +124,7 @@ object Curation {
     val chunks = TextAnalysis.chunk(withSplit, Seq("source", "split"))
 
     val audit = Seq(
+      badId.select(col("doc_id"), lit("invalid_id").as("reason")),
       candidates.join(gated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit("gate").as("reason")),
       byFp.filter(col("doc_id") =!= col("_keeper"))
@@ -103,6 +132,96 @@ object Curation {
       nearDupIds.select(col("doc_id"), lit("near_duplicate").as("reason")),
       contaminatedIds.select(col("doc_id"), lit("contaminated").as("reason"))
     ).reduce(_ unionByName _)
-    Curated(chunks, audit)
+    Curated(chunks, audit, Seq(base, contaminatedIds))
   }
+
+  // ---- Oracled registry entries: the composition over the fixture ----
+  // Parameters chosen so the fixture corpus exercises real drops: zh is
+  // outside the language allowlist and minTokens 20 cuts the short tail
+  // (fixture token counts span 10-99), src0 is the eval set (t10's
+  // convention).
+  private val EvalSource = "src0"
+  private val Langs = Seq("en", "de", "es", "fr")
+  private val MinTokens = 20
+  private val MinJaccard = 0.5
+  private val MaxPostings = 1000
+
+  /** c1 and c2 are two views of ONE curate() run: memoized per input dir
+    * so Verify's separate query invocations share the eager clustering
+    * pass and the internal caches instead of executing the pipeline
+    * twice (one JVM-wide session; entries are only ever read).
+    */
+  private val memo = new ConcurrentHashMap[String, Curated]()
+  private def curatedFor(s: SparkSession, dir: String): Curated =
+    memo.computeIfAbsent(dir, _ =>
+      curate(graft.Tables.load(s, dir, "documents"),
+        EvalSource, Langs, MinTokens, MinJaccard, MaxPostings))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_curation" -> ((s, dir) => curatedFor(s, dir).chunks),
+    "c2_curation_audit" -> ((s, dir) => curatedFor(s, dir).audit))
+
+  /** The shared composed-CTE replay of every stage, built from the SAME
+    * per-stage oracle formulations the individual gates use (d6
+    * normFpSql, d2 d2PairsSql, d9's recursive closure, t10
+    * contaminationSql, q39 splitCaseSql, t8 chunkSql) — c1 selects the
+    * chunk output, c2 the audit union.
+    */
+  private def prefixSql: String = {
+    val langList = Langs.map(l => s"'$l'").mkString(", ")
+    s"""WITH RECURSIVE
+       |cbase AS (SELECT doc_id, text, lang, source FROM documents),
+       |cbadid AS (SELECT doc_id FROM cbase
+       |           WHERE source IS DISTINCT FROM '$EvalSource' AND doc_id IS NULL),
+       |ccand AS (SELECT * FROM cbase
+       |          WHERE source IS DISTINCT FROM '$EvalSource' AND doc_id IS NOT NULL),
+       |ceval AS (SELECT * FROM cbase WHERE source IS NOT DISTINCT FROM '$EvalSource'),
+       |cgated AS (SELECT * FROM ccand
+       |           WHERE text IS NOT NULL AND lang IN ($langList)
+       |             AND len(${TextAnalysis.toksSql}) >= $MinTokens),
+       |cfp AS (SELECT doc_id, text, lang, source, ${Dedup.normFpSql} AS fp
+       |        FROM cgated),
+       |ckeep AS (SELECT fp, min(doc_id) AS keeper FROM cfp GROUP BY fp),
+       |cdup AS (SELECT f.doc_id FROM cfp f JOIN ckeep k ON k.fp = f.fp
+       |         WHERE f.doc_id <> k.keeper),
+       |cdeduped AS (SELECT f.doc_id, f.text, f.lang, f.source
+       |             FROM cfp f JOIN ckeep k ON k.fp = f.fp AND f.doc_id = k.keeper),
+       |cpairs AS (SELECT doc_a, doc_b FROM (${Dedup.d2PairsSql("cdeduped")}) p
+       |           WHERE est_jaccard >= $MinJaccard),
+       |cedges AS (SELECT doc_a AS a, doc_b AS b FROM cpairs
+       |           UNION SELECT doc_b AS a, doc_a AS b FROM cpairs),
+       |creach(a, b) AS (
+       |  SELECT a, b FROM cedges
+       |  UNION
+       |  SELECT r.a, e.b FROM creach r JOIN cedges e ON r.b = e.a),
+       |cneardup AS (SELECT a AS doc_id FROM creach GROUP BY a
+       |             HAVING a <> least(a, min(b))),
+       |cuniq AS (SELECT d.* FROM cdeduped d
+       |          WHERE d.doc_id NOT IN (SELECT doc_id FROM cneardup)),
+       |ccontam AS (SELECT doc_id FROM (${TextAnalysis.contaminationSql(
+              "(SELECT doc_id, source, text FROM cuniq" +
+                " UNION ALL SELECT doc_id, source, text FROM ceval) cu",
+              EvalSource, MaxPostings)}) ct),
+       |cclean AS (SELECT u.* FROM cuniq u
+       |           WHERE u.doc_id NOT IN (SELECT doc_id FROM ccontam)),
+       |csplit AS (SELECT doc_id, text, source,
+       |             (${Sampling.splitCaseSql}) AS split
+       |           FROM cclean)""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map(
+    "c1_curation" ->
+      s"""$prefixSql
+         |SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text, source, split
+         |FROM (${TextAnalysis.chunkSql("csplit", Seq("source", "split"))}) ch""".stripMargin,
+    "c2_curation_audit" ->
+      s"""$prefixSql
+         |SELECT doc_id, reason FROM (
+         |  SELECT doc_id, 'gate' AS reason FROM ccand
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cgated)
+         |  UNION ALL SELECT doc_id, 'duplicate' FROM cdup
+         |  UNION ALL SELECT doc_id, 'near_duplicate' FROM cneardup
+         |  UNION ALL SELECT doc_id, 'contaminated' FROM ccontam
+         |  UNION ALL SELECT doc_id, 'invalid_id' FROM cbadid
+         |) a""".stripMargin)
 }

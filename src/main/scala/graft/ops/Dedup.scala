@@ -362,7 +362,7 @@ object Dedup {
   private[ops] def normFp(text: Column): Column =
     substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
 
-  private val normFpSql =
+  private[ops] val normFpSql =
     "substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)"
 
   def d6NormDedup(s: SparkSession, dir: String): DataFrame =
@@ -542,14 +542,17 @@ object Dedup {
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** d2's oracle, shared: d9 wraps it in a recursive-CTE closure. */
-  private val d2OracleSql: String = {
+  /** d2's oracle over any (doc_id, text) relation `from`, shared: d9
+    * wraps it in a recursive-CTE closure, and the composed curation
+    * oracle replays it over the post-dedup survivor set.
+    */
+  private[ops] def d2PairsSql(from: String): String = {
     val sigSql = (0 until NumHashes).map(j =>
       s"list_min(list_transform(sh, x -> substr(md5('0:' || x) || md5('1:' || x), ${8 * j + 1}, 8)))")
       .mkString("[", ",\n    ", "]")
     val bandSql = (0 until NumBands).map(b =>
       s"sig[${2 * b + 1}] || sig[${2 * b + 2}]").mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM $from),
        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(toks) >= 3),
        |sigs AS (SELECT doc_id, $sigSql AS sig FROM sh),
        |bands AS (SELECT doc_id, i - 1 AS band_idx, ($bandSql)[i] AS band_key
@@ -566,6 +569,8 @@ object Dedup {
        |JOIN sigs sa ON sa.doc_id = doc_a
        |JOIN sigs sb ON sb.doc_id = doc_b""".stripMargin
   }
+
+  private val d2OracleSql: String = d2PairsSql("documents")
 
   val oracle: Map[String, String] = Map(
     "d1_exact_dedup" ->

@@ -108,15 +108,22 @@ object Sampling {
 
   private val hSql = "substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)"
 
+  /** Oracle-side mirror of [[splitLabel]] as a scalar SQL expression over
+    * columns (doc_id, text) in scope — shared by q39 and the composed
+    * curation oracle.
+    */
+  private[ops] val splitCaseSql: String =
+    s"""CASE WHEN $hSql < 'c' THEN 'train'
+       |     WHEN $hSql < 'e' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q38_hash_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
          |WHERE $hSql IN (${SampleDigits.map(d => s"'$d'").mkString(", ")})""".stripMargin,
     "q39_split_assign" ->
       s"""SELECT source,
-         |  CASE WHEN $hSql < 'c' THEN 'train'
-         |       WHEN $hSql < 'e' THEN 'val'
-         |       ELSE 'test' END AS split,
+         |  ($splitCaseSql) AS split,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1, 2""".stripMargin,
     // Independent formulation: lateral ticket unnest + window rank

@@ -327,7 +327,7 @@ object TextAnalysis {
     "t7_scrub" -> t7Scrub,
     "t8_chunk" -> t8Chunk)
 
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[ops] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   private def bigramsSql(arr: String): String = ngramsSql(arr, 2)

@@ -50,6 +50,7 @@ class CurationSpec extends AnyFunSuite {
     // Split labels are the q39 rule's domain.
     val splits = out.chunks.select("split").distinct().as[String].collect().toSet
     assert(splits.subsetOf(Set("train", "val", "test")))
+    out.release()
   }
 
   test("curate: null-source docs are candidates (null-safe compare), zero minTokens rejected") {
@@ -61,9 +62,65 @@ class CurationSpec extends AnyFunSuite {
     val seen = out.chunks.select("doc_id").distinct().as[Long].collect().toSet ++
       out.audit.select("doc_id").as[Long].collect().toSet
     assert(seen == Set(1L, 2L), "every candidate must surface in chunks or audit")
+    out.release()
     intercept[IllegalArgumentException] {
       Curation.curate(docs, "eval", Seq("en"), minTokens = 0)
     }
+  }
+
+  test("curate: null doc_id is rejected with an invalid_id audit row, not silently lost") {
+    // Without the explicit id gate: the dedup keeper filter
+    // (doc_id === min(doc_id)) is null for a null id and drops the row,
+    // and the audit anti-joins can't name it — violating conservation
+    // silently (ADVICE r4). Eval-side null ids stay reference material.
+    val docs = Seq(
+      (Option(1L), "a perfectly fine document with plenty of words", "en", "web"),
+      (Option.empty[Long], "document that lost its identifier somewhere upstream", "en", "web"),
+      (Option.empty[Long], "eval reference text rows may lack ids too", "en", "eval")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.curate(docs, evalSource = "eval", langs = Seq("en"), minTokens = 5)
+    val audit = out.audit.as[(Option[Long], String)].collect().toSet
+    assert(audit == Set((Option.empty[Long], "invalid_id")))
+    assert(out.chunks.select("doc_id").distinct().as[Long].collect().toSet == Set(1L))
+    out.release()
+  }
+
+  test("curate scans the source once: both returned frames read the internal cache") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+    // Every node, descending through AQE wrappers and query stages.
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+        case s: QueryStageExec => s +: nodes(s.plan)
+        case x => Seq(x)
+      }
+    def scans(df: DataFrame): (Seq[SparkPlan], Seq[InMemoryTableScanExec]) = {
+      val ns = nodes(df.queryExecution.executedPlan)
+      (ns.filter(n => n.isInstanceOf[FileSourceScanExec] || n.isInstanceOf[BatchScanExec]),
+        ns.collect { case s: InMemoryTableScanExec => s })
+    }
+
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Curation.curate(docs, evalSource = "src0",
+      langs = Seq("en", "de", "es", "fr", "zh"), minTokens = 1)
+    // Evaluate chunks first (fills the contamination cache), then audit.
+    assert(out.chunks.count() > 0 && out.audit.count() > 0)
+    val (chunkFiles, chunkMem) = scans(out.chunks)
+    val (auditFiles, auditMem) = scans(out.audit)
+    // Neither returned frame re-reads parquet: all source access routes
+    // through the cache filled by curate's eager pass.
+    assert(chunkFiles.isEmpty, s"chunks re-scans the source:\n${chunkFiles.mkString("\n")}")
+    assert(auditFiles.isEmpty, s"audit re-scans the source:\n${auditFiles.mkString("\n")}")
+    assert(chunkMem.nonEmpty && auditMem.nonEmpty, "expected cached scans")
+    // And it IS the same cache — one materialization serves both frames.
+    val shared = chunkMem.exists(c => auditMem.exists(_.relation.cacheBuilder eq c.relation.cacheBuilder))
+    assert(shared, "chunks and audit do not share the cached input")
+    out.release()
   }
 
   test("curate conserves documents on the fixture corpus: kept + audited = candidates") {
@@ -78,5 +135,6 @@ class CurationSpec extends AnyFunSuite {
     assert(kept + audited == candidates,
       s"conservation: $kept kept + $audited audited != $candidates candidates")
     assert(kept > 0 && audited > 0)
+    out.release()
   }
 }
