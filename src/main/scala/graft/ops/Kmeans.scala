@@ -228,23 +228,30 @@ object Kmeans {
     * @param select final projection over the last assignment CTE
     * @param sub    whether the subspace key threads through every CTE
     */
-  private def kmeansOracleSql(qCte: String, dim: Int, select: String,
+  private def assignCteSql(t: Int, centCte: String, dim: Int,
       sub: Boolean): String = {
-    val k = if (sub) "sub, " else ""           // bare key list prefix
-    val kv = if (sub) "v.sub, " else ""        // v-qualified
-    val ka = if (sub) "a.sub, " else ""        // a-qualified
-    val kc = if (sub) "c.sub, " else ""        // c-qualified
+    val k = if (sub) "sub, " else ""
+    val kv = if (sub) "v.sub, " else ""
     val distSql = s"list_sum(list_transform(generate_series(1, $dim), " +
       "i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))"
-    def assignCte(t: Int, centCte: String): String = {
-      val join = if (sub) s"JOIN $centCte c ON c.sub = v.sub"
-        else s"CROSS JOIN $centCte c"
-      s"""a$t AS (SELECT ${k}vec_id, q, cell, dist,
-         |    row_number() OVER (PARTITION BY ${k}vec_id
-         |                       ORDER BY dist ASC, cell ASC) AS rn
-         |  FROM (SELECT ${kv}v.vec_id, v.q, c.cell, $distSql AS dist
-         |        FROM q v $join))""".stripMargin
-    }
+    val join = if (sub) s"JOIN $centCte c ON c.sub = v.sub"
+      else s"CROSS JOIN $centCte c"
+    s"""a$t AS (SELECT ${k}vec_id, q, cell, dist,
+       |    row_number() OVER (PARTITION BY ${k}vec_id
+       |                       ORDER BY dist ASC, cell ASC) AS rn
+       |  FROM (SELECT ${kv}v.vec_id, v.q, c.cell, $distSql AS dist
+       |        FROM q v $join))""".stripMargin
+  }
+
+  /** The Lloyd's-training CTE chain alone — `qCte` through the trained
+    * centroids `c`[[Iters]] — so downstream consumers (s3b's IVF oracle)
+    * can splice the training replay in front of their own CTEs. The full
+    * s7/s8 oracles append one final assignment over it.
+    */
+  private[ops] def kmeansCtesSql(qCte: String, dim: Int, sub: Boolean): String = {
+    val k = if (sub) "sub, " else ""           // bare key list prefix
+    val ka = if (sub) "a.sub, " else ""        // a-qualified
+    val kc = if (sub) "c.sub, " else ""        // c-qualified
     def updateCte(t: Int): String = {
       val uJoin = if (sub) s"ON u.sub = c.sub AND u.cell = c.cell"
         else "ON u.cell = c.cell"
@@ -259,23 +266,33 @@ object Kmeans {
          |  FROM c${t - 1} c LEFT JOIN u$t u $uJoin)""".stripMargin
     }
     val rounds = (1 to Iters)
-      .map(t => assignCte(t, s"c${t - 1}") + ",\n" + updateCte(t))
+      .map(t => assignCteSql(t, s"c${t - 1}", dim, sub) + ",\n" + updateCte(t))
       .mkString(",\n")
-    s"""WITH $qCte,
+    s"""$qCte,
        |comp AS (SELECT unnest(generate_series(1, $dim)) AS i),
        |c0 AS (SELECT ${k}vec_id AS cell, q AS cv FROM q WHERE vec_id < $K),
-       |$rounds,
-       |${assignCte(Iters + 1, s"c$Iters")}
+       |$rounds""".stripMargin
+  }
+
+  /** s7's flat-corpus source CTE — shared with s3b's oracle, which must
+    * train over the identical quantization.
+    */
+  private[ops] val corpusQCte: String =
+    s"""q AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+       |  FROM embeddings)""".stripMargin
+
+  private def kmeansOracleSql(qCte: String, dim: Int, select: String,
+      sub: Boolean): String =
+    s"""WITH ${kmeansCtesSql(qCte, dim, sub)},
+       |${assignCteSql(Iters + 1, s"c$Iters", dim, sub)}
        |$select
        |FROM a${Iters + 1} WHERE rn = 1""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
     "s7_kmeans_assign" -> kmeansOracleSql(
-      qCte = s"""q AS (SELECT vec_id,
-          |    list_transform(embedding,
-          |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
-          |  FROM embeddings)""".stripMargin,
+      qCte = corpusQCte,
       dim = Dim,
       select = "SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist",
       sub = false),

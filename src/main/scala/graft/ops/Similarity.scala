@@ -309,10 +309,12 @@ object Similarity {
     s3IvfAnnWith(e, centroids)
   }
 
-  /** s3 with k-means-trained cells ([[Kmeans.trainCentroids]], scaled
-    * longs mapped back to float space) — the self-contained IVF story.
-    * Not oracle-registered: the operator is s3's exact shape (pinned
-    * there); only the centroid source differs.
+  /** s3b — s3 with k-means-trained cells ([[Kmeans.trainCentroids]],
+    * scaled longs mapped back to float space) — the self-contained IVF
+    * story, oracle-gated end to end: the oracle splices s7's Lloyd's
+    * CTE replay in front of s3's IVF SQL, so training AND search
+    * hash-match in one statement. The operator is s3's exact shape
+    * (plan properties pinned there); only the centroid source differs.
     */
   def s3IvfAnnTrained(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -489,6 +491,7 @@ object Similarity {
     "s2b_ann_multiband" -> s2bAnnMultiband,
     "s6_ann_rerank" -> s6AnnRerank,
     "s3_ivf_ann" -> s3IvfAnn,
+    "s3b_ivf_trained" -> s3IvfAnnTrained,
     "s4_pq_codes" -> s4PqCodes,
     "s5_pq_search" -> s5PqSearch)
 
@@ -574,6 +577,37 @@ object Similarity {
     "s3_ivf_ann" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv
          |              FROM embeddings WHERE vec_id < $NCentroids),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |    ${cosineSql("e.embedding", "c.cv")} AS cc,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${cosineSql("e.embedding", "c.cv")} DESC, c.cent_id ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assigned AS (SELECT vec_id, embedding, cent_id AS cell
+         |             FROM scored WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, cent_id AS qcell
+         |           FROM scored
+         |           WHERE vec_id >= $NCentroids AND vec_id < ${NCentroids + IvfQueries}
+         |             AND rn <= $IvfNProbe),
+         |sims AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, q.qcell AS cell,
+         |    round(${cosineSql("q.qv", "a.embedding")}, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      round(${cosineSql("q.qv", "a.embedding")}, 6) DESC, a.vec_id ASC) AS rank
+         |  FROM assigned a JOIN probes q ON a.cell = q.qcell AND a.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cell, CAST(rank AS BIGINT) AS rank, cos_sim
+         |FROM sims WHERE rank <= $IvfTopK""".stripMargin,
+    "s3b_ivf_trained" ->
+      // s7's Lloyd's training replay (identical quantization and
+      // arithmetic) spliced in front of s3's IVF search: cent = trained
+      // centroids mapped back to double space exactly as the engine does
+      // (long → double is exact below 2^53; division by the power-of-ten
+      // scale is one IEEE op on both engines).
+      s"""WITH ${graft.ops.Kmeans.kmeansCtesSql(graft.ops.Kmeans.corpusQCte,
+            graft.ops.Kmeans.Dim, sub = false)},
+         |cent AS (SELECT cell AS cent_id,
+         |           list_transform(cv, x -> CAST(x AS DOUBLE)
+         |             / CAST(${graft.ops.Kmeans.Scale} AS DOUBLE)) AS cv
+         |         FROM c${graft.ops.Kmeans.Iters}),
          |scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
          |    ${cosineSql("e.embedding", "c.cv")} AS cc,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
