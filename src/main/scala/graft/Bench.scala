@@ -28,8 +28,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val all = SparkEntry.queries.keySet
+    // v1 — FROZEN since round 2 for cross-round comparability; never
+    // append here (a changed set makes total-vs-last-round meaningless).
     val headline: Seq[String] = {
-      val all = SparkEntry.queries.keySet
       val preferred = Seq(
         "q1_agg", "q3_join_agg", "q5_unpivot", "q6_latest_per_key",
         "q7_time_bucket", "q29_asof_join", "d1_exact_dedup", "d2_minhash_lsh",
@@ -38,10 +40,18 @@ object Bench {
         .filter(all.contains)
       if (preferred.nonEmpty) preferred else all.toSeq.sorted
     }
+    // v2 — the round-4/5 operator surface, versioned separately so
+    // regressions in the newer ops show up in BENCH artifacts (not only
+    // ad-hoc Timed runs) while v1 totals stay comparable across rounds.
+    val headlineV2: Seq[String] = Seq(
+      "s7_kmeans_assign", "s8_pq_trained", "s3b_ivf_trained",
+      "t10_contamination", "q54_scd2", "q55_weighted_pick",
+      "q56_retention", "q57_hop_window")
+      .filter(all.contains)
 
     // Warm-up pass at tiny scale so JIT/codegen/classloading doesn't
     // pollute the measured numbers.
-    headline.foreach { name =>
+    (headline ++ headlineV2).foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
@@ -52,32 +62,40 @@ object Bench {
     // cache is cleared before every timed run so cached intermediates
     // are measured cold. A failing query reports -1, never its
     // elapsed-to-failure time (a regression must not read as a speedup).
-    val results = headline.map { name =>
-      val times = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    def measure(names: Seq[String]): Seq[(String, Seq[Double], Double)] =
+      names.map { name =>
+        val times = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val ok =
+            try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        (name, times.toSeq,
+          if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
       }
-      (name, times,
-        if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
-    }
-    val qs = results.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    def minsJson(rs: Seq[(String, Seq[Double], Double)]): String =
+      rs.map { case (k, _, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     // All samples, not just the min: a contaminated environment (noisy
     // neighbor, cold page cache, concurrent compile) shows up as one
     // outlier sample among stable ones — self-evident in the artifact
     // instead of needing an out-of-band re-run to adjudicate.
-    val ts = results.map { case (k, times, _) =>
-      "\"" + k + "\":" + times.map(t => f"$t%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    def timesJson(rs: Seq[(String, Seq[Double], Double)]): String =
+      rs.map { case (k, times, _) =>
+        "\"" + k + "\":" + times.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+
+    val results = measure(headline)
+    val resultsV2 = measure(headlineV2)
     val total = results.map(_._3).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$ts,"sf":"$sfDir"}""")
+    val totalV2 = resultsV2.map(_._3).filter(_ >= 0).sum
+    // "value"/"queries"/"times" stay v1-only (the frozen cross-round
+    // series); the v2 set rides under distinct keys.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${minsJson(results)},"times":${timesJson(results)},"value_v2":$totalV2%.3f,"queries_v2":${minsJson(resultsV2)},"times_v2":${timesJson(resultsV2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,13 +38,57 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // df.rdd.getNumPartitions materializes the RDD lineage eagerly to
-    // read the scan's split count — a plan-time side effect (cheap: no
-    // job runs, but the physical plan is built twice). Acceptable while
-    // spread() sits on a handful of hash-heavy operators; if it ever
-    // wraps every query, probe the split count from the FileIndex
-    // instead of the RDD.
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+    // The split count comes from FileIndex METADATA (file sizes +
+    // the scan-packing arithmetic), not from df.rdd — the RDD probe
+    // built the whole physical plan twice per call. Frames with no file
+    // relation (in-memory test frames) pass through unchanged: the
+    // row-group floor this works around is a property of file scans.
+    if (plannedScanSplits(df).exists(_ * 2 <= target)) df.repartition(target)
+    else df
+  }
+
+  /** Planned scan-split count for `df`'s underlying file relation,
+    * computed from FileIndex metadata with the same arithmetic
+    * FileSourceScanExec applies (maxSplitBytes = min(maxPartitionBytes,
+    * max(openCost, totalBytes/minPartitionNum)); files split by it,
+    * then bin-packed size-descending with openCost padding). A
+    * metadata-only estimate — actual splits can't be finer than parquet
+    * row groups, so this may OVERCOUNT splits on few-row-group files;
+    * for spread's purpose that direction only skips an optional
+    * repartition, never corrupts anything. None when the plan has no
+    * file relation.
+    */
+  private def plannedScanSplits(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    // analyzed, not logical: since Spark 4 the reader is lazy and the
+    // raw plan is an UnresolvedDataSource — the LogicalRelation only
+    // exists after analysis (which is still plan-level only; no
+    // physical planning, no RDD).
+    val rels = df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation
+    }.collect { case r: HadoopFsRelation => r }
+    if (rels.isEmpty) None
+    else Some(rels.map { rel =>
+      val files = rel.location.listFiles(Nil, Nil).flatMap(_.files)
+      val openCost = conf.filesOpenCostInBytes
+      val minParts = conf.filesMinPartitionNum
+        .getOrElse(spark.sparkContext.defaultParallelism)
+      val totalBytes = files.map(_.getLen + openCost).sum
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, totalBytes / math.max(1, minParts)))
+      val splitSizes = files.flatMap { f =>
+        (0L until f.getLen by math.max(1L, maxSplit))
+          .map(off => math.min(maxSplit, f.getLen - off) + openCost)
+      }.sortBy(-_)
+      var n = 0L
+      var cur = 0L
+      for (s <- splitSizes) {
+        if (n == 0 || cur + s > maxSplit) { n += 1; cur = s } else cur += s
+      }
+      n
+    }.max)
   }
 
   // Bucketed (write-time pre-shuffled) tables live in

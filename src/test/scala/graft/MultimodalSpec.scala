@@ -199,6 +199,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m4 end-to-end over a parquet-stored PNG corpus: decode→hash→band→pair " +
+    "on disk-round-tripped bytes") {
+    import spark.implicits._
+    // A deterministic PNG corpus committed to parquet at test time (the
+    // fixture documents table has no media column), covering every edge
+    // the in-memory tests prove: lossless re-encode (hamming 0), edits at
+    // the hamming-3 boundary, the 4-spread counterexample past it, an
+    // inverse, and a non-image payload — all surviving a binary-column
+    // disk round trip through the real source path.
+    val dir = java.nio.file.Files.createTempDirectory("m4-corpus").toString
+    Seq(
+      (1L, encodeBlocks(checker)),               // base
+      (2L, encodeBlocks(checker, "bmp")),        // lossless re-encode: h=0
+      (3L, encodeBlocks(checker ^ 3L)),          // two-block edit: h=2
+      (4L, encodeBlocks(checker ^ 7L)),          // three-block edit: h=3 vs base
+      (5L, encodeBlocks(~checker)),              // inverse: h=64
+      (6L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+      .repartition(2) // multiple files: pairing must cross file boundaries
+      .write.parquet(s"$dir/images")
+    val stored = spark.read.parquet(s"$dir/images")
+    assert(stored.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val hashes = Multimodal.imageHashes(stored)
+    assert(hashes.count() == 5, "non-image dropped, images hashed")
+    val pairs = Multimodal.m4ImageNearDup(hashes)
+      .as[(Long, Long, Long)].collect().toSet
+    // h(3,4): patterns differ in block 2 only (3^7=4) → hamming 1.
+    assert(pairs == Set(
+      (1L, 2L, 0L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (2L, 3L, 2L), (2L, 4L, 3L), (3L, 4L, 1L)))
+    // The hamming-4 spread case on disk too: no pair past the guarantee.
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("m4: an over-cap degenerate bucket (constant hash) yields zero pairs, never a quadratic task") {
     import spark.implicits._
     val copies = (1L to 6L).map(i => (i, encodeBlocks(checker))).toDF("doc_id", "payload")

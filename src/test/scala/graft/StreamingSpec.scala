@@ -271,6 +271,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("keeper stability under at-least-once redelivery: duplicated+reordered " +
+    "batches add zero emissions and cannot revise a keeper upward (T5)") {
+    import graft.ops.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB provider (multiple column
+    // families) — same scoped override as the parity test above.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val corpus = Seq((1L, "already known text")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.incrementalDedupStreamKeyed(
+      in.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("keeper_redeliver_t").start()
+    withQuery(q) {
+      val batchA = Seq((10L, "fresh a"), (3L, "fresh b"))
+      val batchB = Seq((5L, "FRESH  a"), (8L, "fresh c"))
+      in.addData(batchA: _*)
+      q.processAllAvailable()
+      in.addData(batchB: _*)
+      q.processAllAvailable()
+      val before = spark.table("keeper_redeliver_t")
+        .as[(String, Long)].collect().toSeq
+      // At-least-once delivery: batch A arrives AGAIN verbatim, then a
+      // reordered interleaving of both batches in one batch. Every row
+      // is a re-arrival of an id the state has already seen (or beaten),
+      // so the processor must emit NOTHING — in particular the (10,
+      // "fresh a") redelivery after 5 became the keeper must not revise
+      // the keeper upward, and the duplicate (3)/(8) must not re-emit.
+      in.addData(batchA: _*)
+      q.processAllAvailable()
+      in.addData((8L, "fresh c"), (10L, "fresh a"), (3L, "fresh b"))
+      q.processAllAvailable()
+      val after = spark.table("keeper_redeliver_t")
+        .as[(String, Long)].collect().toSeq
+      assert(after.sorted == before.sorted,
+        s"redelivery changed the emission set: $before -> $after")
+      // Exactly one downward revision for fp(a) (10 then 5), one emission
+      // each for b and c — the full multiset, so a phantom emission
+      // anywhere fails, not only on the revised key.
+      val perFp = after.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(perFp.values.toSeq.map(_.size).sorted == Seq(1, 1, 2),
+        s"unexpected emission counts: $perFp")
+      // And the final keeper map still equals batch d10 over everything
+      // delivered (redeliveries included — idempotent by min semantics).
+      val streamKeepers = spark.table("keeper_redeliver_t")
+        .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .as[(String, Long)].collect().toMap
+      val batchKeepers = Dedup.corpusFingerprints(
+          (batchA ++ batchB ++ batchA).toDF("doc_id", "text"))
+        .as[(String, Long)].collect().toMap
+      assert(streamKeepers == batchKeepers)
+    }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("foldBackCorpus: corpus' = corpus ∪ novel, idempotent, and the next d10 pass is empty") {
     import graft.ops.Dedup
     // Corpus fingerprints (d6 shape) + a d10 novelty batch (disjoint fps

@@ -24,7 +24,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir, oracle_path, bench_path, out_path):
     bench_line = re.search(r'\{"metric".*\}',
                            open(bench_path).read()).group(0)
-    spark = json.loads(bench_line)["queries"]
+    bench = json.loads(bench_line)
     oracle = json.load(open(oracle_path))
     con = duckdb.connect()
     for t in TABLES:
@@ -32,23 +32,24 @@ def main(sf_dir, oracle_path, bench_path, out_path):
         if os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    rows = []
-    for name, sec in spark.items():
-        if name not in oracle:
-            rows.append((name, sec, None))
-            continue
-        best = None
-        for _ in range(2):  # min-of-2, like the Spark side
-            t0 = time.time()
-            con.execute(f"SELECT count(*) FROM ({oracle[name]}) t").fetchone()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        rows.append((name, sec, best))
-    with open(out_path, "w") as f:
-        f.write("# BENCHCMP — Spark (local[32]) vs DuckDB, identical "
-                "queries, same parquet, sf0.1\n\n")
-        f.write("DuckDB runs the committed oracle SQL; Spark runs the "
-                "engine's DataFrame plans. Min of 2 runs each.\n\n")
+
+    def time_rows(spark_times):
+        rows = []
+        for name, sec in spark_times.items():
+            if name not in oracle:
+                rows.append((name, sec, None))
+                continue
+            best = None
+            for _ in range(2):  # min-of-2, like the Spark side
+                t0 = time.time()
+                con.execute(
+                    f"SELECT count(*) FROM ({oracle[name]}) t").fetchone()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            rows.append((name, sec, best))
+        return rows
+
+    def table(f, rows):
         f.write("| query | spark s | duckdb s | spark/duckdb |\n")
         f.write("|---|---|---|---|\n")
         for name, s, d in rows:
@@ -63,6 +64,19 @@ def main(sf_dir, oracle_path, bench_path, out_path):
                     f"**{tot_s / tot_d:.2f}×** |\n")
         else:
             f.write(f"| **total** | **{tot_s:.3f}** | — | — |\n")
+
+    with open(out_path, "w") as f:
+        f.write("# BENCHCMP — Spark (local[32]) vs DuckDB, identical "
+                "queries, same parquet, sf0.1\n\n")
+        f.write("DuckDB runs the committed oracle SQL; Spark runs the "
+                "engine's DataFrame plans. Min of 2 runs each.\n\n")
+        table(f, time_rows(bench["queries"]))
+        if "queries_v2" in bench:
+            f.write("\n## Headline set v2 (round-4/5 surface: k-means/PQ "
+                    "training, decontamination, SCD2/retention/windows)\n\n"
+                    "Versioned separately so the v1 total stays comparable "
+                    "across rounds.\n\n")
+            table(f, time_rows(bench["queries_v2"]))
         scaling_section(f, oracle)
     print(f"wrote {out_path}")
 
