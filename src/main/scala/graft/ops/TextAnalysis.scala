@@ -269,13 +269,9 @@ object TextAnalysis {
     * Shingles whose posting list exceeds [[MaxContamPostings]] are
     * dropped like d4's cap — a corpus-common phrase is boilerplate, not
     * memorization signal, and an uncapped hot shingle would collect
-    * unbounded doc lists. Keys stay RAW SHINGLE STRINGS: d4's 60-bit
-    * md5-prefix trick was tried here and measured SLOWER (1.51 → 1.70 s
-    * at sf0.1) — unlike d4, no md5 exists in this path to begin with,
-    * so the hash is pure added CPU and the ~30-byte→8-byte key shrink
-    * doesn't pay for it until shuffle I/O dominates (d4 already pays
-    * the md5 for its signature and reuses it). Revisit only with a
-    * measured shuffle-bound profile.
+    * unbounded doc lists. Keys stay RAW SHINGLE STRINGS — see
+    * [[contamination]] for the sf1-measured alternatives (md5-prefix
+    * keys and a two-pass cap both re-measured and rejected).
     */
   def t10Contamination(s: SparkSession, dir: String): DataFrame =
     contamination(graft.Tables.spread(load(s, dir, "documents")),
@@ -288,6 +284,22 @@ object TextAnalysis {
     * hot shingle's full doc list inside one aggregation buffer, which is
     * exactly the skewed-key blowup the cap exists to avoid. A window
     * partition spills; an agg buffer doesn't.
+    *
+    * The sf1 profile (10x duplicated corpus, SCALE.md) drove one fix
+    * and two rejections here, all measured:
+    *  - ADOPTED: tokens materialized as a column before the n-gram
+    *    transform (below) — 6.18 s -> ~1.9 s at sf1, 1.5 -> ~1.3 s at
+    *    sf0.1. The round-4 form inlined `ngrams(toks(text))`, and with
+    *    no CSE inside expression trees every element_at in every
+    *    shingle lambda re-ran the whole tokenizer (~5 re-tokenizations
+    *    per shingle, ~350 per document).
+    *  - REJECTED: d4's 60-bit md5-prefix shingle keys (re-measured per
+    *    the round-4 note's revisit condition): 2.4-2.7 s vs 1.8-2.3 s
+    *    raw at sf1 — with tokens materialized, the conv/md5 CPU costs
+    *    more than the 30-byte->8-byte shuffle shrink saves, even 10x up.
+    *  - REJECTED: a two-pass cap (pre-aggregate over-cap shingles,
+    *    anti-join before the wide shuffle): 9.6 s at sf1 — the second
+    *    tokenize+shingle pass costs more than the window sort it saves.
     */
   def contamination(docs: DataFrame, evalSource: String,
       maxPostings: Int): DataFrame =
@@ -298,8 +310,15 @@ object TextAnalysis {
     // <=> makes null source mean "not the eval set", same as the
     // oracle's IS DISTINCT FROM.
     docs
+      // Tokens MATERIALIZED as a column before the n-gram transform:
+      // inlining `ngrams(toks(text))` makes every element_at in every
+      // shingle lambda re-run the whole split+filter tokenizer (no CSE
+      // inside expression trees — ~5 re-tokenizations per shingle, ~350
+      // per document, measured 6.2 s -> 1.8 s at sf1). CollapseProject
+      // keeps the alias because it is non-cheap and multiply-referenced.
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(ngrams(toks(col("text")), 5))).as("sh"))
+        explode(array_distinct(ngrams(col("t"), 5))).as("sh"))
       .withColumn("_np",
         sum(when(!(col("source") <=> evalSource), 1L).otherwise(0L))
           .over(Window.partitionBy("sh")))
