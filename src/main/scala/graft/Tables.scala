@@ -78,14 +78,20 @@ object Tables {
       val totalBytes = files.map(_.getLen + openCost).sum
       val maxSplit = math.min(conf.filesMaxPartitionBytes,
         math.max(openCost, totalBytes / math.max(1, minParts)))
+      // Exactly FilePartition.getFilePartitions' loop: the close check
+      // uses the incoming split's RAW length (openCost is added to the
+      // accumulator only after packing) — padding the check too would
+      // overcount partitions and wrongly self-disable on many-tiny-file
+      // layouts (review-caught).
       val splitSizes = files.flatMap { f =>
         (0L until f.getLen by math.max(1L, maxSplit))
-          .map(off => math.min(maxSplit, f.getLen - off) + openCost)
+          .map(off => math.min(maxSplit, f.getLen - off))
       }.sortBy(-_)
       var n = 0L
       var cur = 0L
       for (s <- splitSizes) {
-        if (n == 0 || cur + s > maxSplit) { n += 1; cur = s } else cur += s
+        if (n == 0 || cur + s > maxSplit) { n += 1; cur = s + openCost }
+        else cur += s + openCost
       }
       n
     }.max)

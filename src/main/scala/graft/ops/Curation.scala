@@ -79,6 +79,21 @@ object Curation {
     // reference material, never joined by id.
     val badId = candAll.filter(col("doc_id").isNull)
     val candidates = candAll.filter(col("doc_id").isNotNull)
+    // Id UNIQUENESS is the other half of that contract, checked loudly
+    // (review-caught): with two candidate rows sharing an id, every
+    // id-keyed stage conflates them and a row can vanish from both
+    // chunks and audit — e.g. a gate-failing row is removed from the
+    // gate audit's anti-join by its passing sibling. A silent wrong
+    // audit is worse than a failed run; curate is already eager, so
+    // this one bounded aggregation job doesn't change the execution
+    // model. Deduplicate ids upstream (d1/d6 keep content duplicates —
+    // this is about the KEY, not the text).
+    val dupId = candidates.groupBy("doc_id").count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dupId.isEmpty,
+      s"duplicate doc_id among candidates (e.g. ${dupId.head.get(0)}): " +
+        "curation keys every stage and audit row on doc_id — " +
+        "deduplicate ids upstream")
 
     // 1. Quality gate (t1's shape, minimal form): real text, wanted
     // language, enough tokens to train on.
@@ -146,14 +161,16 @@ object Curation {
   private val MinJaccard = 0.5
   private val MaxPostings = 1000
 
-  /** c1 and c2 are two views of ONE curate() run: memoized per input dir
-    * so Verify's separate query invocations share the eager clustering
-    * pass and the internal caches instead of executing the pipeline
-    * twice (one JVM-wide session; entries are only ever read).
+  /** c1 and c2 are two views of ONE curate() run: memoized per
+    * (session, dir) so Verify's separate query invocations share the
+    * eager clustering pass and the internal caches instead of executing
+    * the pipeline twice. The session is part of the key: a dir-only
+    * memo would hand frames bound to a STOPPED session to a later
+    * caller that built a fresh one (review-caught).
     */
-  private val memo = new ConcurrentHashMap[String, Curated]()
+  private val memo = new ConcurrentHashMap[(SparkSession, String), Curated]()
   private def curatedFor(s: SparkSession, dir: String): Curated =
-    memo.computeIfAbsent(dir, _ =>
+    memo.computeIfAbsent((s, dir), _ =>
       curate(graft.Tables.load(s, dir, "documents"),
         EvalSource, Langs, MinTokens, MinJaccard, MaxPostings))
 

@@ -540,7 +540,10 @@ object Dedup {
     "d9_dedup_clusters" -> d9DedupClusters,
     "d10_incremental_dedup" -> d10IncrementalDedup)
 
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  // The ONE tokenizer formulation, shared with the t-family and
+  // curation oracles — a local copy diverging silently would split
+  // d2/d9's token semantics from everything downstream of them.
+  private def toksSql = TextAnalysis.toksSql
 
   /** d2's oracle over any (doc_id, text) relation `from`, shared: d9
     * wraps it in a recursive-CTE closure, and the composed curation

@@ -365,6 +365,10 @@ object TextAnalysis {
     * with (doc_id, source, text) — shared by t10 and the composed
     * curation oracle. IS [NOT] DISTINCT FROM mirrors the engine's
     * null-safe `<=>`: a null-source doc counts as a non-eval posting.
+    * Two collect_set subtleties mirrored exactly (review-caught): the
+    * emitted doc set is DISTINCT and null-free (collect_set drops
+    * nulls and dedups), while the cap `np` counts posting ROWS
+    * including null-id rows, like the engine's window count.
     */
   private[ops] def contaminationSql(from: String, evalSource: String,
       maxPostings: Int): String =
@@ -375,11 +379,13 @@ object TextAnalysis {
        |g AS (SELECT sh,
        |        sum(CASE WHEN source IS NOT DISTINCT FROM '$evalSource'
        |            THEN 1 ELSE 0 END) AS n_eval,
-       |        list(doc_id) FILTER (source IS DISTINCT FROM '$evalSource')
-       |          AS docs
+       |        count(*) FILTER (source IS DISTINCT FROM '$evalSource') AS np,
+       |        list(DISTINCT doc_id)
+       |          FILTER (doc_id IS NOT NULL
+       |                  AND source IS DISTINCT FROM '$evalSource') AS docs
        |      FROM sh GROUP BY sh),
        |hits AS (SELECT unnest(docs) AS doc_id FROM g
-       |         WHERE n_eval > 0 AND len(docs) <= $maxPostings)
+       |         WHERE n_eval > 0 AND np <= $maxPostings)
        |SELECT doc_id, count(*) AS n_hit_shingles
        |FROM hits GROUP BY 1""".stripMargin
 

@@ -85,6 +85,22 @@ class CurationSpec extends AnyFunSuite {
     out.release()
   }
 
+  test("curate: duplicate candidate doc_ids fail loudly instead of silently conflating rows") {
+    // Two rows sharing id 1: the gate-failing row would be removed from
+    // the gate audit's anti-join by its passing sibling — appearing in
+    // neither chunks nor audit (review-caught). The contract is id
+    // uniqueness, enforced with an explicit failure.
+    val docs = Seq(
+      (1L, "a perfectly fine document with plenty of words", "en", "web"),
+      (1L, "zz", "en", "web"),
+      (2L, "another fine document with plenty of words here", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val e = intercept[IllegalArgumentException] {
+      Curation.curate(docs, evalSource = "eval", langs = Seq("en"), minTokens = 5)
+    }
+    assert(e.getMessage.contains("duplicate doc_id"))
+  }
+
   test("curate scans the source once: both returned frames read the internal cache") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
