@@ -45,8 +45,8 @@ object Bench {
     // ad-hoc Timed runs) while v1 totals stay comparable across rounds.
     val headlineV2: Seq[String] = Seq(
       "s7_kmeans_assign", "s8_pq_trained", "s3b_ivf_trained",
-      "t10_contamination", "q54_scd2", "q55_weighted_pick",
-      "q56_retention", "q57_hop_window")
+      "t10_contamination", "d11_semantic_dedup", "q54_scd2",
+      "q55_weighted_pick", "q56_retention", "q57_hop_window")
       .filter(all.contains)
 
     // Warm-up pass at tiny scale so JIT/codegen/classloading doesn't

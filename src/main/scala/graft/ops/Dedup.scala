@@ -483,6 +483,46 @@ object Dedup {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  private val SemMinCos = 0.3
+
+  /** d11 — semantic dedup, the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, score
+    * pairwise cosine only WITHIN each cluster, and collapse near-dup
+    * pairs to components with the min-id keeper. The trained cells are
+    * the blocking structure that makes embedding dedup sub-quadratic at
+    * corpus scale — a pair is only ever scored when both vectors landed
+    * in the same cell, and cell populations are the k-means balance
+    * (skew degrades cost per cell, never correctness).
+    *
+    * Composed entirely from audited pieces: s7's Lloyd's assignment
+    * (exact integer arithmetic, so the cells are bit-reproducible
+    * cross-engine), the d2/d9 SHUFFLE_HASH self-join + min-label
+    * components, and d5's round-6 cosine threshold. Cosine is scored
+    * over the QUANTIZED components mapped back to doubles (q/1e6 —
+    * exact long→double, one IEEE division): engine and oracle share
+    * one vector formulation with the assignment, and the ~1e-6
+    * per-component quantization is noise at any dedup threshold.
+    * Output mirrors d9: every clustered vector with its canonical
+    * (min-id) cluster — `cluster_id` IS the keeper.
+    */
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.ops.Kmeans.assignedWithVec(s, dir)
+      .select(col("id").as("vec_id"), col("cell"),
+        transform(col("q"), x => x.cast("double") / graft.ops.Kmeans.Scale)
+          .as("v"))
+    // SHUFFLE_HASH pin, same reason as d2: both self-join sides must go
+    // through byte-identical exchanges on cell so the Lloyd's
+    // assignment pass (a corpus scan per side otherwise) is planned
+    // once and reused.
+    val pairs = cells.as("a")
+      .join(cells.as("b").hint("SHUFFLE_HASH"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(Similarity.cosine(col("a.v"), col("b.v")), 6) >= SemMinCos)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    connectedComponents(pairs, "vec_a", "vec_b")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+  }
+
   /** d6 as a frame-level operator: the corpus fingerprint set
     * `(fp, keeper_doc_id)` of any `(doc_id, text)` frame — the input
     * shape [[foldBackCorpus]] maintains.
@@ -538,7 +578,8 @@ object Dedup {
     "d8_embedding_lsh_neardup" -> d8EmbeddingLshNearDup,
     "d8b_neardup_multiband" -> d8bNearDupMultiband,
     "d9_dedup_clusters" -> d9DedupClusters,
-    "d10_incremental_dedup" -> d10IncrementalDedup)
+    "d10_incremental_dedup" -> d10IncrementalDedup,
+    "d11_semantic_dedup" -> d11SemanticDedup)
 
   // The ONE tokenizer formulation, shared with the t-family and
   // curation oracles — a local copy diverging silently would split
@@ -687,5 +728,31 @@ object Dedup {
          |  round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin)
+         |WHERE round(${Similarity.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin,
+    "d11_semantic_dedup" ->
+      // s7's Lloyd's replay (identical integer arithmetic) gives the
+      // cells; within-cell round-6 cosine over the SAME quantized
+      // components (q/1e6, exact both engines) gives the pairs; the d9
+      // recursive closure collapses them to min-id clusters.
+      s"""WITH RECURSIVE
+         |${graft.ops.Kmeans.kmeansCtesSql(graft.ops.Kmeans.corpusQCte,
+              graft.ops.Kmeans.Dim, sub = false)},
+         |${graft.ops.Kmeans.assignCteSql(graft.ops.Kmeans.Iters + 1,
+              s"c${graft.ops.Kmeans.Iters}", graft.ops.Kmeans.Dim, sub = false)},
+         |cells AS (SELECT vec_id, cell,
+         |    list_transform(q, x -> CAST(x AS DOUBLE)
+         |      / CAST(${graft.ops.Kmeans.Scale} AS DOUBLE)) AS v
+         |  FROM a${graft.ops.Kmeans.Iters + 1} WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+         |      FROM cells a JOIN cells b
+         |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $SemMinCos),
+         |sedges AS (SELECT va AS a, vb AS b FROM p
+         |           UNION SELECT vb AS a, va AS b FROM p),
+         |sreach(a, b) AS (
+         |  SELECT a, b FROM sedges
+         |  UNION
+         |  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a)
+         |SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         |FROM sreach GROUP BY a""".stripMargin)
 }

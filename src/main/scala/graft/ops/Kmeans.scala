@@ -167,15 +167,24 @@ object Kmeans {
     graft.Tables.spread(load(s, dir, "embeddings"))
       .select(col("vec_id").as("id"), quantize(col("embedding")).as("q"))
 
+  /** The trained assignment WITH the quantized vector riding along —
+    * `(id, cell, q, dist)` — for consumers that need both the cell
+    * blocking and the vector (d11 semantic dedup scores within-cell
+    * cosine on exactly these quantized components, so engine and
+    * oracle share one vector formulation).
+    */
+  private[ops] def assignedWithVec(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    lloyd(e, initFrom(e, K))._1
+  }
+
   /** s7 — k-means cell assignment after [[Iters]] Lloyd's iterations:
     * `(vec_id, cell, dist)`, all exact integers, hash-pinned against the
     * oracle's unrolled-CTE replay of the identical arithmetic.
     */
-  def s7KmeansAssign(s: SparkSession, dir: String): DataFrame = {
-    val e = corpus(s, dir)
-    val (assigned, _) = lloyd(e, initFrom(e, K))
-    assigned.select(col("id").as("vec_id"), col("cell"), col("dist"))
-  }
+  def s7KmeansAssign(s: SparkSession, dir: String): DataFrame =
+    assignedWithVec(s, dir)
+      .select(col("id").as("vec_id"), col("cell"), col("dist"))
 
   /** s8 — PQ codes from TRAINED codebooks, end to end and oracle-gated:
     * per-subspace Lloyd's training ([[trainPqCodebooks]]) followed by
@@ -228,7 +237,7 @@ object Kmeans {
     * @param select final projection over the last assignment CTE
     * @param sub    whether the subspace key threads through every CTE
     */
-  private def assignCteSql(t: Int, centCte: String, dim: Int,
+  private[ops] def assignCteSql(t: Int, centCte: String, dim: Int,
       sub: Boolean): String = {
     val k = if (sub) "sub, " else ""
     val kv = if (sub) "v.sub, " else ""
