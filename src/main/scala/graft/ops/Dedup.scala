@@ -492,7 +492,16 @@ object Dedup {
     * the blocking structure that makes embedding dedup sub-quadratic at
     * corpus scale — a pair is only ever scored when both vectors landed
     * in the same cell, and cell populations are the k-means balance
-    * (skew degrades cost per cell, never correctness).
+    * (skew degrades cost per cell, never correctness). Cost within a
+    * cell IS quadratic — that is SemDeDup's contract — so k is the
+    * scale knob: choose k ≈ corpus / target-cell-size (the fixture's
+    * k=8 comes from s7; a 10^9-vector corpus wants k ~ 10^5 so cells
+    * stay ~10^4 and per-cell work bounded). A mass-duplicate corpus
+    * (sf1's 10× copies) multiplies pair counts by copies² within each
+    * cell — raise k or pre-collapse exact dups (d1) first; the cap
+    * patterns (d8b) don't apply cleanly because dropping an over-cap
+    * CELL would drop exactly the duplicates the operator exists to
+    * find.
     *
     * Composed entirely from audited pieces: s7's Lloyd's assignment
     * (exact integer arithmetic, so the cells are bit-reproducible
@@ -505,7 +514,18 @@ object Dedup {
     * Output mirrors d9: every clustered vector with its canonical
     * (min-id) cluster — `cluster_id` IS the keeper.
     */
-  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(d11Pairs(s, dir), "vec_a", "vec_b")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+
+  /** d11's pre-component stage: within-cell cosine near-dup pairs.
+    * Factored out (like d2's [[minhashPairs]]) so PlanChecksSpec can pin
+    * the load-bearing plan property — one Lloyd's-assignment pass feeding
+    * BOTH self-join sides via a `ReusedExchange` — which the composed
+    * d11 plan can't show once [[connectedComponents]]' localCheckpoint
+    * truncates lineage.
+    */
+  private[graft] def d11Pairs(s: SparkSession, dir: String): DataFrame = {
     val cells = graft.ops.Kmeans.assignedWithVec(s, dir)
       .select(col("id").as("vec_id"), col("cell"),
         transform(col("q"), x => x.cast("double") / graft.ops.Kmeans.Scale)
@@ -514,13 +534,11 @@ object Dedup {
     // through byte-identical exchanges on cell so the Lloyd's
     // assignment pass (a corpus scan per side otherwise) is planned
     // once and reused.
-    val pairs = cells.as("a")
+    cells.as("a")
       .join(cells.as("b").hint("SHUFFLE_HASH"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(Similarity.cosine(col("a.v"), col("b.v")), 6) >= SemMinCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    connectedComponents(pairs, "vec_a", "vec_b")
-      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
   }
 
   /** d6 as a frame-level operator: the corpus fingerprint set

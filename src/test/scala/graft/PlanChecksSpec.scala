@@ -108,6 +108,22 @@ class PlanChecksSpec extends AnyFunSuite {
       s"documents scanned more than once:\n$fin")
   }
 
+  test("d11: one Lloyd's-assignment pass feeds both self-join sides") {
+    // The composed d11 plan is truncated by connectedComponents'
+    // localCheckpoint, so pin the property on the pre-component pairs
+    // stage: the assignment (a corpus scan + min_by against broadcast
+    // centroids) must be planned once and reused across the within-cell
+    // self-join — otherwise every component round would re-run Lloyd's
+    // assignment twice. AQE decides reuse at runtime; assert on the
+    // final adaptive plan.
+    val df = graft.ops.Dedup.d11Pairs(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"), s"cell self-join no longer reuses:\n$fin")
+    assert("FileScan parquet".r.findAllIn(fin).length == 1,
+      s"embeddings scanned more than once:\n$fin")
+  }
+
   test("d4: one documents scan feeds both postings and sizes") {
     val p = SparkEntry.queries("d4_ngram_jaccard")(spark, dir)
       .queryExecution.sparkPlan.toString
