@@ -101,10 +101,71 @@ object Sampling {
       .agg(min(struct(col("h"), col(id))).as("m"))
       .select(col(stratum), col(s"m.$id").as("picked"))
 
+  /** Target language mixture for q58 — proportions a training run wants
+    * the corpus rebalanced to. Written ONCE here and interpolated into
+    * the oracle SQL, so engine and oracle can never disagree on a
+    * weight. Languages not listed get weight 0 (excluded).
+    */
+  private[ops] val LangWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1)
+
+  /** md5-uniform in [0, 1): first 8 hex digits of the content hash as a
+    * 32-bit integer over 2^32. Same key as q38/q39 (doc_id ':' text), so
+    * a document's sampling fate is one pure function of its content; a
+    * null text hashes to null and the `<` comparison drops the row in
+    * both engines (the q38 null contract).
+    */
+  private def mdUniform(id: Column, text: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"), text)), 1, 8),
+      16, 10).cast("long") / lit(4294967296.0)
+
+  /** q58 — mixture sampling: downsample per-language so the kept corpus
+    * matches a target language mix ([[LangWeights]]), keeping as many
+    * documents as the mix allows. The largest feasible total is
+    * T = min_l(n_l / w_l) (the binding language keeps everything); each
+    * language then keeps fraction f_l = (T * w_l) / n_l via the q38-style
+    * deterministic hash threshold — reproducible across runs, engines,
+    * partitionings, and cluster sizes.
+    *
+    * Scale shape: pass 1 is a language histogram (partial-agg'd,
+    * dimension-bounded rows on the wire); the fractions are a broadcast
+    * of #languages rows; pass 2 is a scan-speed per-row predicate. Two
+    * corpus scans by design — the alternative single-pass shape (a
+    * count() window over every row keyed by language) shuffles the
+    * ENTIRE corpus to compute 5 numbers. Float discipline: f_l is
+    * computed as `(T * w) / n` — one multiply then one divide, written
+    * identically in the oracle, so IEEE doubles agree bit-for-bit; the
+    * OUTPUT carries no floats at all.
+    */
+  def q58MixtureSample(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(load(s, dir, "documents"), LangWeights)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Frame-based core of q58 over any (doc_id, text, `key`, …) frame —
+    * returns the kept rows unchanged. Keys not in `weights` (or with
+    * weight 0, which would make n/w infinite and can never bind) are
+    * excluded by the inner join.
+    */
+  def mixtureSample(docs: DataFrame, weights: Seq[(String, Double)],
+      key: String = "lang"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = weights.filter(_._2 > 0).toDF(key, "w")
+    val counts = docs.groupBy(key).agg(count(lit(1)).as("n"))
+    val weighted = counts.join(broadcast(w), key)
+    val t = weighted.agg(min(col("n") / col("w")).as("t"))
+    val frac = weighted.crossJoin(broadcast(t))
+      .select(col(key), (col("t") * col("w") / col("n")).as("f"))
+    docs.join(broadcast(frac), key)
+      .filter(mdUniform(col("doc_id"), col("text")) < col("f"))
+      .drop("f")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_hash_sample" -> q38HashSample,
     "q39_split_assign" -> q39SplitAssign,
-    "q55_weighted_pick" -> q55WeightedPick)
+    "q55_weighted_pick" -> q55WeightedPick,
+    "q58_mixture_sample" -> q58MixtureSample)
 
   private val hSql = "substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)"
 
@@ -126,6 +187,21 @@ object Sampling {
          |  ($splitCaseSql) AS split,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    // The weights VALUES list is generated from the SAME LangWeights the
+    // engine uses; CAST to DOUBLE matters — a bare 0.4 literal is
+    // DECIMAL in DuckDB and decimal division would diverge from Spark's
+    // IEEE doubles.
+    "q58_mixture_sample" ->
+      s"""WITH w(lang, w) AS (VALUES
+         |  ${LangWeights.map { case (l, x) => s"('$l', CAST($x AS DOUBLE))" }.mkString(",\n  ")}),
+         |counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |weighted AS (SELECT c.lang, c.n, w.w FROM counts c JOIN w USING (lang)),
+         |t AS (SELECT min(n / w) AS t FROM weighted),
+         |f AS (SELECT lang, (t.t * w) / n AS f FROM weighted, t)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN f USING (lang)
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 < f.f""".stripMargin,
     // Independent formulation: lateral ticket unnest + window rank
     // instead of explode + min(struct).
     "q55_weighted_pick" ->

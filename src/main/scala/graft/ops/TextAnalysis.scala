@@ -213,6 +213,47 @@ object TextAnalysis {
         extra: _*)
   }
 
+  private[graft] val PackCapacity = 128L
+  private[graft] val PackShards = 8L
+
+  /** t11 — sequence packing: lay the t8 chunks out contiguously in token
+    * space and cut fixed-capacity training sequences (the concat-then-
+    * split packing a pretraining dataloader does), at chunk granularity:
+    * each chunk is assigned the sequence its FIRST token lands in, with
+    * its offset inside that sequence, so a consumer can materialize
+    * sequences by slicing chunks at capacity boundaries.
+    *
+    * Layout is per md5-shard: chunks are hash-sharded by doc_id, ordered
+    * by (doc_id, chunk_idx) within the shard, and the running token
+    * offset determines (seq, seq_off). The shard count is the
+    * parallelism knob — the fixture's 8 becomes thousands in production;
+    * one shuffle by shard plus a within-shard sort is the minimal cost
+    * of ANY deterministic packing (the layout IS an order), and shards
+    * keep that sort partition-local instead of a single global sort.
+    * Global sequence identity is the (shard, seq) pair. Everything is
+    * integer arithmetic — no float in sight, hash-stable cross-engine.
+    */
+  def t11Pack(s: SparkSession, dir: String): DataFrame =
+    pack(chunk(load(s, dir, "documents")))
+
+  /** Frame-based core of t11 over any chunk frame (doc_id, chunk_idx,
+    * n_chunk_tokens, …) — the composition surface.
+    */
+  def pack(chunks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") % PackShards)
+      .withColumn("start_off",
+        coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("chunk_idx"), col("shard"),
+        expr(s"start_off div $PackCapacity").as("seq"),
+        (col("start_off") % PackCapacity).as("seq_off"),
+        col("n_chunk_tokens"))
+  }
+
   /** Adjacent-token n-grams ("wᵢ … wᵢ₊ₙ₋₁") in document order — the ONE
     * formulation shared by t5/t9 (bigrams) and t10 (5-gram shingles),
     * mirrored once in [[ngramsSql]]: separator or empty/null behavior
@@ -344,7 +385,8 @@ object TextAnalysis {
     "t5_ngram_freq" -> t5NgramFreq,
     "t6_tfidf" -> t6TfIdf,
     "t7_scrub" -> t7Scrub,
-    "t8_chunk" -> t8Chunk)
+    "t8_chunk" -> t8Chunk,
+    "t11_pack" -> t11Pack)
 
   private[ops] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -491,6 +533,24 @@ object TextAnalysis {
          |FROM t""".stripMargin
     },
     "t8_chunk" -> chunkSql("documents", Nil),
+    // The windowed SUM must be CAST back to BIGINT (DuckDB widens to
+    // HUGEINT, which pandas would read as float64 and hash-diverge).
+    "t11_pack" ->
+      s"""WITH sharded AS (SELECT doc_id, chunk_idx, n_chunk_tokens,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+         |      % $PackShards AS shard
+         |  FROM (${chunkSql("documents", Nil)}) chunks),
+         |off AS (SELECT doc_id, chunk_idx, n_chunk_tokens, shard,
+         |    CAST(COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY shard
+         |      ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_off
+         |  FROM sharded)
+         |SELECT doc_id, chunk_idx, shard,
+         |  start_off // $PackCapacity AS seq,
+         |  start_off % $PackCapacity AS seq_off,
+         |  n_chunk_tokens
+         |FROM off""".stripMargin,
     "t5_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,
