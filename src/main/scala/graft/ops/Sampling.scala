@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 
@@ -161,11 +162,50 @@ object Sampling {
       .drop("f")
   }
 
+  private val TokenBudget = 800L
+
+  /** q59 — token-budget cap: keep each source's documents in
+    * deterministic hash order until a per-source token budget fills
+    * (the "cap every domain at N tokens" step of corpus assembly —
+    * q58 balances BY PROPORTION, this caps BY ABSOLUTE budget). The
+    * hash order is the same md5 content key as q38/q58, so "which
+    * documents make the cut" is a pure function of the data — a
+    * reproducible random-looking prefix, not insertion order. A
+    * document straddling the boundary is dropped (budget is a
+    * ceiling, not a target); empty/null-text documents are excluded
+    * up front — they could never spend budget, and their null hash
+    * would order differently across engines (Spark sorts nulls
+    * first, DuckDB last).
+    *
+    * Scale shape: one shuffle by source + a source-local sort — the
+    * window never sees more than one source's rows, so parallelism
+    * is the source cardinality (domains, in practice thousands) and
+    * the running sum is partition-local. Output is all-integer.
+    */
+  def q59TokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudget(load(s, dir, "documents"), TokenBudget)
+
+  /** Frame-based core of q59 over any (doc_id, text, `key`, …) frame. */
+  def tokenBudget(docs: DataFrame, budget: Long,
+      key: String = "source"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col(key),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("h"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col(key), col("n_tokens"), col("cum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_hash_sample" -> q38HashSample,
     "q39_split_assign" -> q39SplitAssign,
     "q55_weighted_pick" -> q55WeightedPick,
-    "q58_mixture_sample" -> q58MixtureSample)
+    "q58_mixture_sample" -> q58MixtureSample,
+    "q59_token_budget" -> q59TokenBudget)
 
   private val hSql = "substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)"
 
@@ -202,6 +242,20 @@ object Sampling {
          |FROM documents d JOIN f USING (lang)
          |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 8)) AS BIGINT)
          |      / 4294967296.0 < f.f""".stripMargin,
+    // Windowed SUM cast back to BIGINT (DuckDB widens to HUGEINT →
+    // float64 through pandas, which would hash-diverge).
+    "q59_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(${TextAnalysis.toksSql}) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t WHERE n_tokens >= 1)
+         |SELECT doc_id, source, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget""".stripMargin,
     // Independent formulation: lateral ticket unnest + window rank
     // instead of explode + min(struct).
     "q55_weighted_pick" ->

@@ -145,6 +145,51 @@ class PackMixSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  // --- q59 token budget ---
+
+  private def refBudget(rows: Seq[(Long, String, String)], budget: Long)
+      : Set[(Long, String, Long, Long)] =
+    rows
+      .map { case (id, src, text) =>
+        (src, md5hex(s"$id:$text"), id,
+          text.split(" ").count(_.nonEmpty).toLong)
+      }
+      .filter(_._4 >= 1)
+      .groupBy(_._1).toSeq
+      .flatMap { case (src, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val cums = sorted.map(_._4).scanLeft(0L)(_ + _).tail
+        sorted.zip(cums).collect {
+          case ((_, _, id, n), cum) if cum <= budget => (id, src, n, cum)
+        }
+      }.toSet
+
+  // Two sources; texts sized so the budget cuts mid-prefix in s1 and a
+  // boundary-straddling doc in s2 is dropped while a later, smaller doc
+  // still fits ONLY IF the op were bin-packing — it must NOT (prefix
+  // semantics: once cum exceeds, every later doc in hash order is out
+  // only when its own cum exceeds too).
+  private val budgetDocs: Seq[(Long, String, String)] = Seq(
+    (1L, "s1", "a b c d e"), (2L, "s1", "a b c"), (3L, "s1", "a b c d"),
+    (4L, "s1", "x y"), (5L, "s2", "a b c d e f g h"), (6L, "s2", "a b"),
+    (7L, "s2", "q"), (8L, "s2", ""), (9L, "s1", "   "))
+
+  test("tokenBudget ≡ in-JVM reference: hash-order prefix per source, ceiling semantics") {
+    val got = Sampling.tokenBudget(
+      budgetDocs.toDF("doc_id", "source", "text"), budget = 8L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == refBudget(budgetDocs, 8L))
+    // The empty and whitespace-only docs never appear.
+    assert(!got.exists(r => r._1 == 8L || r._1 == 9L))
+  }
+
+  test("tokenBudget: result is independent of input partitioning") {
+    val df = budgetDocs.toDF("doc_id", "source", "text")
+    val a = Sampling.tokenBudget(df, 8L).collect().toSet
+    val b = Sampling.tokenBudget(df.repartition(5), 8L).collect().toSet
+    assert(a == b)
+  }
+
   test("mixtureSample: result is independent of input partitioning") {
     val df = docs.toDF("doc_id", "lang", "text")
     val a = Sampling.mixtureSample(df, weights).select("doc_id")
