@@ -301,8 +301,12 @@ object Dedup {
     // 5.1 s at sf0.1 from this checkpoint alone; d9 3.5 s → 2.0 s).
     // Edge lists are pair-bounded (the caps upstream exist exactly so
     // this stays small relative to the corpus), so materializing is
-    // always cheaper than one recompute. Freed after the loop — the
-    // returned labels frame is its own checkpoint with no sym lineage.
+    // always cheaper than one recompute. Reclamation: localCheckpoint
+    // blocks are NOT freed by Dataset.unpersist (that only uncaches
+    // CacheManager entries) — they are reclaimed by the ContextCleaner
+    // once the RDD reference is GC'd, i.e. when this frame (and, for
+    // the per-round labels below, each superseded round) goes out of
+    // scope. See the retention note at the bottom.
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .unionByName(edges.select(col(dst).as("a"), col(src).as("b")))
       .localCheckpoint()
@@ -320,7 +324,10 @@ object Dedup {
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).count()
-      labels.unpersist()
+      // No explicit unpersist: Dataset.unpersist is a no-op on a
+      // localCheckpoint'd frame (checkpoint blocks live outside the
+      // CacheManager). Dropping the reference is what frees it — the
+      // ContextCleaner reclaims the superseded round's blocks after GC.
       labels = next
       converged = changed == 0
       iter += 1
@@ -336,14 +343,16 @@ object Dedup {
         s"connectedComponents: iteration cap $maxIter hit before convergence" +
           " — labels are an under-merged refinement, not the fixpoint;" +
           " raise maxIter for graphs with diameter > cap")
-    sym.unpersist()
     // Retention note: the returned frame IS the last round's
-    // localCheckpoint — its blocks live until the session ends (or the
-    // RDD is GC'd via ContextCleaner once callers drop the reference).
-    // Unpersisting here would delete the only copy: a localCheckpoint
-    // has no lineage to recompute from, so the caller's first action
-    // would fail. One labels copy (16 bytes × clustered docs) per call
-    // is the price of the constant-size iterative plan; callers that
+    // localCheckpoint, and checkpoint blocks (sym's and every round's
+    // labels) are reclaimed by the ContextCleaner once their RDD
+    // references are GC'd — sym and the superseded rounds go out of
+    // scope when this function returns; the result's blocks live as
+    // long as the caller holds the frame. Explicit unpersist calls
+    // would be no-ops here (Dataset.unpersist only uncaches
+    // CacheManager entries, not checkpoints) — and actually deleting
+    // the result's blocks would be destructive anyway: a
+    // localCheckpoint has no lineage to recompute from. Callers that
     // loop over many graphs should write results out and drop the
     // reference so the cleaner can reclaim blocks between calls.
     labels.select(col("id"), col("label"))

@@ -19,14 +19,22 @@ import graft.Tables.load
   */
 object Sampling {
 
+  // The ONE content-key formulation: md5 over the ':'-joined columns.
   // concat (null-propagating, like the oracle's `||`) — NOT concat_ws,
   // which silently skips null arguments and would hash a null-text row
   // from doc_id alone while the oracle drops it: a cross-engine
   // divergence in an operator whose whole contract is determinism.
-  // A null key hashes to null → excluded from the sample (q38) and
-  // CASE-falls-through to the last split (q39) in both engines.
+  // A null key hashes to null → excluded from the sample (q38/q58),
+  // CASE-falls-through to the last split (q39), and pre-filtered out
+  // in q59. Every sampling operator derives its key from THIS helper
+  // so the format can only change everywhere at once (in lockstep
+  // with the `md5(CAST(doc_id AS VARCHAR) || ':' || text)` oracle
+  // strings).
+  private def contentMd5(c: Column*): Column =
+    md5(concat(c.flatMap(x => Seq(x, lit(":"))).dropRight(1): _*))
+
   private[ops] def hexKey(c: Column*): Column =
-    substring(md5(concat(c.flatMap(x => Seq(x, lit(":"))).dropRight(1): _*)), 1, 1)
+    substring(contentMd5(c: _*), 1, 1)
 
   /** The q39 split rule as a column — the ONE formulation of the
     * train/val/test assignment (12/2/2 of 16), shared with
@@ -117,7 +125,7 @@ object Sampling {
     * both engines (the q38 null contract).
     */
   private def mdUniform(id: Column, text: Column): Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":"), text)), 1, 8),
+    conv(substring(contentMd5(id.cast("string"), text), 1, 8),
       16, 10).cast("long") / lit(4294967296.0)
 
   /** q58 — mixture sampling: downsample per-language so the kept corpus
@@ -149,6 +157,11 @@ object Sampling {
     */
   def mixtureSample(docs: DataFrame, weights: Seq[(String, Double)],
       key: String = "lang"): DataFrame = {
+    // A duplicated key would double-join its documents (one output row
+    // per distinct fraction passed) — config lists are caller-merged,
+    // so fail loudly instead of silently multiplying rows.
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate keys in weights: ${weights.map(_._1).diff(weights.map(_._1).distinct).distinct.mkString(", ")}")
     val s = docs.sparkSession
     import s.implicits._
     val w = weights.filter(_._2 > 0).toDF(key, "w")
@@ -193,7 +206,7 @@ object Sampling {
     docs
       .select(col("doc_id"), col(key),
         size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"),
-        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("h"))
+        contentMd5(col("doc_id").cast("string"), col("text")).as("h"))
       .filter(col("n_tokens") >= 1)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)

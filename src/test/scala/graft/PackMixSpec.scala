@@ -118,6 +118,14 @@ class PackMixSpec extends AnyFunSuite {
     assert(got.filter(col("lang") === "fr").count() == 6L)
   }
 
+  test("mixtureSample: duplicate weight keys are rejected, not row-multiplied") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs.toDF("doc_id", "lang", "text"),
+        weights :+ ("en" -> 0.1))
+    }
+    assert(e.getMessage.contains("en"))
+  }
+
   test("mixtureSample: unweighted and zero-weight keys are excluded") {
     val got = Sampling.mixtureSample(
       docs.toDF("doc_id", "lang", "text"), weights :+ ("xx" -> 0.0))
