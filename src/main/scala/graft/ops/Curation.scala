@@ -176,7 +176,14 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation" -> ((s, dir) => curatedFor(s, dir).chunks),
-    "c2_curation_audit" -> ((s, dir) => curatedFor(s, dir).audit))
+    "c2_curation_audit" -> ((s, dir) => curatedFor(s, dir).audit),
+    // c3: curate → pack the TRAIN split into fixed-capacity training
+    // sequences (t11 over c1's chunks) — the full "corpus in, packed
+    // pretraining sequences out" flow. Packing is per-split by
+    // construction: sequences never straddle the train/val/test
+    // boundary (a sequence mixing train and held-out text would leak).
+    "c3_curation_pack" -> ((s, dir) => TextAnalysis.pack(
+      curatedFor(s, dir).chunks.filter(col("split") === "train"))))
 
   /** The shared composed-CTE replay of every stage, built from the SAME
     * per-stage oracle formulations the individual gates use (d6
@@ -240,5 +247,12 @@ object Curation {
          |  UNION ALL SELECT doc_id, 'near_duplicate' FROM cneardup
          |  UNION ALL SELECT doc_id, 'contaminated' FROM ccontam
          |  UNION ALL SELECT doc_id, 'invalid_id' FROM cbadid
-         |) a""".stripMargin)
+         |) a""".stripMargin,
+    "c3_curation_pack" ->
+      s"""$prefixSql
+         |SELECT doc_id, chunk_idx, shard, seq, seq_off, n_chunk_tokens
+         |FROM (${TextAnalysis.packSql(
+               s"""(SELECT doc_id, chunk_idx, n_chunk_tokens
+                  | FROM (${TextAnalysis.chunkSql("csplit", Seq("source", "split"))}) ch
+                  | WHERE split = 'train')""".stripMargin)}) p""".stripMargin)
 }

@@ -450,6 +450,29 @@ object TextAnalysis {
        |FROM c""".stripMargin
   }
 
+  /** Oracle-side mirror of [[pack]] over any relation `from` with
+    * (doc_id, chunk_idx, n_chunk_tokens) — shared by t11 and the composed
+    * curation-pack oracle (c3). The windowed SUM must be CAST back to
+    * BIGINT (DuckDB widens to HUGEINT, which pandas would read as
+    * float64 and hash-diverge).
+    */
+  private[ops] def packSql(from: String): String =
+    s"""WITH sharded AS (SELECT doc_id, chunk_idx, n_chunk_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+       |      % $PackShards AS shard
+       |  FROM $from chunks),
+       |off AS (SELECT doc_id, chunk_idx, n_chunk_tokens, shard,
+       |    CAST(COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY shard
+       |      ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM sharded)
+       |SELECT doc_id, chunk_idx, shard,
+       |  start_off // $PackCapacity AS seq,
+       |  start_off % $PackCapacity AS seq_off,
+       |  n_chunk_tokens
+       |FROM off""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t10_contamination" ->
       contaminationSql("documents", EvalSource, MaxContamPostings),
@@ -533,24 +556,7 @@ object TextAnalysis {
          |FROM t""".stripMargin
     },
     "t8_chunk" -> chunkSql("documents", Nil),
-    // The windowed SUM must be CAST back to BIGINT (DuckDB widens to
-    // HUGEINT, which pandas would read as float64 and hash-diverge).
-    "t11_pack" ->
-      s"""WITH sharded AS (SELECT doc_id, chunk_idx, n_chunk_tokens,
-         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
-         |      % $PackShards AS shard
-         |  FROM (${chunkSql("documents", Nil)}) chunks),
-         |off AS (SELECT doc_id, chunk_idx, n_chunk_tokens, shard,
-         |    CAST(COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY shard
-         |      ORDER BY doc_id, chunk_idx
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS start_off
-         |  FROM sharded)
-         |SELECT doc_id, chunk_idx, shard,
-         |  start_off // $PackCapacity AS seq,
-         |  start_off % $PackCapacity AS seq_off,
-         |  n_chunk_tokens
-         |FROM off""".stripMargin,
+    "t11_pack" -> packSql(s"(${chunkSql("documents", Nil)})"),
     "t5_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,

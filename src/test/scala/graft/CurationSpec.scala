@@ -53,6 +53,36 @@ class CurationSpec extends AnyFunSuite {
     out.release()
   }
 
+  test("curate -> pack (c3): sequences conserve tokens, stay train-only, offsets contiguous") {
+    val out = Curation.curate(corpus, evalSource = "eval",
+      langs = Seq("en"), minTokens = 5)
+    val train = out.chunks.filter(col("split") === "train")
+    val packed = graft.ops.TextAnalysis.pack(train)
+
+    // Every train chunk is packed exactly once, with its token count intact.
+    val trainChunks = train.select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    val packedChunks = packed.select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(packedChunks == trainChunks)
+
+    // Per shard, chunks laid out in (doc_id, chunk_idx) order are
+    // contiguous in token space: each start (seq*capacity + seq_off)
+    // equals the running sum of prior chunk tokens, and seq_off < capacity.
+    val cap = 128L
+    packed.collect().groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")))
+        .foreach { r =>
+          val off = r.getAs[Long]("seq") * cap + r.getAs[Long]("seq_off")
+          assert(off == run, s"gap/overlap at $r: expected start $run")
+          assert(r.getAs[Long]("seq_off") < cap)
+          run += r.getAs[Long]("n_chunk_tokens")
+        }
+    }
+    out.release()
+  }
+
   test("curate: null-source docs are candidates (null-safe compare), zero minTokens rejected") {
     val docs = Seq(
       (1L, "a perfectly fine document with plenty of words", "en", Option("web")),
