@@ -47,7 +47,8 @@ object Bench {
       "s7_kmeans_assign", "s8_pq_trained", "s3b_ivf_trained",
       "t10_contamination", "d11_semantic_dedup", "q54_scd2",
       "q55_weighted_pick", "q56_retention", "q57_hop_window",
-      "t11_pack", "q58_mixture_sample", "q59_token_budget")
+      "t11_pack", "q58_mixture_sample", "q59_token_budget",
+      "q60_temperature_mix")
       .filter(all.contains)
 
     // Warm-up pass at tiny scale so JIT/codegen/classloading doesn't

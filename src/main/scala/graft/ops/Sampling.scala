@@ -170,9 +170,50 @@ object Sampling {
     val t = weighted.agg(min(col("n") / col("w")).as("t"))
     val frac = weighted.crossJoin(broadcast(t))
       .select(col(key), (col("t") * col("w") / col("n")).as("f"))
+    keepByFraction(docs, frac, key)
+  }
+
+  // The shared tail of q58/q60: per-key keep fractions broadcast onto a
+  // scan-speed hash-threshold predicate. `frac` is (key, f) with f the
+  // EXACT double both engines computed identically.
+  private def keepByFraction(docs: DataFrame, frac: DataFrame,
+      key: String): DataFrame =
     docs.join(broadcast(frac), key)
       .filter(mdUniform(col("doc_id"), col("text")) < col("f"))
       .drop("f")
+
+  /** q60 — temperature-rebalanced sampling (the multilingual-pretraining
+    * α-sampling of mBERT/XLM-R): per-language weights w_l = n_l^α boost
+    * low-resource languages relative to their corpus share. α = 0.5 here
+    * — written as `sqrt`, which IEEE 754 REQUIRES to be correctly
+    * rounded, so engine and oracle agree bit-for-bit (a general `pow`
+    * is only ~1-ulp accurate and differs between java.lang.Math and
+    * libm; an ulp in the threshold could flip a document near the
+    * boundary). Normalizing the weights is deliberately skipped:
+    * T = min(n/w) makes the kept fractions f = T·w/n invariant under
+    * any constant scaling of w, and dropping the Σ√n normalizer also
+    * drops the only float SUM — whose partial-agg association order
+    * would not be cross-engine-reproducible.
+    *
+    * Scale shape = q58's: a dimension-bounded histogram pass, a
+    * broadcast of #languages fractions, then a scan-speed per-row
+    * predicate; no corpus-wide shuffle.
+    */
+  def q60TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMix(load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Frame-based core of q60 over any (doc_id, text, `key`, …) frame —
+    * returns the kept rows unchanged. Every key present in `docs`
+    * participates (weights derive from the data, not a config list).
+    */
+  def temperatureMix(docs: DataFrame, key: String = "lang"): DataFrame = {
+    val weighted = docs.groupBy(key).agg(count(lit(1)).as("n"))
+      .select(col(key), col("n"), sqrt(col("n")).as("w"))
+    val t = weighted.agg(min(col("n") / col("w")).as("t"))
+    val frac = weighted.crossJoin(broadcast(t))
+      .select(col(key), (col("t") * col("w") / col("n")).as("f"))
+    keepByFraction(docs, frac, key)
   }
 
   private val TokenBudget = 800L
@@ -218,7 +259,8 @@ object Sampling {
     "q39_split_assign" -> q39SplitAssign,
     "q55_weighted_pick" -> q55WeightedPick,
     "q58_mixture_sample" -> q58MixtureSample,
-    "q59_token_budget" -> q59TokenBudget)
+    "q59_token_budget" -> q59TokenBudget,
+    "q60_temperature_mix" -> q60TemperatureMix)
 
   private val hSql = "substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 1)"
 
@@ -269,6 +311,17 @@ object Sampling {
          |  FROM t WHERE n_tokens >= 1)
          |SELECT doc_id, source, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= $TokenBudget""".stripMargin,
+    // sqrt(CAST(n AS DOUBLE)): IEEE-exact on both engines; the division
+    // and multiply orders mirror the Spark formulation token-for-token.
+    "q60_temperature_mix" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |weighted AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM counts),
+         |t AS (SELECT min(n / w) AS t FROM weighted),
+         |f AS (SELECT lang, (t.t * w) / n AS f FROM weighted, t)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN f USING (lang)
+         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 < f.f""".stripMargin,
     // Independent formulation: lateral ticket unnest + window rank
     // instead of explode + min(struct).
     "q55_weighted_pick" ->

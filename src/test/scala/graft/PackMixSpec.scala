@@ -153,6 +153,50 @@ class PackMixSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  // --- q60 temperature mix ---
+
+  private def refTemperature(rows: Seq[(Long, String, String)]): Set[Long] = {
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val t = counts.values.map(n => n / math.sqrt(n.toDouble)).min
+    rows.collect {
+      case (id, k, text) if
+        java.lang.Long.parseLong(
+          md5hex(s"$id:$text").substring(0, 8), 16).toDouble / 4294967296.0 <
+          (t * math.sqrt(counts(k).toDouble)) / counts(k) => id
+    }.toSet
+  }
+
+  test("temperatureMix ≡ in-JVM reference of the same sqrt/IEEE arithmetic") {
+    val got = Sampling.temperatureMix(docs.toDF("doc_id", "lang", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == refTemperature(docs))
+  }
+
+  test("temperatureMix: the smallest language keeps everything; larger keep ~sqrt-proportional") {
+    // n/w = sqrt(n), so min sqrt(n) binds: the SMALLEST language (xx, 2
+    // docs) keeps every document — the low-resource boost by definition.
+    val got = Sampling.temperatureMix(docs.toDF("doc_id", "lang", "text"))
+    assert(got.filter(col("lang") === "xx").count() == 2L)
+    // Kept fraction targets are f = sqrt(2)*sqrt(n)/n = sqrt(2/n):
+    // monotone DECREASING in n — en's target 31.6% vs de's 40.8%. The
+    // realized counts are hash-binomial around n*f, so assert the
+    // structural bound instead of the point value: no language's kept
+    // count exceeds its corpus count, and every language keeps >= 1 doc
+    // at these sizes only if its target*n >= ~6 — just pin totals match
+    // the in-JVM reference (exactness test above) and xx > 0 here.
+    val kept = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("xx", 0L) == 2L)
+    assert(kept.forall { case (l, k) => k <= docs.count(_._2 == l) })
+  }
+
+  test("temperatureMix: result is independent of input partitioning") {
+    val df = docs.toDF("doc_id", "lang", "text")
+    val a = Sampling.temperatureMix(df).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(df.repartition(5)).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b)
+  }
+
   // --- q59 token budget ---
 
   private def refBudget(rows: Seq[(Long, String, String)], budget: Long)
