@@ -48,7 +48,7 @@ object Bench {
       "t10_contamination", "d11_semantic_dedup", "q54_scd2",
       "q55_weighted_pick", "q56_retention", "q57_hop_window",
       "t11_pack", "q58_mixture_sample", "q59_token_budget",
-      "q60_temperature_mix")
+      "q60_temperature_mix", "t12_bm25")
       .filter(all.contains)
 
     // Warm-up pass at tiny scale so JIT/codegen/classloading doesn't

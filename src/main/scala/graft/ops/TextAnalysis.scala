@@ -254,6 +254,88 @@ object TextAnalysis {
         col("n_chunk_tokens"))
   }
 
+  private val Bm25TopK = 5
+  private val Bm25QueryTerms = 16
+
+  /** t12 — BM25 retrieval: score the corpus against the eval-set
+    * documents as queries (src0, t10's convention) and keep the top-k
+    * per query — the retrieval step of a RAG pipeline, or the
+    * "find the training docs most similar to this benchmark item"
+    * audit that complements t10's exact-shingle decontamination with a
+    * ranked lexical-overlap view.
+    *
+    * Shape at scale: the corpus is tokenized ONCE into term frequencies
+    * (t6's pattern); document length and document frequency both
+    * aggregate from that tf frame, so no second scan. The query side is
+    * small by contract (an eval suite), so query terms broadcast onto
+    * the tf posting lists — the big frame is touched by one broadcast
+    * hash join at scan parallelism. Each query keeps only its
+    * [[Bm25QueryTerms]] RAREST terms (by (df, term) — deterministic),
+    * the classic query-term-budget prune: join cost is bounded by
+    * M × posting-length per query instead of every stopword's full
+    * posting list, and rare terms are where BM25's idf mass lives. (A
+    * global df > N/2 cut was measured first and rejected: the
+    * fixtures' 31-word synthetic vocabulary puts nearly every term in
+    * most documents, which degenerates any corpus-wide ratio rule —
+    * the per-query budget keeps the operator meaningful on ANY
+    * vocabulary shape while bounding cost the same way.)
+    *
+    * Float discipline: k1 = 1.2, b = 0.75, and (k1+1) = 2.2 appear as
+    * the SAME literals in engine and oracle ((k1+1) precomputed — the
+    * double 1.2+1.0 != literal 2.2); idf's `ln` is libm-1-ulp territory
+    * like t6's, absorbed by round-6; the per-(query, doc) term-score
+    * sum folds in TERM ORDER on both sides (sort_array + sequential
+    * `aggregate` fold ≡ DuckDB list_sum over `list(... ORDER BY term)`)
+    * — a partial-agg float `sum()` would not be order-reproducible.
+    * Ranking is over the ROUNDED score with doc_id tie-break.
+    */
+  def t12Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    bm25(docs.filter(!(col("source") <=> lit(EvalSource))),
+      docs.filter(col("source") <=> lit(EvalSource)), Bm25TopK)
+  }
+
+  /** Frame-based BM25 core: top-`k` `corpus` docs per `queries` doc.
+    * Both frames need (doc_id, text); zero-token corpus docs can never
+    * match and do not count toward N or avgdl (stated: N is the count
+    * of docs with at least one token).
+    */
+  def bm25(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val tf = corpus
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dlen"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dlen")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val qterms = queries.select(col("doc_id").as("query_id"),
+      explode(array_distinct(toks(col("text")))).as("term"))
+    // Per-query rarest-M term budget — small, broadcast onto tf.
+    val qsel = Window.partitionBy("query_id")
+      .orderBy(col("df").asc, col("term").asc)
+    val qdf = dfreq.join(broadcast(qterms), "term")
+      .withColumn("qrank", row_number().over(qsel))
+      .filter(col("qrank") <= Bm25QueryTerms).drop("qrank")
+      .crossJoin(broadcast(stats))
+    val sc = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl")))
+    val scored = tf.join(broadcast(qdf), "term")
+      .join(dlen, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("term"), sc.as("sc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.groupBy("query_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("ts"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("sc")), 6)
+          .as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
   /** Adjacent-token n-grams ("wᵢ … wᵢ₊ₙ₋₁") in document order — the ONE
     * formulation shared by t5/t9 (bigrams) and t10 (5-gram shingles),
     * mirrored once in [[ngramsSql]]: separator or empty/null behavior
@@ -386,7 +468,8 @@ object TextAnalysis {
     "t6_tfidf" -> t6TfIdf,
     "t7_scrub" -> t7Scrub,
     "t8_chunk" -> t8Chunk,
-    "t11_pack" -> t11Pack)
+    "t11_pack" -> t11Pack,
+    "t12_bm25" -> t12Bm25)
 
   private[ops] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -557,6 +640,51 @@ object TextAnalysis {
     },
     "t8_chunk" -> chunkSql("documents", Nil),
     "t11_pack" -> packSql(s"(${chunkSql("documents", Nil)})"),
+    // Literals CAST to DOUBLE (bare 1.2 is DECIMAL in DuckDB); the
+    // term-score sum is list_sum over list(... ORDER BY term) — the
+    // same left-to-right fold as the engine's sorted sequential
+    // `aggregate`; HUGEINT sums cast back before use.
+    "t12_bm25" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |    WHERE source IS DISTINCT FROM '$EvalSource'),
+         |qdocs AS (SELECT doc_id, text FROM documents
+         |    WHERE source IS NOT DISTINCT FROM '$EvalSource'),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM corpus) t
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+         |  FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(dlen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM dlen),
+         |qterms AS (SELECT doc_id AS query_id, unnest(list_distinct($toksSql)) AS term
+         |  FROM qdocs),
+         |qsel AS (SELECT query_id, term, df,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY df ASC, term ASC) AS qrank
+         |  FROM qterms JOIN dfreq USING (term)),
+         |qkept AS (SELECT query_id, term, df FROM qsel
+         |  WHERE qrank <= $Bm25QueryTerms),
+         |scored AS (SELECT q.query_id, t.doc_id, q.term,
+         |    ln(CAST(1.0 AS DOUBLE) +
+         |        (s.n_docs - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
+         |      (t.tf * CAST(2.2 AS DOUBLE)) /
+         |      (t.tf + CAST(1.2 AS DOUBLE) *
+         |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dlen / s.avgdl)) AS sc
+         |  FROM qkept q
+         |  JOIN tf t USING (term)
+         |  JOIN dlen l ON l.doc_id = t.doc_id
+         |  CROSS JOIN stats s),
+         |agg AS (SELECT query_id, doc_id,
+         |    round(list_sum(list(sc ORDER BY term)), 6) AS score
+         |  FROM scored GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM agg)
+         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+         |FROM ranked WHERE rank <= $Bm25TopK""".stripMargin,
     "t5_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,
