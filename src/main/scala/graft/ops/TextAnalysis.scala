@@ -301,13 +301,29 @@ object TextAnalysis {
     * of docs with at least one token).
     */
   def bm25(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val tf = corpus
+    // ONE tokenize pass: tf's (doc_id, term) exchange feeds everything.
+    // Document length rides tf as a window sum (t6's shape — a separate
+    // groupBy+join would prune different columns and re-scan the
+    // corpus); df counts tf rows per term; the corpus-level stats
+    // aggregate tf too (n_docs as distinct doc_id). The extra window
+    // exchange carries slim aggregated rows — far cheaper than a
+    // second corpus scan.
+    val tfc = corpus
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dlen = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("dlen"))
-    val stats = dlen.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dlen")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = tfc.withColumn("dlen",
+      sum(col("tf")).over(Window.partitionBy("doc_id")).cast("long"))
+    // df = posting count per term, written as sum(least(tf, 1)) — the
+    // value IS count(*) (every tfc row has tf >= 1), but referencing
+    // `tf` stops column pruning from rewriting this branch's copy of
+    // the tfc aggregate without the count, which would give it a
+    // DIFFERENT exchange and re-scan + re-tokenize the corpus
+    // (ReuseExchange needs bit-identical subtrees; plan-pinned).
+    val dfreq = tfc.groupBy("term")
+      .agg(sum(least(col("tf"), lit(1L))).as("df"))
+    val stats = tfc.agg(count_distinct(col("doc_id")).as("n_docs"),
+      (sum(col("tf")).cast("double") /
+        count_distinct(col("doc_id")).cast("double")).as("avgdl"))
     val qterms = queries.select(col("doc_id").as("query_id"),
       explode(array_distinct(toks(col("text")))).as("term"))
     // Per-query rarest-M term budget — small, broadcast onto tf.
@@ -322,7 +338,6 @@ object TextAnalysis {
       (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl")))
     val scored = tf.join(broadcast(qdf), "term")
-      .join(dlen, "doc_id")
       .select(col("query_id"), col("doc_id"), col("term"), sc.as("sc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -161,6 +161,16 @@ class PlanChecksSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(fin).length <= 2, fin.take(2000))
   }
 
+  test("t12: tf, df and corpus stats share ONE tokenize pass (two scans total: corpus + eval)") {
+    val df = SparkEntry.queries("t12_bm25")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // df's sum(least(tf,1)) formulation exists exactly so this branch
+    // reuses the tf exchange instead of re-scanning (see bm25 docstring).
+    assert(fin.contains("ReusedExchange"), s"tf exchange not shared:\n${fin.take(2000)}")
+    assert("Scan parquet".r.findAllIn(fin).length <= 2, fin.take(2000))
+  }
+
   test("q36: all column profiles come from a single scan") {
     val p = SparkEntry.queries("q36_dq_profile")(spark, dir)
       .queryExecution.sparkPlan.toString
