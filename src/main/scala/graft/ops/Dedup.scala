@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 
@@ -561,6 +562,137 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
 
+  private val SubstrK = 40
+
+  /** d12 — exact duplicated-substring spans, the ExactSubstr shape of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): flag every maximal character
+    * span of a document that also occurs verbatim elsewhere in the
+    * corpus (another document, or another position of the same one).
+    * Doc-level dedup (d1/d6) misses partially-copied documents — a
+    * boilerplate header, a quoted paragraph — which is exactly where
+    * memorization risk concentrates; this finds the copied REGION.
+    *
+    * The suffix-array construction of the paper is inherently global;
+    * the distributed equivalent is positional [[SubstrK]]-char window
+    * hashing: a character window occurring at >=2 positions corpus-wide
+    * is duplicated, and the union of overlapping duplicated windows is
+    * precisely every maximal duplicated span of length >= K (a
+    * duplicated span of length L >= K contains L-K+1 duplicated
+    * windows, all overlapping; a window inside no such span is unique).
+    * Windows are hashed to d4's 60-bit md5-prefix keys, so the one
+    * gram exchange carries 8-byte keys, never 40-char strings.
+    *
+    * Shape at scale: one corpus scan; one gk exchange where a window
+    * count flags duplicated positions in place (no join back, no
+    * second hashing pass); one doc-partitioned window pass merging
+    * overlaps into islands. There is deliberately NO d4-style posting
+    * cap: nothing here is quadratic — flagging is one row per
+    * duplicated position however hot the window — and dropping
+    * over-cap windows would unflag exactly the most-duplicated text
+    * the operator exists to find. Costs are linear in corpus
+    * characters (~L rows per doc), the honest price of exact substring
+    * dedup; K is the noise floor, not a budget knob.
+    */
+  def d12SubstrSpans(s: SparkSession, dir: String): DataFrame =
+    substrSpans(load(s, dir, "documents"))
+
+  /** d12's frame-level core over any `(doc_id, text)` frame: maximal
+    * duplicated spans as `(doc_id, span_start, span_end, span_len)`,
+    * 1-based inclusive character offsets. Spans from one document never
+    * overlap and are separated by >=1 unflagged character (the island
+    * merge is by running max of covered end, so adjacency collapses).
+    */
+  private[graft] def substrSpans(docs: DataFrame): DataFrame = {
+    val grams = graft.Tables.spread(docs)
+      .filter(length(col("text")) >= SubstrK)
+      // Window keys built per row as one array, then positionally
+      // exploded; _outer for the same InferFiltersFromGenerate reason
+      // as d4 (the array is nonempty by the length guard anyway).
+      .select(col("doc_id"),
+        posexplode_outer(transform(
+          sequence(lit(1), length(col("text")) - (SubstrK - 1)),
+          i => conv(substring(md5(col("text").substr(i, lit(SubstrK))), 1, 15), 16, 10)
+            .cast("long"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("off"),
+        col("col").as("gk"))
+    // Occurrence count as a WINDOW count over the gk partition (t10's
+    // shape): structurally ONE hashing pass — a groupBy+join-back
+    // formulation re-ran the scan→window-hash pipeline per branch
+    // (column pruning diverges the branches so ReuseExchange can't
+    // fire; count-reference tricks fold away — count(struct(..)) of a
+    // never-null struct rewrites to count(1) and prunes anyway). The
+    // price is the window sort on 8-byte keys inside each partition;
+    // a boilerplate-hot key serializes its partition either way (the
+    // join would co-locate the same rows), and cost stays linear.
+    val flagged = grams
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gk")))
+      .filter(col("n_occ") >= 2)
+      .select(col("doc_id"), col("off"),
+        (col("off") + (SubstrK - 1)).as("end"))
+    // Interval union, gaps-and-islands: a window opens a new island iff
+    // no earlier window's covered end reaches (or abuts) its start.
+    val w = Window.partitionBy("doc_id").orderBy("off")
+    val prevEnd = max(col("end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("brk",
+        when(prevEnd.isNull || prevEnd < col("off") - 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      // Same doc_id hash partitioning as the window — no third exchange.
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("off")).as("span_start"), max(col("end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** d13 — duplicated-span REMOVAL: the transform half of d12 (Lee et
+    * al. cut the spans out of the training text; flagging alone is the
+    * audit view). Every input document comes back exactly once with its
+    * d12 spans excised — text between spans is concatenated in order,
+    * a fully-covered document becomes the empty string, a document with
+    * no spans (or null text) passes through untouched.
+    *
+    * The scrub itself is an order-stable `aggregate` fold over the
+    * per-doc sorted span array: the accumulator carries (cursor, out),
+    * each span appends the text since the cursor and jumps it past the
+    * span, the finisher appends the tail. Exact string math — no float
+    * discipline needed — so the DuckDB oracle can use a completely
+    * different formulation (window-lag segments + ordered string_agg)
+    * and still match byte-for-byte, the d9 two-formulations pattern.
+    *
+    * Two corpus scans by design (gram pipeline + clean rejoin): piping
+    * `text` through the gram exchanges to save the rejoin scan would
+    * shuffle every document body twice through the hot path; the rejoin
+    * scan is the cheap leg and joins only the span-bearing minority.
+    */
+  def d13SpanScrub(s: SparkSession, dir: String): DataFrame =
+    spanScrub(load(s, dir, "documents"))
+
+  private[graft] def spanScrub(docs: DataFrame): DataFrame = {
+    val sp = substrSpans(docs)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(
+          struct(col("span_start"), col("span_end")))).as("sp"),
+        sum(col("span_len")).as("removed"))
+    val folded = aggregate(col("sp"),
+      struct(lit(1L).as("pos"), lit("").as("acc")),
+      (st, x) => struct(
+        (x.getField("span_end") + 1L).as("pos"),
+        concat(st.getField("acc"),
+          col("text").substr(st.getField("pos").cast("int"),
+            (x.getField("span_start") - st.getField("pos")).cast("int")))
+          .as("acc")),
+      st => concat(st.getField("acc"),
+        col("text").substr(st.getField("pos").cast("int"),
+          greatest(length(col("text")) - st.getField("pos").cast("int") + 1,
+            lit(0)))))
+    docs.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, col("text")).otherwise(folded).as("clean_text"),
+        coalesce(col("removed"), lit(0L)).as("n_chars_removed"))
+  }
+
   /** d6 as a frame-level operator: the corpus fingerprint set
     * `(fp, keeper_doc_id)` of any `(doc_id, text)` frame — the input
     * shape [[foldBackCorpus]] maintains.
@@ -617,7 +749,9 @@ object Dedup {
     "d8b_neardup_multiband" -> d8bNearDupMultiband,
     "d9_dedup_clusters" -> d9DedupClusters,
     "d10_incremental_dedup" -> d10IncrementalDedup,
-    "d11_semantic_dedup" -> d11SemanticDedup)
+    "d11_semantic_dedup" -> d11SemanticDedup,
+    "d12_substr_spans" -> d12SubstrSpans,
+    "d13_span_scrub" -> d13SpanScrub)
 
   // The ONE tokenizer formulation, shared with the t-family and
   // curation oracles — a local copy diverging silently would split
@@ -792,5 +926,64 @@ object Dedup {
          |  UNION
          |  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a)
          |SELECT a AS vec_id, least(a, min(b)) AS cluster_id
-         |FROM sreach GROUP BY a""".stripMargin)
+         |FROM sreach GROUP BY a""".stripMargin,
+    "d12_substr_spans" ->
+      s"""WITH $d12SpansSql
+         |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin,
+    "d13_span_scrub" ->
+      // Independent formulation from the engine's aggregate-fold: kept
+      // segments as window-lag rows + ordered string_agg. Exact string
+      // math, so the two formulations must agree byte-for-byte.
+      s"""WITH $d12SpansSql,
+         |pre AS (SELECT doc_id,
+         |    coalesce(lag(span_end) OVER (PARTITION BY doc_id
+         |      ORDER BY span_start) + 1, 1) AS a,
+         |    span_start - 1 AS b FROM spans),
+         |tl AS (SELECT s.doc_id, max(s.span_end) + 1 AS a,
+         |    max(length(d.text)) AS b
+         |  FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+         |  GROUP BY s.doc_id),
+         |segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl),
+         |cleaned AS (SELECT s.doc_id,
+         |    string_agg(substr(d.text, CAST(s.a AS INTEGER),
+         |      CAST(s.b - s.a + 1 AS INTEGER)), '' ORDER BY s.a) AS clean_text
+         |  FROM segs s JOIN documents d ON d.doc_id = s.doc_id
+         |  WHERE s.b >= s.a GROUP BY s.doc_id),
+         |removed AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT)
+         |    AS n_chars_removed FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN r.doc_id IS NULL THEN d.text
+         |       ELSE coalesce(c.clean_text, '') END AS clean_text,
+         |  coalesce(r.n_chars_removed, 0) AS n_chars_removed
+         |FROM documents d
+         |LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+         |LEFT JOIN removed r ON r.doc_id = d.doc_id""".stripMargin)
+
+  /** d12's oracle CTE chain ending in `spans(doc_id, span_start,
+    * span_end, span_len)` — shared verbatim by d13's oracle so the two
+    * gates can never diverge on what a span is.
+    */
+  private def d12SpansSql: String =
+    s"""grams AS (
+       |  SELECT doc_id, i AS off,
+       |    CAST(('0x' || substr(md5(substr(text, i, $SubstrK)), 1, 15))
+       |      AS BIGINT) AS gk
+       |  FROM documents,
+       |    unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(i)
+       |  WHERE length(text) >= $SubstrK),
+       |dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2),
+       |flagged AS (SELECT doc_id, off, off + ${SubstrK - 1} AS e
+       |  FROM grams WHERE gk IN (SELECT gk FROM dup)),
+       |isl AS (SELECT doc_id, off, e,
+       |    CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY off
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |        >= off - 1
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM flagged),
+       |isl2 AS (SELECT doc_id, off, e,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS island
+       |  FROM isl),
+       |spans AS (SELECT doc_id, min(off) AS span_start, max(e) AS span_end,
+       |    max(e) - min(off) + 1 AS span_len
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
 }

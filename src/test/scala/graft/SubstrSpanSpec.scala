@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d12 (duplicated-substring spans) + d13 (span scrub) on constructed
+  * corpora where the exact spans are known by construction, plus the
+  * length-conservation invariant over real fixture data.
+  *
+  * Filler text comes from a global counter of unique 8-char tokens, so
+  * no 40-char window of filler can ever collide with another window —
+  * duplication exists exactly where a test plants it.
+  */
+class SubstrSpanSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private var ctr = 0
+  /** `n` globally-unique 8-char tokens, concatenated (8n chars). Every
+    * token leads with the segment's `tag`: a window overhanging a
+    * duplicated block by just 1..8 chars sees the NEXT segment's tag
+    * first, so as long as each segment in a corpus has its own tag, the
+    * overhang differs immediately and spans stop exactly at the block
+    * edge. (A first draft used one shared prefix for all filler — the
+    * operator then correctly flagged the 7 extra chars the fixture
+    * accidentally duplicated.)
+    */
+  private def seg(tag: Char, n: Int): String = synchronized {
+    (1 to n).map { _ => ctr += 1; f"$tag$ctr%07d" }.mkString
+  }
+
+  private def spansOf(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] =
+    graft.ops.Dedup.substrSpans(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id", "span_start").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  private def scrubOf(docs: DataFrame): Seq[(Long, String, Long)] =
+    graft.ops.Dedup.spanScrub(docs).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+
+  test("d12: a paragraph copied across two docs is flagged as exactly " +
+    "that region in both (windows straddling the boundary stay unique)") {
+    val common = seg('z', 8) // 64 chars
+    val docs = Seq(
+      1L -> (seg('a', 4) + common + seg('b', 4)),
+      2L -> (seg('c', 4) + common + seg('d', 4)))
+    // Flagged windows are those fully inside the copy: offsets 33..57,
+    // covering chars 33..96 — the copied region, nothing more.
+    assert(spansOf(docs) == Seq((1L, 33L, 96L, 64L), (2L, 33L, 96L, 64L)))
+  }
+
+  test("d12: two separately-duplicated regions that ABUT merge into one " +
+    "island; their standalone occurrences span individually") {
+    val c1 = seg('y', 8); val c2 = seg('z', 8)
+    val docs = Seq(
+      1L -> (seg('a', 4) + c1 + c2 + seg('b', 4)), // c1c2 adjacent: one span
+      2L -> (seg('c', 4) + c1 + seg('d', 4)),
+      3L -> (seg('e', 4) + c2 + seg('f', 4)))
+    assert(spansOf(docs) == Seq(
+      (1L, 33L, 160L, 128L), (2L, 33L, 96L, 64L), (3L, 33L, 96L, 64L)))
+  }
+
+  test("d12: within-doc repetition flags both occurrences as separate " +
+    "spans; d13 excises both and keeps every unique segment") {
+    val block = seg('k', 5) // 40 chars — exactly one window per occurrence
+    val head = seg('h', 4); val mid = seg('m', 4); val tail = seg('t', 4)
+    val text = head + block + mid + block + tail
+    val docs = Seq(1L -> text)
+    assert(spansOf(docs) == Seq((1L, 33L, 72L, 40L), (1L, 105L, 144L, 40L)))
+    assert(scrubOf(docs.toDF("doc_id", "text")) ==
+      Seq((1L, head + mid + tail, 80L)))
+  }
+
+  test("d13: identical docs are fully covered — clean text is empty, " +
+    "short/unique/null docs pass through untouched") {
+    val dup = seg('p', 10) // 80 chars, twice
+    val unique = seg('q', 6)
+    val docs = Seq(
+      (1L, Some(dup)), (2L, Some(dup)),         // whole-doc duplicates
+      (3L, Some(unique)),                       // unique, len >= K
+      (4L, Some("short one")),                  // below K: never flagged
+      (5L, None: Option[String]))               // null text
+      .toDF("doc_id", "text")
+    val out = scrubOf(docs)
+    assert(out(0) == ((1L, "", 80L)) && out(1) == ((2L, "", 80L)))
+    assert(out(2) == ((3L, unique, 0L)))
+    assert(out(3) == ((4L, "short one", 0L)))
+    assert(out(4)._1 == 5L && out(4)._2 == null && out(4)._3 == 0L)
+  }
+
+  test("d13 over fixture data: chars are conserved (|clean| + removed " +
+    "= |text|) and removed agrees with d12's span lengths per doc") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val out = graft.ops.Dedup.d13SpanScrub(spark, dir)
+    val viol = out.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("text").isNotNull &&
+        length(col("clean_text")) + col("n_chars_removed") =!= length(col("text")))
+      .count()
+    assert(viol == 0)
+    val perDoc = graft.ops.Dedup.d12SubstrSpans(spark, dir)
+      .groupBy("doc_id").agg(sum(col("span_len")).as("sl"))
+    val disagree = out.join(perDoc, Seq("doc_id"), "left")
+      .filter(coalesce(col("sl"), lit(0L)) =!= col("n_chars_removed"))
+      .count()
+    assert(disagree == 0)
+    // The fixtures genuinely contain copied passages — the operator is
+    // not passing vacuously.
+    assert(out.filter(col("n_chars_removed") > 0).count() > 0)
+  }
+}
