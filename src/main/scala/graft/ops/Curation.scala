@@ -183,7 +183,45 @@ object Curation {
     // construction: sequences never straddle the train/val/test
     // boundary (a sequence mixing train and held-out text would leak).
     "c3_curation_pack" -> ((s, dir) => TextAnalysis.pack(
-      curatedFor(s, dir).chunks.filter(col("split") === "train"))))
+      curatedFor(s, dir).chunks.filter(col("split") === "train"))),
+    "c4_cluster_split" -> c4ClusterSplit)
+
+  /** c4 — leakage-safe split: q39's train/val/test assignment lifted to
+    * near-dup-cluster granularity. Per-document hash splits (q39) let
+    * two near-duplicate documents land on opposite sides of the
+    * train/test boundary — the classic contamination-by-split leak that
+    * inflates held-out metrics. Here every d9 cluster moves as one
+    * unit: a document's split is its GROUP's split, where the group is
+    * its d9 near-dup cluster (singletons are their own group).
+    *
+    * The group label is defined as the q39 label OF THE KEEPER
+    * (cluster_id is the min-id member, i.e. the doc d1/d6/d9 would
+    * keep) — so a document that survives dedup keeps exactly the split
+    * q39 gave it, whether or not it had near-dup company, and the ONE
+    * split formulation ([[Sampling.splitLabel]]) stays shared instead
+    * of growing a second group-hash variant.
+    *
+    * Scale: d9's minhash pipeline dominates; its output (clustered
+    * docs only) is the small side of both joins, so the full-corpus
+    * label pass is never shuffled — clusters broadcast onto the keeper
+    * lookup, and the keeper labels broadcast onto the corpus. The
+    * keeper-label leg re-reads (doc_id, text) for clustered keepers —
+    * a second scan of two pruned columns, cheaper at any scale than
+    * shuffling the corpus to co-locate it with itself.
+    */
+  def c4ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    def labels = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        Sampling.splitLabel(col("doc_id"), col("text")).as("own_split"))
+    val clusters = Dedup.d9DedupClusters(s, dir)
+    val keeperSplit = labels
+      .select(col("doc_id").as("cluster_id"), col("own_split").as("keeper_split"))
+      .join(broadcast(clusters), "cluster_id")
+    labels.join(broadcast(keeperSplit), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"),
+        coalesce(col("keeper_split"), col("own_split")).as("split"))
+  }
 
   /** The shared composed-CTE replay of every stage, built from the SAME
     * per-stage oracle formulations the individual gates use (d6
@@ -254,5 +292,27 @@ object Curation {
          |FROM (${TextAnalysis.packSql(
                s"""(SELECT doc_id, chunk_idx, n_chunk_tokens
                   | FROM (${TextAnalysis.chunkSql("csplit", Seq("source", "split"))}) ch
-                  | WHERE split = 'train')""".stripMargin)}) p""".stripMargin)
+                  | WHERE split = 'train')""".stripMargin)}) p""".stripMargin,
+    // c4: d9's closure (verbatim formulation) + q39's split rule; the
+    // own-label is computed inline in a single-table CTE so a null
+    // doc_id row can never be dropped by a label join.
+    "c4_cluster_split" ->
+      s"""WITH RECURSIVE
+         |cbase AS (SELECT doc_id, (${Sampling.splitCaseSql}) AS own_split
+         |          FROM documents),
+         |p AS (SELECT doc_a, doc_b FROM (${Dedup.d2PairsSql("documents")}) dp),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |          UNION SELECT doc_b AS a, doc_a AS b FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |             FROM reach GROUP BY a)
+         |SELECT b.doc_id,
+         |  coalesce(c.cluster_id, b.doc_id) AS group_id,
+         |  coalesce(k.own_split, b.own_split) AS split
+         |FROM cbase b
+         |LEFT JOIN clusters c ON c.doc_id = b.doc_id
+         |LEFT JOIN cbase k ON k.doc_id = c.cluster_id""".stripMargin)
 }

@@ -41,7 +41,7 @@ object Sampling {
     * [[Curation]]: changing the thresholds or hash here changes every
     * consumer together, in lockstep with q39's oracle.
     */
-  private[ops] def splitLabel(id: Column, text: Column): Column = {
+  private[graft] def splitLabel(id: Column, text: Column): Column = {
     val h = hexKey(id.cast("string"), text)
     when(h < "c", "train").when(h < "e", "val").otherwise("test")
   }

@@ -183,4 +183,43 @@ class CurationSpec extends AnyFunSuite {
     assert(kept > 0 && audited > 0)
     out.release()
   }
+
+  test("c4: no d9 near-dup pair straddles a split boundary; singletons " +
+    "keep exactly q39's label; every doc appears once") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val c4 = Curation.c4ClusterSplit(spark, dir)
+    assert(c4.count() == docs.count() &&
+      c4.select("doc_id").distinct().count() == docs.count())
+    // The leakage property c4 exists for: both ends of every near-dup
+    // candidate pair land in the SAME split.
+    val pairs = graft.ops.Dedup.d2MinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val straddling = pairs
+      .join(c4.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(c4.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0, s"$straddling near-dup pairs straddle splits")
+    // q39 agreement for unclustered docs (group_id == doc_id and no
+    // cluster membership): their split is the per-doc q39 label, so the
+    // per-(source, split) histogram restricted to them matches q39's
+    // restricted histogram.
+    val clustered = graft.ops.Dedup.d9DedupClusters(spark, dir).select("doc_id")
+    val single = c4.join(clustered, Seq("doc_id"), "left_anti")
+    assert(single.filter(col("group_id") =!= col("doc_id")).count() == 0)
+    val q39 = docs.join(clustered, Seq("doc_id"), "left_anti")
+      .select(col("source"),
+        graft.ops.Sampling.splitLabel(col("doc_id"), col("text")).as("split"))
+      .groupBy("source", "split").count()
+    val c4h = single.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "split").count()
+    assert(q39.exceptAll(c4h).isEmpty && c4h.exceptAll(q39).isEmpty)
+    // And the operator is not vacuous here: the fixture has clusters
+    // whose members' OWN labels disagree, i.e. c4 actually moved docs.
+    val moved = c4.join(docs.select("doc_id", "text"), "doc_id")
+      .filter(col("split") =!=
+        graft.ops.Sampling.splitLabel(col("doc_id"), col("text")))
+      .count()
+    assert(moved > 0, "fixture exercised no cross-split cluster merge")
+  }
 }
