@@ -597,6 +597,17 @@ object Dedup {
   def d12SubstrSpans(s: SparkSession, dir: String): DataFrame =
     substrSpans(load(s, dir, "documents"))
 
+  /** Segment stride for the window-hash pass: documents are first
+    * exploded into stride-sized segments (with K-1 chars of overlap so
+    * every window lives wholly inside one segment), and the per-row
+    * transient hash array is built per SEGMENT. Without this the array
+    * is O(document length) — harmless on kilobyte fixtures, a
+    * megabytes-per-row allocation on book-length documents. The
+    * segment explode itself streams through whole-stage codegen (rows
+    * are pipelined, never a materialized per-doc list).
+    */
+  private val SegStride = 16384
+
   /** d12's frame-level core over any `(doc_id, text)` frame: maximal
     * duplicated spans as `(doc_id, span_start, span_end, span_len)`,
     * 1-based inclusive character offsets. Spans from one document never
@@ -604,17 +615,32 @@ object Dedup {
     * merge is by running max of covered end, so adjacency collapses).
     */
   private[graft] def substrSpans(docs: DataFrame): DataFrame = {
+    // Number of windows in the doc / in this segment (both >= 1 by the
+    // length guard; the last segment is short).
+    val nWin = length(col("text")) - (SubstrK - 1)
+    val segWin = least(lit(SegStride), nWin - col("seg") * SegStride)
     val grams = graft.Tables.spread(docs)
       .filter(length(col("text")) >= SubstrK)
-      // Window keys built per row as one array, then positionally
+      .select(col("doc_id"), col("text"),
+        // Column./ is double division — truncate back to the integer
+        // segment count (non-negative, so cast == floor).
+        explode(sequence(lit(0), ((nWin - 1) / SegStride).cast("int"))).as("seg"))
+      .select(col("doc_id"), (col("seg") * SegStride).cast("long").as("base"),
+        // The segment substring: its windows are the doc's windows at
+        // offsets base+1 .. base+segWin, each wholly inside it thanks
+        // to the K-1 overlap.
+        col("text").substr(col("seg") * SegStride + 1,
+          segWin + (SubstrK - 1)).as("segtext"),
+        segWin.as("segwin"))
+      // Window keys built per segment as one array, then positionally
       // exploded; _outer for the same InferFiltersFromGenerate reason
-      // as d4 (the array is nonempty by the length guard anyway).
-      .select(col("doc_id"),
+      // as d4 (the array is nonempty: segwin >= 1).
+      .select(col("doc_id"), col("base"),
         posexplode_outer(transform(
-          sequence(lit(1), length(col("text")) - (SubstrK - 1)),
-          i => conv(substring(md5(col("text").substr(i, lit(SubstrK))), 1, 15), 16, 10)
+          sequence(lit(1), col("segwin")),
+          i => conv(substring(md5(col("segtext").substr(i, lit(SubstrK))), 1, 15), 16, 10)
             .cast("long"))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("off"),
+      .select(col("doc_id"), (col("base") + col("pos") + 1).as("off"),
         col("col").as("gk"))
     // Occurrence count as a WINDOW count over the gk partition (t10's
     // shape): structurally ONE hashing pass — a groupBy+join-back

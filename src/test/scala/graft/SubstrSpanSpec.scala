@@ -72,6 +72,18 @@ class SubstrSpanSpec extends AnyFunSuite {
       Seq((1L, head + mid + tail, 80L)))
   }
 
+  test("d12: a duplicated block STRADDLING the 16384-char segment-stride " +
+    "boundary is still found exactly (K-1 overlap covers it)") {
+    val block = seg('k', 5) // 40 chars
+    // Doc 1 places the block at chars 16361..16400, crossing the first
+    // segment's window range end (window 16384) mid-block.
+    val docs = Seq(
+      1L -> (seg('a', 2045) + block + seg('b', 8)),
+      2L -> (seg('c', 4) + block + seg('d', 4)))
+    assert(spansOf(docs) ==
+      Seq((1L, 16361L, 16400L, 40L), (2L, 33L, 72L, 40L)))
+  }
+
   test("d13: identical docs are fully covered — clean text is empty, " +
     "short/unique/null docs pass through untouched") {
     val dup = seg('p', 10) // 80 chars, twice
