@@ -614,34 +614,7 @@ object Dedup {
     * overlap and are separated by >=1 unflagged character (the island
     * merge is by running max of covered end, so adjacency collapses).
     */
-  private[graft] def substrSpans(docs: DataFrame): DataFrame = {
-    // Number of windows in the doc / in this segment (both >= 1 by the
-    // length guard; the last segment is short).
-    val nWin = length(col("text")) - (SubstrK - 1)
-    val segWin = least(lit(SegStride), nWin - col("seg") * SegStride)
-    val grams = graft.Tables.spread(docs)
-      .filter(length(col("text")) >= SubstrK)
-      .select(col("doc_id"), col("text"),
-        // Column./ is double division — truncate back to the integer
-        // segment count (non-negative, so cast == floor).
-        explode(sequence(lit(0), ((nWin - 1) / SegStride).cast("int"))).as("seg"))
-      .select(col("doc_id"), (col("seg") * SegStride).cast("long").as("base"),
-        // The segment substring: its windows are the doc's windows at
-        // offsets base+1 .. base+segWin, each wholly inside it thanks
-        // to the K-1 overlap.
-        col("text").substr(col("seg") * SegStride + 1,
-          segWin + (SubstrK - 1)).as("segtext"),
-        segWin.as("segwin"))
-      // Window keys built per segment as one array, then positionally
-      // exploded; _outer for the same InferFiltersFromGenerate reason
-      // as d4 (the array is nonempty: segwin >= 1).
-      .select(col("doc_id"), col("base"),
-        posexplode_outer(transform(
-          sequence(lit(1), col("segwin")),
-          i => conv(substring(md5(col("segtext").substr(i, lit(SubstrK))), 1, 15), 16, 10)
-            .cast("long"))))
-      .select(col("doc_id"), (col("base") + col("pos") + 1).as("off"),
-        col("col").as("gk"))
+  private[graft] def substrSpans(docs: DataFrame): DataFrame =
     // Occurrence count as a WINDOW count over the gk partition (t10's
     // shape): structurally ONE hashing pass — a groupBy+join-back
     // formulation re-ran the scan→window-hash pipeline per branch
@@ -651,17 +624,57 @@ object Dedup {
     // price is the window sort on 8-byte keys inside each partition;
     // a boilerplate-hot key serializes its partition either way (the
     // join would co-locate the same rows), and cost stays linear.
-    val flagged = grams
+    islands(windowGrams(docs)
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gk")))
-      .filter(col("n_occ") >= 2)
-      .select(col("doc_id"), col("off"),
-        (col("off") + (SubstrK - 1)).as("end"))
-    // Interval union, gaps-and-islands: a window opens a new island iff
-    // no earlier window's covered end reaches (or abuts) its start.
+      .filter(col("n_occ") >= 2))
+
+  /** The segmented window-hash pass: one `(doc_id, off, gk)` row per
+    * K-char window position, plus `passthrough` columns carried from
+    * the input (tags for [[contamSpans]]).
+    */
+  private def windowGrams(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val pt = passthrough.map(col)
+    // Number of windows in the doc / in this segment (both >= 1 by the
+    // length guard; the last segment is short).
+    val nWin = length(col("text")) - (SubstrK - 1)
+    val segWin = least(lit(SegStride), nWin - col("seg") * SegStride)
+    graft.Tables.spread(docs)
+      .filter(length(col("text")) >= SubstrK)
+      .select(col("doc_id") +: col("text") +:
+        // Column./ is double division — truncate back to the integer
+        // segment count (non-negative, so cast == floor).
+        explode(sequence(lit(0), ((nWin - 1) / SegStride).cast("int"))).as("seg") +:
+        pt: _*)
+      .select(col("doc_id") +: (col("seg") * SegStride).cast("long").as("base") +:
+        // The segment substring: its windows are the doc's windows at
+        // offsets base+1 .. base+segWin, each wholly inside it thanks
+        // to the K-1 overlap.
+        col("text").substr(col("seg") * SegStride + 1,
+          segWin + (SubstrK - 1)).as("segtext") +:
+        segWin.as("segwin") +: pt: _*)
+      // Window keys built per segment as one array, then positionally
+      // exploded; _outer for the same InferFiltersFromGenerate reason
+      // as d4 (the array is nonempty: segwin >= 1).
+      .select(col("doc_id") +: col("base") +:
+        posexplode_outer(transform(
+          sequence(lit(1), col("segwin")),
+          i => conv(substring(md5(col("segtext").substr(i, lit(SubstrK))), 1, 15), 16, 10)
+            .cast("long"))) +: pt: _*)
+      .select(col("doc_id") +: (col("base") + col("pos") + 1).as("off") +:
+        col("col").as("gk") +: pt: _*)
+  }
+
+  /** Interval union, gaps-and-islands, over `(doc_id, off, n_occ...)`
+    * flagged window positions: a window opens a new island iff no
+    * earlier window's covered end reaches (or abuts) its start.
+    */
+  private def islands(flagged: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("off")
     val prevEnd = max(col("end"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged
+      .select(col("doc_id"), col("off"),
+        (col("off") + (SubstrK - 1)).as("end"))
       .withColumn("brk",
         when(prevEnd.isNull || prevEnd < col("off") - 1, 1L).otherwise(0L))
       .withColumn("island", sum(col("brk")).over(w))
@@ -695,8 +708,60 @@ object Dedup {
   def d13SpanScrub(s: SparkSession, dir: String): DataFrame =
     spanScrub(load(s, dir, "documents"))
 
-  private[graft] def spanScrub(docs: DataFrame): DataFrame = {
-    val sp = substrSpans(docs)
+  private[graft] def spanScrub(docs: DataFrame): DataFrame =
+    scrubWith(docs, substrSpans(docs))
+
+  /** t13 — contamination SPANS: the decontamination twin of d12. A
+    * corpus document's span is flagged when it occurs VERBATIM inside
+    * any eval-set document (source = src0, t10's convention) — the
+    * span-level complement of t10's doc-level shingle overlap: t10
+    * answers "which training docs overlap the benchmark", t13 answers
+    * "which exact characters", which is what surgical decontamination
+    * (t14) needs. K (40 chars) is the match floor, the same role t10's
+    * 5-token shingles play.
+    *
+    * Same machinery as d12 with one twist: grams carry an is_eval tag
+    * and the gk window takes max(tag) instead of count — a corpus
+    * position is contaminated iff ANY eval position shares its window
+    * key. Still ONE scan, one hashing pass, one gk exchange; eval rows
+    * ride the same window and are dropped by the filter.
+    */
+  def t13ContamSpans(s: SparkSession, dir: String): DataFrame =
+    // Both sides live in one table, so tag in a single projection —
+    // a corpus/eval filter pair unioned back together would scan (and
+    // re-hash) the table once per side.
+    contamSpansTagged(load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        when(col("source") <=> lit(EvalSrc), 1).otherwise(0).as("ev")))
+
+  /** t14 — contamination SCRUB: t13's spans excised from the corpus
+    * (eval docs are not part of the output). Every corpus document
+    * comes back once; a doc wholly contained in the eval set becomes
+    * the empty string.
+    */
+  def t14ContamScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+    scrubWith(d.filter(!(col("source") <=> lit(EvalSrc))),
+      t13ContamSpans(s, dir))
+  }
+
+  private val EvalSrc = "src0"
+
+  /** Frame-level composition surface: contamination spans of `corpus`
+    * against `eval` (both `(doc_id, text)`).
+    */
+  private[graft] def contamSpans(corpus: DataFrame, eval: DataFrame): DataFrame =
+    contamSpansTagged(
+      corpus.select(col("doc_id"), col("text"), lit(0).as("ev"))
+        .unionByName(eval.select(col("doc_id"), col("text"), lit(1).as("ev"))))
+
+  private def contamSpansTagged(tagged: DataFrame): DataFrame =
+    islands(windowGrams(tagged, passthrough = Seq("ev"))
+      .withColumn("hit", max(col("ev")).over(Window.partitionBy("gk")))
+      .filter(col("ev") === 0 && col("hit") === 1))
+
+  private def scrubWith(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans
       .groupBy("doc_id")
       .agg(sort_array(collect_list(
           struct(col("span_start"), col("span_end")))).as("sp"),
@@ -777,7 +842,11 @@ object Dedup {
     "d10_incremental_dedup" -> d10IncrementalDedup,
     "d11_semantic_dedup" -> d11SemanticDedup,
     "d12_substr_spans" -> d12SubstrSpans,
-    "d13_span_scrub" -> d13SpanScrub)
+    "d13_span_scrub" -> d13SpanScrub,
+    // t-named (decontamination family, t10's siblings) but registered
+    // here: they are d12/d13 with an eval tag, sharing every internal.
+    "t13_contam_spans" -> t13ContamSpans,
+    "t14_contam_scrub" -> t14ContamScrub)
 
   // The ONE tokenizer formulation, shared with the t-family and
   // curation oracles — a local copy diverging silently would split
@@ -956,51 +1025,28 @@ object Dedup {
     "d12_substr_spans" ->
       s"""WITH $d12SpansSql
          |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin,
-    "d13_span_scrub" ->
-      // Independent formulation from the engine's aggregate-fold: kept
-      // segments as window-lag rows + ordered string_agg. Exact string
-      // math, so the two formulations must agree byte-for-byte.
-      s"""WITH $d12SpansSql,
-         |pre AS (SELECT doc_id,
-         |    coalesce(lag(span_end) OVER (PARTITION BY doc_id
-         |      ORDER BY span_start) + 1, 1) AS a,
-         |    span_start - 1 AS b FROM spans),
-         |tl AS (SELECT s.doc_id, max(s.span_end) + 1 AS a,
-         |    max(length(d.text)) AS b
-         |  FROM spans s JOIN documents d ON d.doc_id = s.doc_id
-         |  GROUP BY s.doc_id),
-         |segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl),
-         |cleaned AS (SELECT s.doc_id,
-         |    string_agg(substr(d.text, CAST(s.a AS INTEGER),
-         |      CAST(s.b - s.a + 1 AS INTEGER)), '' ORDER BY s.a) AS clean_text
-         |  FROM segs s JOIN documents d ON d.doc_id = s.doc_id
-         |  WHERE s.b >= s.a GROUP BY s.doc_id),
-         |removed AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT)
-         |    AS n_chars_removed FROM spans GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CASE WHEN r.doc_id IS NULL THEN d.text
-         |       ELSE coalesce(c.clean_text, '') END AS clean_text,
-         |  coalesce(r.n_chars_removed, 0) AS n_chars_removed
-         |FROM documents d
-         |LEFT JOIN cleaned c ON c.doc_id = d.doc_id
-         |LEFT JOIN removed r ON r.doc_id = d.doc_id""".stripMargin)
+    "d13_span_scrub" -> s"WITH $d12SpansSql,\n${scrubSql("documents")}",
+    "t13_contam_spans" ->
+      s"""WITH $t13SpansSql
+         |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin,
+    "t14_contam_scrub" ->
+      s"""WITH $t13SpansSql,
+         |ccorp AS (SELECT doc_id, text FROM documents
+         |          WHERE source IS DISTINCT FROM '$EvalSrc'),
+         |${scrubSql("ccorp")}""".stripMargin)
 
-  /** d12's oracle CTE chain ending in `spans(doc_id, span_start,
-    * span_end, span_len)` — shared verbatim by d13's oracle so the two
-    * gates can never diverge on what a span is.
+  /** The one gram-key formulation (60-bit md5 prefix of the K-char
+    * window at offset `i`), shared by every span oracle.
     */
-  private def d12SpansSql: String =
-    s"""grams AS (
-       |  SELECT doc_id, i AS off,
-       |    CAST(('0x' || substr(md5(substr(text, i, $SubstrK)), 1, 15))
-       |      AS BIGINT) AS gk
-       |  FROM documents,
-       |    unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(i)
-       |  WHERE length(text) >= $SubstrK),
-       |dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2),
-       |flagged AS (SELECT doc_id, off, off + ${SubstrK - 1} AS e
-       |  FROM grams WHERE gk IN (SELECT gk FROM dup)),
-       |isl AS (SELECT doc_id, off, e,
+  private def gkSql: String =
+    s"CAST(('0x' || substr(md5(substr(text, i, $SubstrK)), 1, 15)) AS BIGINT)"
+
+  /** Islands CTEs: `flagged(doc_id, off, e)` → `spans(doc_id,
+    * span_start, span_end, span_len)` — shared verbatim by all four
+    * span gates so they can never diverge on what a span is.
+    */
+  private def islandsSql: String =
+    s"""isl AS (SELECT doc_id, off, e,
        |    CASE WHEN coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY off
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
        |        >= off - 1
@@ -1012,4 +1058,63 @@ object Dedup {
        |spans AS (SELECT doc_id, min(off) AS span_start, max(e) AS span_end,
        |    max(e) - min(off) + 1 AS span_len
        |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
+  /** d12's oracle CTE chain ending in `spans`. */
+  private def d12SpansSql: String =
+    s"""grams AS (
+       |  SELECT doc_id, i AS off, $gkSql AS gk
+       |  FROM documents,
+       |    unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(i)
+       |  WHERE length(text) >= $SubstrK),
+       |dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2),
+       |flagged AS (SELECT doc_id, off, off + ${SubstrK - 1} AS e
+       |  FROM grams WHERE gk IN (SELECT gk FROM dup)),
+       |$islandsSql""".stripMargin
+
+  /** t13's oracle CTE chain ending in `spans`: same grams, eval-tagged;
+    * a corpus position is flagged when its window key occurs anywhere
+    * in the eval side.
+    */
+  private def t13SpansSql: String =
+    s"""grams AS (
+       |  SELECT doc_id, i AS off,
+       |    (source IS NOT DISTINCT FROM '$EvalSrc') AS ev, $gkSql AS gk
+       |  FROM documents,
+       |    unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(i)
+       |  WHERE length(text) >= $SubstrK),
+       |evk AS (SELECT DISTINCT gk FROM grams WHERE ev),
+       |flagged AS (SELECT doc_id, off, off + ${SubstrK - 1} AS e
+       |  FROM grams WHERE NOT ev AND gk IN (SELECT gk FROM evk)),
+       |$islandsSql""".stripMargin
+
+  /** The scrub oracle over a `(doc_id, text)` relation `rel` and the
+    * in-scope `spans` CTE — independent formulation from the engine's
+    * aggregate-fold: kept segments as window-lag rows + ordered
+    * string_agg. Exact string math, so the two formulations must agree
+    * byte-for-byte.
+    */
+  private def scrubSql(rel: String): String =
+    s"""pre AS (SELECT doc_id,
+       |    coalesce(lag(span_end) OVER (PARTITION BY doc_id
+       |      ORDER BY span_start) + 1, 1) AS a,
+       |    span_start - 1 AS b FROM spans),
+       |tl AS (SELECT s.doc_id, max(s.span_end) + 1 AS a,
+       |    max(length(d.text)) AS b
+       |  FROM spans s JOIN $rel d ON d.doc_id = s.doc_id
+       |  GROUP BY s.doc_id),
+       |segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl),
+       |cleaned AS (SELECT s.doc_id,
+       |    string_agg(substr(d.text, CAST(s.a AS INTEGER),
+       |      CAST(s.b - s.a + 1 AS INTEGER)), '' ORDER BY s.a) AS clean_text
+       |  FROM segs s JOIN $rel d ON d.doc_id = s.doc_id
+       |  WHERE s.b >= s.a GROUP BY s.doc_id),
+       |removed AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT)
+       |    AS n_chars_removed FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN r.doc_id IS NULL THEN d.text
+       |       ELSE coalesce(c.clean_text, '') END AS clean_text,
+       |  coalesce(r.n_chars_removed, 0) AS n_chars_removed
+       |FROM $rel d
+       |LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+       |LEFT JOIN removed r ON r.doc_id = d.doc_id""".stripMargin
 }

@@ -213,16 +213,19 @@ class PlanChecksSpec extends AnyFunSuite {
       s"cap window must not add its own exchange:\n${p.take(1500)}")
   }
 
-  test("d12: one scan, one hashing pass — dup flagging is the gk window " +
-    "count (a join-back formulation re-ran the window-hash pipeline per branch)") {
-    val p = plan("d12_substr_spans")
-    assert("- Scan parquet".r.findAllIn(p).length == 1, s"expected ONE scan:\n${p.take(1000)}")
-    assert("- Window".r.findAllIn(p).length >= 2, "gk count + island merge are windows")
-    assert(!p.contains("Join"), s"no join in the flag path:\n${p.take(1000)}")
-    // spread round-robin + gk + doc_id — the island groupBy reuses the
-    // doc window's clustering, so exactly three exchanges.
-    assert("- Exchange".r.findAllIn(p).length <= 3,
-      s"island agg must ride the doc window's exchange:\n${p.take(1500)}")
+  test("d12/t13: one scan, one hashing pass — flagging is a gk window " +
+    "(a join-back formulation re-ran the window-hash pipeline per branch; " +
+    "t13 tags eval in the same projection instead of a union of filters)") {
+    for (q <- Seq("d12_substr_spans", "t13_contam_spans")) {
+      val p = plan(q)
+      assert("- Scan parquet".r.findAllIn(p).length == 1, s"$q: expected ONE scan:\n${p.take(1000)}")
+      assert("- Window".r.findAllIn(p).length >= 2, s"$q: gk flag + island merge are windows")
+      assert(!p.contains("Join"), s"$q: no join in the flag path:\n${p.take(1000)}")
+      // spread round-robin + gk + doc_id — the island groupBy reuses the
+      // doc window's clustering, so exactly three exchanges.
+      assert("- Exchange".r.findAllIn(p).length <= 3,
+        s"$q: island agg must ride the doc window's exchange:\n${p.take(1500)}")
+    }
   }
 
   test("q56: AQE broadcasts the small fact-derived cohort dim at runtime " +

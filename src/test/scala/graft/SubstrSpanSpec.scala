@@ -101,6 +101,46 @@ class SubstrSpanSpec extends AnyFunSuite {
     assert(out(4)._1 == 5L && out(4)._2 == null && out(4)._3 == 0L)
   }
 
+  test("t13/t14: only corpus text matching EVAL docs is flagged — " +
+    "corpus-internal duplication is d12's business, not t13's") {
+    val evBlock = seg('v', 8)  // 64 chars, present in eval AND corpus
+    val corpBlock = seg('w', 8) // 64 chars, duplicated corpus-internally
+    val corpus = Seq(
+      1L -> (seg('a', 4) + evBlock + seg('b', 4)),
+      2L -> (seg('c', 4) + corpBlock + seg('d', 4)),
+      3L -> (seg('e', 4) + corpBlock + seg('f', 4)))
+      .toDF("doc_id", "text")
+    val eval = Seq(9L -> (seg('g', 4) + evBlock + seg('h', 4)))
+      .toDF("doc_id", "text")
+    val spans = graft.ops.Dedup.contamSpans(corpus, eval)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Doc 1's eval-matching region only; docs 2/3 (corpus-internal
+    // dup) and doc 9 (the eval doc itself) are absent.
+    assert(spans == Seq((1L, 33L, 96L)))
+    val clean = graft.ops.Dedup.spanScrub(corpus) // d13 view, for contrast
+    assert(clean.filter(col("n_chars_removed") > 0).count() == 2) // docs 2,3
+  }
+
+  test("t14 over fixture data: eval docs are excluded, corpus docs are " +
+    "conserved, and scrubbed chars equal t13's span lengths") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val out = graft.ops.Dedup.t14ContamScrub(spark, dir)
+    val nCorpus = docs.filter(!(col("source") <=> "src0")).count()
+    assert(out.count() == nCorpus)
+    assert(out.join(docs.filter(col("source") <=> "src0").select("doc_id"),
+      "doc_id").count() == 0)
+    val viol = out.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("text").isNotNull &&
+        length(col("clean_text")) + col("n_chars_removed") =!= length(col("text")))
+      .count()
+    assert(viol == 0)
+    val t13sum = graft.ops.Dedup.t13ContamSpans(spark, dir)
+      .agg(sum("span_len")).collect()(0).getLong(0)
+    val t14sum = out.agg(sum("n_chars_removed")).collect()(0).getLong(0)
+    assert(t13sum == t14sum && t14sum > 0)
+  }
+
   test("d13 over fixture data: chars are conserved (|clean| + removed " +
     "= |text|) and removed agrees with d12's span lengths per doc") {
     val dir = "/root/testdata/sf0.001"
