@@ -351,6 +351,74 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** t15 — bigram language-model quality score: the CCNet-style
+    * perplexity-filter idea (score each document by how predictable its
+    * text is under an n-gram model of the corpus; low scores flag
+    * gibberish / boilerplate-shredded docs). The model is the corpus's
+    * own MLE bigram table — P(w2|w1) = c(w1 w2) / c(w1 ·) — and the
+    * score is the MEAN of those per-position probabilities.
+    *
+    * Two deliberate deviations from the classical formulation, both for
+    * cross-engine determinism (NOTES invariants):
+    *  - MLE, no smoothing: the model scores its own training corpus, so
+    *    every scored bigram has count >= 1 and zero mass never arises.
+    *    (A held-out variant needs smoothing — and a vocab-size scalar,
+    *    which would cost a second corpus pass.)
+    *  - arithmetic mean of probabilities, not mean log-prob: each term
+    *    is the exactly-rounded quotient of two window counts — bit-equal
+    *    in any IEEE engine — so the score needs NO rounding at all;
+    *    `ln` is libm-1-ulp territory (t12's note) and a mean of
+    *    hundreds of such terms lands inside a rounding boundary's
+    *    danger band often enough to flake a hash gate. The mean folds
+    *    in POSITION order (sort_array + sequential aggregate ≡ DuckDB
+    *    list_sum over list(ORDER BY pos), t12's pattern) — a float
+    *    sum() partial-agg would not be order-reproducible.
+    *
+    * Plan shape is d12's window formulation: both model counts ride the
+    * ONE exploded bigram frame as stacked windows (partitionBy (w1,w2),
+    * then w1) — a groupBy+join-back model table would prune different
+    * columns per branch and re-scan + re-tokenize per use (see
+    * substrSpans). A hot prefix (a stopword w1) serializes its window
+    * partition, but a join would co-locate the same rows; cost stays
+    * linear. One full-text scan + one doc_id-pruned join-back so docs
+    * without a bigram still appear (n_bigrams 0, score null).
+    */
+  def t15LmScore(s: SparkSession, dir: String): DataFrame =
+    lmScore(load(s, dir, "documents"))
+
+  /** Frame-based core over any `(doc_id, text)` corpus. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    // toks materialized in its own projection: a lambda body referencing
+    // an enclosing expression re-evaluates it per element (t10's lesson).
+    val bg = graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("tk")) >= 2,
+            transform(sequence(lit(1), size(col("tk")) - 1),
+              i => struct(element_at(col("tk"), i).as("w1"),
+                element_at(col("tk"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val p = bg
+      .withColumn("n2", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .withColumn("n1", count(lit(1)).over(Window.partitionBy("w1")))
+      .select(col("doc_id"), col("pos"),
+        (col("n2").cast("double") / col("n1").cast("double")).as("p"))
+    val scored = p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p")) /
+          col("n_bigrams").cast("double")).as("lm_score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+  }
+
   /** Adjacent-token n-grams ("wᵢ … wᵢ₊ₙ₋₁") in document order — the ONE
     * formulation shared by t5/t9 (bigrams) and t10 (5-gram shingles),
     * mirrored once in [[ngramsSql]]: separator or empty/null behavior
@@ -484,7 +552,8 @@ object TextAnalysis {
     "t7_scrub" -> t7Scrub,
     "t8_chunk" -> t8Chunk,
     "t11_pack" -> t11Pack,
-    "t12_bm25" -> t12Bm25)
+    "t12_bm25" -> t12Bm25,
+    "t15_lm_score" -> t15LmScore)
 
   private[ops] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -574,6 +643,24 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t10_contamination" ->
       contaminationSql("documents", EvalSource, MaxContamPostings),
+    "t15_lm_score" ->
+      // Mirrors the engine exactly: window counts over the one bigram
+      // relation, position-ordered list_sum fold (≡ the sequential
+      // `aggregate`), quotients of integers so no rounding is needed.
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+         |       FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+         |       WHERE len(toks) >= 2),
+         |p AS (SELECT doc_id, pos,
+         |        CAST(count(*) OVER (PARTITION BY w1, w2) AS DOUBLE)
+         |        / CAST(count(*) OVER (PARTITION BY w1) AS DOUBLE) AS p
+         |      FROM bg),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        list_sum(list(p ORDER BY pos)) / CAST(count(*) AS DOUBLE)
+         |          AS lm_score
+         |      FROM p GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm_score
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
     "t9_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,

@@ -228,6 +228,18 @@ class PlanChecksSpec extends AnyFunSuite {
     }
   }
 
+  test("t15: both LM counts are windows over ONE exploded bigram frame — " +
+    "one tokenize pass, two scans total (full text + doc_id join-back)") {
+    val p = plan("t15_lm_score")
+    assert("- Generate".r.findAllIn(p).length == 1,
+      s"expected ONE bigram explode:\n${p.take(1200)}")
+    assert("- Window".r.findAllIn(p).length == 2, "n2 + n1 are stacked windows")
+    // Full-text scan for the pipeline + a doc_id-pruned scan for the
+    // every-doc join-back; a groupBy model table would add a third.
+    assert("- Scan parquet".r.findAllIn(p).length == 2,
+      s"expected TWO scans:\n${p.take(1200)}")
+  }
+
   test("q56: AQE broadcasts the small fact-derived cohort dim at runtime " +
     "(no forced hint — a user-cardinality dim must be allowed to outgrow broadcast)") {
     val df = SparkEntry.queries("q56_retention")(spark, dir)
