@@ -52,9 +52,27 @@ object Curation {
     * are never emitted. `minJaccard` is the estimated-Jaccard cut for
     * near-dup clustering; `maxPostings` caps t10's inverted index.
     */
-  def curate(docs: DataFrame, evalSource: String, langs: Seq[String],
-      minTokens: Int, minJaccard: Double = 0.5,
-      maxPostings: Int = 1000): Curated = {
+  /** The shared front half of both curation flavors: persisted base
+    * projection, eval/candidate partition, id gates, quality gate,
+    * exact-normalized dedup, and near-dup clustering — everything up
+    * to the decontamination strategy, where [[curate]] (drop the doc)
+    * and [[curate2]] (scrub the spans) diverge.
+    */
+  private final case class Front(base: DataFrame, evalDocs: DataFrame,
+      badId: DataFrame, candidates: DataFrame, gated: DataFrame,
+      byFp: DataFrame, nearDupIds: DataFrame, unique: DataFrame) {
+    /** The four audit legs every flavor shares. */
+    def auditLegs: Seq[DataFrame] = Seq(
+      badId.select(col("doc_id"), lit("invalid_id").as("reason")),
+      candidates.join(gated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("gate").as("reason")),
+      byFp.filter(col("doc_id") =!= col("_keeper"))
+        .select(col("doc_id"), lit("duplicate").as("reason")),
+      nearDupIds.select(col("doc_id"), lit("near_duplicate").as("reason")))
+  }
+
+  private def front(docs: DataFrame, evalSource: String, langs: Seq[String],
+      minTokens: Int, minJaccard: Double): Front = {
     // minTokens >= 1: chunk() drops zero-token docs (nothing to emit),
     // and a doc dropped there would appear in neither chunks nor audit —
     // silently violating the conservation contract the spec pins.
@@ -117,16 +135,23 @@ object Curation {
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
     val unique = deduped.join(nearDupIds, Seq("doc_id"), "left_anti")
+    Front(base, evalDocs, badId, candidates, gated, byFp, nearDupIds, unique)
+  }
+
+  def curate(docs: DataFrame, evalSource: String, langs: Seq[String],
+      minTokens: Int, minJaccard: Double = 0.5,
+      maxPostings: Int = 1000): Curated = {
+    val f = front(docs, evalSource, langs, minTokens, minJaccard)
 
     // 4. Decontamination (t10) against the eval docs. The id set is
     // tiny (flagged docs only) but expensive to derive (a shingle
     // inverted index over the corpus) — cache it so the chunks and
     // audit frames don't each rebuild the index.
     val contaminatedIds = TextAnalysis.contamination(
-        unique.unionByName(evalDocs), evalSource, maxPostings)
+        f.unique.unionByName(f.evalDocs), evalSource, maxPostings)
       .select(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val clean = unique.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    val clean = f.unique.join(contaminatedIds, Seq("doc_id"), "left_anti")
 
     // 5. Deterministic split — the exact q39 rule, shared formulation.
     val withSplit = clean.withColumn("split",
@@ -138,16 +163,73 @@ object Curation {
     // can't share exchanges).
     val chunks = TextAnalysis.chunk(withSplit, Seq("source", "split"))
 
-    val audit = Seq(
-      badId.select(col("doc_id"), lit("invalid_id").as("reason")),
-      candidates.join(gated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit("gate").as("reason")),
-      byFp.filter(col("doc_id") =!= col("_keeper"))
-        .select(col("doc_id"), lit("duplicate").as("reason")),
-      nearDupIds.select(col("doc_id"), lit("near_duplicate").as("reason")),
+    val audit = (f.auditLegs :+
       contaminatedIds.select(col("doc_id"), lit("contaminated").as("reason"))
     ).reduce(_ unionByName _)
-    Curated(chunks, audit, Seq(base, contaminatedIds))
+    Curated(chunks, audit, Seq(f.base, contaminatedIds))
+  }
+
+  /** Curation v2 — SURGICAL decontamination and an LM quality gate.
+    * Same front as [[curate]] (id/quality gates, d6 dedup, d2+d9
+    * near-dup clustering), then instead of dropping every document
+    * that overlaps the benchmark (t10's verdict), the eval-matching
+    * character spans are excised in place (t13/t14's machinery) and
+    * the document survives with its clean remainder — the right trade
+    * at 100 TB, where a popular quote would otherwise cost the whole
+    * document. Two new audit outcomes replace `contaminated`:
+    * `decontam_gutted` (scrub left fewer than `minTokens` tokens —
+    * the doc was substantially benchmark text) and `lm_gate` (the
+    * scrubbed text scores below `minLmScore` under t15's bigram-LM
+    * quality score, self-trained on the scrubbed survivor corpus —
+    * catching gibberish that token counts and language ID miss).
+    * Split (q39) and chunking (t8) run on the SCRUBBED text.
+    *
+    * Conservation contract (spec-pinned, same as curate): every
+    * candidate doc lands in chunks or in exactly one audit row.
+    */
+  def curate2(docs: DataFrame, evalSource: String, langs: Seq[String],
+      minTokens: Int, minJaccard: Double = 0.5,
+      minLmScore: Double = 0.032): Curated = {
+    val f = front(docs, evalSource, langs, minTokens, minJaccard)
+
+    // 4'. Span-level decontamination. The scrubbed frame feeds four
+    // consumers (token re-gate, gutted audit, LM scoring — itself a
+    // two-use pipeline — and the kept-side join), each of which would
+    // otherwise re-run the span machinery AND the whole front:
+    // persisted, like curate's contaminated-id set.
+    val scrubbed = Dedup.scrubWith(f.unique,
+        Dedup.contamSpans(f.unique.select(col("doc_id"), col("text")),
+          f.evalDocs.select(col("doc_id"), col("text"))),
+        passThrough = Seq("source"))
+      .withColumnRenamed("clean_text", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 5'. Token re-gate on what remains (the SAME formulation as the
+    // front gate, so the two thresholds can't drift apart).
+    val nTok = size(TextAnalysis.toks(col("text")))
+    val regated = scrubbed.filter(nTok >= minTokens)
+    val gutted = scrubbed.filter(nTok < minTokens).select(col("doc_id"))
+
+    // 6'. LM quality gate (t15) over the scrubbed survivor corpus.
+    // Every regated doc has >= minTokens tokens, so lm_score is never
+    // null and the inner join is total over regated.
+    val lm = TextAnalysis.lmScore(regated.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("lm_score"))
+    val kept = regated.join(lm, Seq("doc_id"))
+      .filter(col("lm_score") >= minLmScore)
+    val lmDropped = lm.filter(col("lm_score") < minLmScore).select(col("doc_id"))
+
+    // 7'. Split + chunks on the scrubbed text (q39 / t8, shared code).
+    val withSplit = kept
+      .withColumn("split", Sampling.splitLabel(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"), col("source"), col("split"))
+    val chunks = TextAnalysis.chunk(withSplit, Seq("source", "split"))
+
+    val audit = (f.auditLegs ++ Seq(
+      gutted.select(col("doc_id"), lit("decontam_gutted").as("reason")),
+      lmDropped.select(col("doc_id"), lit("lm_gate").as("reason")))
+    ).reduce(_ unionByName _)
+    Curated(chunks, audit, Seq(f.base, scrubbed))
   }
 
   // ---- Oracled registry entries: the composition over the fixture ----
@@ -174,6 +256,14 @@ object Curation {
       curate(graft.Tables.load(s, dir, "documents"),
         EvalSource, Langs, MinTokens, MinJaccard, MaxPostings))
 
+  private val MinLmScore = 0.032
+
+  private val memo2 = new ConcurrentHashMap[(SparkSession, String), Curated]()
+  private def curated2For(s: SparkSession, dir: String): Curated =
+    memo2.computeIfAbsent((s, dir), _ =>
+      curate2(graft.Tables.load(s, dir, "documents"),
+        EvalSource, Langs, MinTokens, MinJaccard, MinLmScore))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation" -> ((s, dir) => curatedFor(s, dir).chunks),
     "c2_curation_audit" -> ((s, dir) => curatedFor(s, dir).audit),
@@ -184,7 +274,11 @@ object Curation {
     // boundary (a sequence mixing train and held-out text would leak).
     "c3_curation_pack" -> ((s, dir) => TextAnalysis.pack(
       curatedFor(s, dir).chunks.filter(col("split") === "train"))),
-    "c4_cluster_split" -> c4ClusterSplit)
+    "c4_cluster_split" -> c4ClusterSplit,
+    // c5/c6: the surgical (scrub + LM gate) flavor, two views of ONE
+    // curate2() run — same memo discipline as c1/c2.
+    "c5_curation2" -> ((s, dir) => curated2For(s, dir).chunks),
+    "c6_curation2_audit" -> ((s, dir) => curated2For(s, dir).audit))
 
   /** c4 — leakage-safe split: q39's train/val/test assignment lifted to
     * near-dup-cluster granularity. Per-document hash splits (q39) let
@@ -229,7 +323,11 @@ object Curation {
     * contaminationSql, q39 splitCaseSql, t8 chunkSql) — c1 selects the
     * chunk output, c2 the audit union.
     */
-  private def prefixSql: String = {
+  /** The front half (through `cuniq`) shared by both curation flavors'
+    * oracles — one formulation, so c1/c2 and c5/c6 cannot diverge on
+    * what the gates and dedup keep.
+    */
+  private def frontSql: String = {
     val langList = Langs.map(l => s"'$l'").mkString(", ")
     s"""WITH RECURSIVE
        |cbase AS (SELECT doc_id, text, lang, source FROM documents),
@@ -259,7 +357,11 @@ object Curation {
        |cneardup AS (SELECT a AS doc_id FROM creach GROUP BY a
        |             HAVING a <> least(a, min(b))),
        |cuniq AS (SELECT d.* FROM cdeduped d
-       |          WHERE d.doc_id NOT IN (SELECT doc_id FROM cneardup)),
+       |          WHERE d.doc_id NOT IN (SELECT doc_id FROM cneardup))""".stripMargin
+  }
+
+  private def prefixSql: String =
+    s"""$frontSql,
        |ccontam AS (SELECT doc_id FROM (${TextAnalysis.contaminationSql(
               "(SELECT doc_id, source, text FROM cuniq" +
                 " UNION ALL SELECT doc_id, source, text FROM ceval) cu",
@@ -269,7 +371,31 @@ object Curation {
        |csplit AS (SELECT doc_id, text, source,
        |             (${Sampling.splitCaseSql}) AS split
        |           FROM cclean)""".stripMargin
-  }
+
+  /** The v2 tail: eval-tagged span scrub (t13/t14's shared builders,
+    * nested as CTE-local WITH blocks), token re-gate, t15 LM gate,
+    * split on the scrubbed text.
+    */
+  private def prefix2Sql: String =
+    s"""$frontSql,
+       |ctag AS (SELECT doc_id, text, FALSE AS ev FROM cuniq
+       |         UNION ALL SELECT doc_id, text, TRUE AS ev FROM ceval),
+       |cspans AS (WITH ${Dedup.contamSpansSql("ctag")}
+       |           SELECT doc_id, span_start, span_end, span_len FROM spans),
+       |cscrub AS (WITH ${Dedup.scrubSql("cuniq", "cspans")}),
+       |cregate AS (SELECT s.doc_id, s.clean_text AS text, u.source
+       |            FROM cscrub s JOIN cuniq u ON u.doc_id = s.doc_id),
+       |ckeeptok AS (SELECT * FROM cregate
+       |             WHERE len(${TextAnalysis.toksSql}) >= $MinTokens),
+       |cgutted AS (SELECT doc_id FROM cregate
+       |            WHERE len(${TextAnalysis.toksSql}) < $MinTokens),
+       |clm AS (WITH ${TextAnalysis.lmSql("ckeeptok")}),
+       |ckept AS (SELECT k.* FROM ckeeptok k JOIN clm l ON l.doc_id = k.doc_id
+       |          WHERE l.lm_score >= $MinLmScore),
+       |clmdrop AS (SELECT doc_id FROM clm WHERE lm_score < $MinLmScore),
+       |csplit2 AS (SELECT doc_id, text, source,
+       |              (${Sampling.splitCaseSql}) AS split
+       |            FROM ckept)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "c1_curation" ->
@@ -293,6 +419,21 @@ object Curation {
                s"""(SELECT doc_id, chunk_idx, n_chunk_tokens
                   | FROM (${TextAnalysis.chunkSql("csplit", Seq("source", "split"))}) ch
                   | WHERE split = 'train')""".stripMargin)}) p""".stripMargin,
+    "c5_curation2" ->
+      s"""$prefix2Sql
+         |SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text, source, split
+         |FROM (${TextAnalysis.chunkSql("csplit2", Seq("source", "split"))}) ch""".stripMargin,
+    "c6_curation2_audit" ->
+      s"""$prefix2Sql
+         |SELECT doc_id, reason FROM (
+         |  SELECT doc_id, 'gate' AS reason FROM ccand
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cgated)
+         |  UNION ALL SELECT doc_id, 'duplicate' FROM cdup
+         |  UNION ALL SELECT doc_id, 'near_duplicate' FROM cneardup
+         |  UNION ALL SELECT doc_id, 'decontam_gutted' FROM cgutted
+         |  UNION ALL SELECT doc_id, 'lm_gate' FROM clmdrop
+         |  UNION ALL SELECT doc_id, 'invalid_id' FROM cbadid
+         |) a""".stripMargin,
     // c4: d9's closure (verbatim formulation) + q39's split rule; the
     // own-label is computed inline in a single-table CTE so a null
     // doc_id row can never be dropped by a label join.

@@ -760,7 +760,11 @@ object Dedup {
       .withColumn("hit", max(col("ev")).over(Window.partitionBy("gk")))
       .filter(col("ev") === 0 && col("hit") === 1))
 
-  private def scrubWith(docs: DataFrame, spans: DataFrame): DataFrame = {
+  /** Excise `spans` from `docs`, `passThrough` columns carried beside
+    * the scrubbed text (curation needs source/lang to survive).
+    */
+  private[ops] def scrubWith(docs: DataFrame, spans: DataFrame,
+      passThrough: Seq[String] = Nil): DataFrame = {
     val sp = spans
       .groupBy("doc_id")
       .agg(sort_array(collect_list(
@@ -779,9 +783,10 @@ object Dedup {
           greatest(length(col("text")) - st.getField("pos").cast("int") + 1,
             lit(0)))))
     docs.join(sp, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("sp").isNull, col("text")).otherwise(folded).as("clean_text"),
-        coalesce(col("removed"), lit(0L)).as("n_chars_removed"))
+      .select(col("doc_id") +:
+        when(col("sp").isNull, col("text")).otherwise(folded).as("clean_text") +:
+        coalesce(col("removed"), lit(0L)).as("n_chars_removed") +:
+        passThrough.map(col): _*)
   }
 
   /** d6 as a frame-level operator: the corpus fingerprint set
@@ -1075,11 +1080,17 @@ object Dedup {
     * a corpus position is flagged when its window key occurs anywhere
     * in the eval side.
     */
-  private def t13SpansSql: String =
+  private def t13SpansSql: String = contamSpansSql(
+    s"(SELECT doc_id, text, (source IS NOT DISTINCT FROM '$EvalSrc') AS ev " +
+      "FROM documents) tg")
+
+  /** The eval-tagged span chain over any `(doc_id, text, ev)` relation
+    * `rel` — shared by t13/t14 and the curation-v2 composed oracle.
+    */
+  private[ops] def contamSpansSql(rel: String): String =
     s"""grams AS (
-       |  SELECT doc_id, i AS off,
-       |    (source IS NOT DISTINCT FROM '$EvalSrc') AS ev, $gkSql AS gk
-       |  FROM documents,
+       |  SELECT doc_id, ev, i AS off, $gkSql AS gk
+       |  FROM $rel,
        |    unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(i)
        |  WHERE length(text) >= $SubstrK),
        |evk AS (SELECT DISTINCT gk FROM grams WHERE ev),
@@ -1087,20 +1098,20 @@ object Dedup {
        |  FROM grams WHERE NOT ev AND gk IN (SELECT gk FROM evk)),
        |$islandsSql""".stripMargin
 
-  /** The scrub oracle over a `(doc_id, text)` relation `rel` and the
-    * in-scope `spans` CTE — independent formulation from the engine's
-    * aggregate-fold: kept segments as window-lag rows + ordered
-    * string_agg. Exact string math, so the two formulations must agree
-    * byte-for-byte.
+  /** The scrub oracle over a `(doc_id, text)` relation `rel` and a
+    * spans relation `spansRel` (default: the in-scope `spans` CTE) —
+    * independent formulation from the engine's aggregate-fold: kept
+    * segments as window-lag rows + ordered string_agg. Exact string
+    * math, so the two formulations must agree byte-for-byte.
     */
-  private def scrubSql(rel: String): String =
+  private[ops] def scrubSql(rel: String, spansRel: String = "spans"): String =
     s"""pre AS (SELECT doc_id,
        |    coalesce(lag(span_end) OVER (PARTITION BY doc_id
        |      ORDER BY span_start) + 1, 1) AS a,
-       |    span_start - 1 AS b FROM spans),
+       |    span_start - 1 AS b FROM $spansRel),
        |tl AS (SELECT s.doc_id, max(s.span_end) + 1 AS a,
        |    max(length(d.text)) AS b
-       |  FROM spans s JOIN $rel d ON d.doc_id = s.doc_id
+       |  FROM $spansRel s JOIN $rel d ON d.doc_id = s.doc_id
        |  GROUP BY s.doc_id),
        |segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl),
        |cleaned AS (SELECT s.doc_id,
@@ -1109,7 +1120,7 @@ object Dedup {
        |  FROM segs s JOIN $rel d ON d.doc_id = s.doc_id
        |  WHERE s.b >= s.a GROUP BY s.doc_id),
        |removed AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT)
-       |    AS n_chars_removed FROM spans GROUP BY doc_id)
+       |    AS n_chars_removed FROM $spansRel GROUP BY doc_id)
        |SELECT d.doc_id,
        |  CASE WHEN r.doc_id IS NULL THEN d.text
        |       ELSE coalesce(c.clean_text, '') END AS clean_text,

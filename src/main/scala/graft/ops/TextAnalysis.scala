@@ -556,6 +556,28 @@ object TextAnalysis {
     "t15_lm_score" -> t15LmScore)
 
   private[ops] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** t15's oracle CTE chain + final select over any `(doc_id, text)`
+    * relation `rel` — shared with the curation-v2 composed oracle.
+    * Mirrors the engine exactly: window counts over the one bigram
+    * relation, position-ordered list_sum fold (≡ the sequential
+    * `aggregate`), quotients of integers so no rounding is needed.
+    */
+  private[ops] def lmSql(rel: String): String =
+    s"""lmt AS (SELECT doc_id, $toksSql AS toks FROM $rel),
+       |lmbg AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+       |       FROM lmt, unnest(generate_series(1, len(toks) - 1)) u(i)
+       |       WHERE len(toks) >= 2),
+       |lmp AS (SELECT doc_id, pos,
+       |        CAST(count(*) OVER (PARTITION BY w1, w2) AS DOUBLE)
+       |        / CAST(count(*) OVER (PARTITION BY w1) AS DOUBLE) AS p
+       |      FROM lmbg),
+       |lms AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |        list_sum(list(p ORDER BY pos)) / CAST(count(*) AS DOUBLE)
+       |          AS lm_score
+       |      FROM lmp GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(lms.n_bigrams, 0) AS n_bigrams, lms.lm_score
+       |FROM $rel d LEFT JOIN lms ON lms.doc_id = d.doc_id""".stripMargin
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   private def bigramsSql(arr: String): String = ngramsSql(arr, 2)
@@ -643,24 +665,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t10_contamination" ->
       contaminationSql("documents", EvalSource, MaxContamPostings),
-    "t15_lm_score" ->
-      // Mirrors the engine exactly: window counts over the one bigram
-      // relation, position-ordered list_sum fold (≡ the sequential
-      // `aggregate`), quotients of integers so no rounding is needed.
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |bg AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
-         |       FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
-         |       WHERE len(toks) >= 2),
-         |p AS (SELECT doc_id, pos,
-         |        CAST(count(*) OVER (PARTITION BY w1, w2) AS DOUBLE)
-         |        / CAST(count(*) OVER (PARTITION BY w1) AS DOUBLE) AS p
-         |      FROM bg),
-         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |        list_sum(list(p ORDER BY pos)) / CAST(count(*) AS DOUBLE)
-         |          AS lm_score
-         |      FROM p GROUP BY doc_id)
-         |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm_score
-         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""".stripMargin,
+    "t15_lm_score" -> s"WITH ${lmSql("documents")}",
     "t9_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,

@@ -222,4 +222,84 @@ class CurationSpec extends AnyFunSuite {
       .count()
     assert(moved > 0, "fixture exercised no cross-split cluster merge")
   }
+
+  // ---- curate2: surgical decontamination + LM gate ----
+
+  // Two DISTINCT >=40-char eval blocks so the two scrub targets share
+  // no tokens with each other (a single shared block would make them
+  // near-dup candidates of one another and entangle the stages).
+  private val evA = "the quick brown fox jumps over the lazy benchmark dog"
+  private val evB = "pack my box with five dozen benchmark liquor jugs today okay"
+
+  private val corpus2 = Seq(
+    (1L, s"$evA middle filler $evB", "en", "eval"),
+    // surgically scrubbed, SURVIVES: the eval block is excised and 8
+    // clean tokens remain
+    (10L, s"keep1 keep2 keep3 keep4 keep5 keep6 $evA keep7 keep8", "en", "web"),
+    // gutted: scrub leaves 3 tokens < minTokens 5
+    (11L, s"zz1 zz2 zz3 $evB", "en", "web"),
+    // gate drops: too short / wrong language
+    (20L, "too short", "en", "web"),
+    (21L, "ein ganz anderes deutsches dokument mit vielen woertern darin", "de", "web"),
+    // exact-normalized duplicates: keeper 30
+    (30L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet", "en", "web"),
+    (31L, "Alpha  Bravo Charlie   Delta Echo Foxtrot Golf Hotel India Juliet", "en", "web"),
+    // near-duplicates: keeper 40
+    (40L, base30, "en", "web"),
+    (41L, base30.replace("w30", "changed"), "en", "web"),
+    // LM-gate victim: every bigram is a 1-count continuation of a
+    // hot prefix (the fillers below give each of a/c/d/e/f 49 self-
+    // bigrams), so its mean bigram probability is 5 * (1/50) / 5 = 0.02
+    // < the 0.032 default threshold
+    (60L, "a c d e f g", "en", "web")
+  ).toDF("doc_id", "text", "lang", "source")
+    .unionByName(Seq("a", "c", "d", "e", "f").zipWithIndex.map { case (w, i) =>
+      (61L + i, Seq.fill(50)(w).mkString(" "), "en", "web")
+    }.toDF("doc_id", "text", "lang", "source"))
+
+  test("curate2: spans are scrubbed surgically, gutted and low-LM docs " +
+    "are audited, and partially-contaminated docs SURVIVE") {
+    val out = Curation.curate2(corpus2, evalSource = "eval",
+      langs = Seq("en"), minTokens = 5)
+    val audit = out.audit.as[(Long, String)].collect().toSet
+    assert(audit == Set(
+      (20L, "gate"), (21L, "gate"),
+      (31L, "duplicate"),
+      (41L, "near_duplicate"),
+      (11L, "decontam_gutted"),
+      (60L, "lm_gate")))
+    val kept = out.chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(10L, 30L, 40L, 61L, 62L, 63L, 64L, 65L))
+    // The surgical point: doc 10 survives WITHOUT the benchmark text.
+    // The span covers the block plus its trailing shared space, so the
+    // remaining halves join back cleanly here.
+    val doc10 = out.chunks.filter(col("doc_id") === 10L)
+      .select("chunk_text").as[String].collect()
+    assert(doc10.toSeq ==
+      Seq("keep1 keep2 keep3 keep4 keep5 keep6 keep7 keep8"))
+    assert(!doc10.exists(_.contains("benchmark")))
+    // Conservation: every candidate is in chunks or audit, never both.
+    val auditedIds = audit.map(_._1)
+    assert(kept.intersect(auditedIds).isEmpty)
+    assert(kept ++ auditedIds ==
+      corpus2.filter(col("source") =!= "eval")
+        .select("doc_id").as[Long].collect().toSet)
+    out.release()
+  }
+
+  test("curate2 vs curate on the same corpus: the v1 flavor can only " +
+    "drop a contaminated doc; v2 keeps its clean remainder") {
+    // Under t10 (doc-level, 5-token shingles) doc 10 is contaminated
+    // and vanishes; under curate2 its clean tokens are training data.
+    val v1 = Curation.curate(corpus2, evalSource = "eval",
+      langs = Seq("en"), minTokens = 5)
+    val v2 = Curation.curate2(corpus2, evalSource = "eval",
+      langs = Seq("en"), minTokens = 5)
+    val v1kept = v1.chunks.select("doc_id").distinct().as[Long].collect().toSet
+    val v2kept = v2.chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(!v1kept.contains(10L) &&
+      v1.audit.as[(Long, String)].collect().toSet.contains((10L, "contaminated")))
+    assert(v2kept.contains(10L))
+    v1.release(); v2.release()
+  }
 }
