@@ -254,7 +254,38 @@ object Sampling {
       .select(col("doc_id"), col(key), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** The epoch salt for q61 — a different literal reshuffles the whole
+    * corpus deterministically (epoch 2 = a brand-new permutation).
+    */
+  private val Epoch = "1"
+
+  /** q61 — deterministic epoch shuffle: the global reorder a training
+    * run applies before writing shards. A true global permutation rank
+    * is a single-task sort at any scale (the rejected global-window
+    * shape); what shard writers actually do — and what scales — is
+    * two-level: shard = first hex digit of a salted content hash, rank
+    * = row_number within the shard ordered by the full hash. Every
+    * shard is an independent window task, reading shards in
+    * (shard, shard_rank) order IS the permutation, and the epoch salt
+    * makes it reproducible run-to-run (epoch in the hash ⇒ epochs are
+    * independent permutations). 16 shards here; at 100 TB take 4 hex
+    * digits (65,536 shards) — the shape is unchanged. Null text (null
+    * hash) is excluded, q38's convention.
+    */
+  def q61EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val h = contentMd5(lit(Epoch), col("doc_id").cast("string"), col("text"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .filter(col("h").isNotNull)
+      .withColumn("shard", conv(substring(col("h"), 1, 1), 16, 10).cast("long"))
+      .withColumn("shard_rank",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("shard_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_epoch_shuffle" -> q61EpochShuffle,
     "q38_hash_sample" -> q38HashSample,
     "q39_split_assign" -> q39SplitAssign,
     "q55_weighted_pick" -> q55WeightedPick,
@@ -274,6 +305,15 @@ object Sampling {
        |     ELSE 'test' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q61_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    md5('$Epoch:' || CAST(doc_id AS VARCHAR) || ':' || text) AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(('0x' || substr(h, 1, 1)) AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY substr(h, 1, 1)
+         |    ORDER BY h, doc_id) AS BIGINT) AS shard_rank
+         |FROM h WHERE h IS NOT NULL""".stripMargin,
     "q38_hash_sample" ->
       s"""SELECT doc_id, source, lang FROM documents
          |WHERE $hSql IN (${SampleDigits.map(d => s"'$d'").mkString(", ")})""".stripMargin,

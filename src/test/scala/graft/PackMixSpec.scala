@@ -250,4 +250,23 @@ class PackMixSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("q61 epoch shuffle: a permutation — every doc once, per-shard " +
+    "ranks contiguous from 1, and shards partition the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Sampling.q61EpochShuffle(spark, dir)
+    assert(out.count() == docs.filter(col("text").isNotNull).count())
+    assert(out.select("doc_id").distinct().count() == out.count())
+    assert(out.filter(col("shard") < 0 || col("shard") > 15).count() == 0)
+    // Ranks are 1..n_shard with no gaps: per shard, max == count.
+    val bad = out.groupBy("shard")
+      .agg(max("shard_rank").as("mx"), count(lit(1)).as("n"),
+        min("shard_rank").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(bad.count() == 0)
+    // Deterministic across physical plans.
+    val again = Sampling.q61EpochShuffle(spark, dir).collect().toSet
+    assert(out.collect().toSet == again)
+  }
 }
