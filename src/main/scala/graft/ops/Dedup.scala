@@ -760,6 +760,56 @@ object Dedup {
       .withColumn("hit", max(col("ev")).over(Window.partitionBy("gk")))
       .filter(col("ev") === 0 && col("hit") === 1))
 
+  /** Winnow window width: every run of [[WinnowW]] consecutive window
+    * hashes contributes (at least) its minimum to the fingerprint, so
+    * any verbatim match of length >= [[SubstrK]] + [[WinnowW]] - 1
+    * chars is guaranteed to share a selected fingerprint. Mirrored in
+    * the oracle.
+    */
+  private val WinnowW = 8
+
+  /** d14 — winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): from each document's
+    * positional [[SubstrK]]-char window hashes (d12's gram pass),
+    * select the minimum hash of every [[WinnowW]]-wide run, rightmost
+    * on ties, deduplicated. The selected ~2/(W+1) fraction is a
+    * position-robust fingerprint: two documents sharing any verbatim
+    * block of >= K+W-1 chars are GUARANTEED to share a selected
+    * (gk) value — the local-min rule picks the same hash inside the
+    * shared region on both sides — so fingerprint-key equality is a
+    * sound candidate filter for near-dup detection at ~22% of the
+    * full gram volume (d12 keeps every gram; d14 is the budget
+    * index for match FINDING rather than exact span RECOVERY).
+    *
+    * Shape at scale: one corpus scan, one doc_id exchange for the
+    * frame pass (W-row running min — linear), and the dedup exchange
+    * carries only selected rows. No global structure at all: unlike
+    * d12 there is no gk-wide window, so no hot-key partition anywhere
+    * — the op is embarrassingly parallel per document. Documents
+    * shorter than K+W-1 chars have no full winnow window and yield no
+    * fingerprints (the classic guarantee floor; callers needing
+    * every-doc coverage take min(gk) per short doc separately).
+    */
+  def d14Winnow(s: SparkSession, dir: String): DataFrame =
+    winnow(load(s, dir, "documents"))
+
+  private[graft] def winnow(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("off")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    windowGrams(docs)
+      // Rightmost-min per window: struct min orders by gk then -off,
+      // so ties on gk resolve to the LARGEST offset — the tie rule
+      // that makes runs of identical windows (e.g. char repeats)
+      // contribute one fingerprint per run, not one per position.
+      .withColumn("sel",
+        min(struct(col("gk").as("gk"), (-col("off")).as("noff"))).over(w))
+      .withColumn("nfull", count(lit(1)).over(w))
+      .filter(col("nfull") === WinnowW)
+      .select(col("doc_id"), (-col("sel.noff")).as("off"),
+        col("sel.gk").as("gk"))
+      .distinct()
+  }
+
   /** Excise `spans` from `docs`, `passThrough` columns carried beside
     * the scrubbed text (curation needs source/lang to survive).
     */
@@ -848,6 +898,7 @@ object Dedup {
     "d11_semantic_dedup" -> d11SemanticDedup,
     "d12_substr_spans" -> d12SubstrSpans,
     "d13_span_scrub" -> d13SpanScrub,
+    "d14_winnow" -> d14Winnow,
     // t-named (decontamination family, t10's siblings) but registered
     // here: they are d12/d13 with an eval tag, sharing every internal.
     "t13_contam_spans" -> t13ContamSpans,
@@ -1031,6 +1082,24 @@ object Dedup {
       s"""WITH $d12SpansSql
          |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin,
     "d13_span_scrub" -> s"WITH $d12SpansSql,\n${scrubSql("documents")}",
+    "d14_winnow" ->
+      // Independent formulation: the engine runs a running frame-min;
+      // the oracle EXPLODES each gram into the WinnowW window starts
+      // covering it, takes min per start with the rightmost-tie rule
+      // as max(off) over the per-start minimum key, and dedups.
+      s"""WITH $gramsCteSql,
+         |gx AS (SELECT doc_id, off, gk,
+         |    max(off) OVER (PARTITION BY doc_id) AS mx FROM grams),
+         |wins AS (SELECT doc_id, off, gk,
+         |    unnest(generate_series(greatest(1, off - ${WinnowW - 1}),
+         |      least(off, mx - ${WinnowW - 1}))) AS p
+         |  FROM gx),
+         |mins AS (SELECT doc_id, p, min(gk) AS mg FROM wins GROUP BY 1, 2),
+         |sel AS (SELECT w.doc_id, max(w.off) AS off, w.gk
+         |  FROM wins w JOIN mins m
+         |    ON m.doc_id = w.doc_id AND m.p = w.p AND w.gk = m.mg
+         |  GROUP BY w.doc_id, w.p, w.gk)
+         |SELECT DISTINCT doc_id, off, gk FROM sel""".stripMargin,
     "t13_contam_spans" ->
       s"""WITH $t13SpansSql
          |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin,
@@ -1064,13 +1133,19 @@ object Dedup {
        |    max(e) - min(off) + 1 AS span_len
        |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
 
-  /** d12's oracle CTE chain ending in `spans`. */
-  private def d12SpansSql: String =
+  /** The gram relation over `documents` — shared by d12 and d14 so the
+    * positional window-key formulation can't diverge.
+    */
+  private def gramsCteSql: String =
     s"""grams AS (
        |  SELECT doc_id, i AS off, $gkSql AS gk
        |  FROM documents,
        |    unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(i)
-       |  WHERE length(text) >= $SubstrK),
+       |  WHERE length(text) >= $SubstrK)""".stripMargin
+
+  /** d12's oracle CTE chain ending in `spans`. */
+  private def d12SpansSql: String =
+    s"""$gramsCteSql,
        |dup AS (SELECT gk FROM grams GROUP BY gk HAVING count(*) >= 2),
        |flagged AS (SELECT doc_id, off, off + ${SubstrK - 1} AS e
        |  FROM grams WHERE gk IN (SELECT gk FROM dup)),

@@ -161,4 +161,73 @@ class SubstrSpanSpec extends AnyFunSuite {
     // not passing vacuously.
     assert(out.filter(col("n_chars_removed") > 0).count() > 0)
   }
+
+  /** In-JVM reference winnow over the operator's exact formulation:
+    * 40-char window 60-bit md5-prefix keys, minimum of every 8-wide
+    * run, rightmost on ties, deduplicated.
+    */
+  private def refWinnow(docs: Seq[(Long, String)]): Set[(Long, Long, Long)] = {
+    def gk(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    docs.flatMap { case (id, text) =>
+      if (text.length < 40) Nil
+      else {
+        val grams = (1 to text.length - 39)
+          .map(i => (i.toLong, gk(text.substring(i - 1, i + 39))))
+        (0 to grams.size - 8).map { w =>
+          val win = grams.slice(w, w + 8)
+          val mg = win.map(_._2).min
+          (id, win.filter(_._2 == mg).map(_._1).max, mg)
+        }
+      }
+    }.toSet
+  }
+
+  private def winnowOf(docs: Seq[(Long, String)]): Set[(Long, Long, Long)] =
+    graft.ops.Dedup.winnow(docs.toDF("doc_id", "text"))
+      .collect().toSet[org.apache.spark.sql.Row]
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("d14 winnow ≡ in-JVM reference, including the rightmost-tie rule " +
+    "on a run of identical windows") {
+    // 'x'*60 yields 21 IDENTICAL 40-char windows — every winnow window
+    // inside the run ties on gk and must resolve to its last offset.
+    val docs = Seq(
+      1L -> (seg('a', 10) + "x" * 60 + seg('b', 10)),
+      2L -> seg('c', 30),
+      3L -> seg('d', 5))
+    assert(winnowOf(docs) == refWinnow(docs))
+  }
+
+  test("d14 guarantee: docs sharing a >= K+W-1 char verbatim block " +
+    "share a selected fingerprint key; sub-window docs yield nothing") {
+    val common = seg('z', 16) // 128 chars >> 40+8-1
+    val docs = Seq(
+      1L -> (seg('a', 6) + common + seg('b', 6)),
+      2L -> (seg('c', 11) + common),
+      4L -> seg('e', 5).take(46)) // 46 chars: 7 grams < W — no window
+    val out = winnowOf(docs)
+    val k1 = out.collect { case (1L, _, k) => k }
+    val k2 = out.collect { case (2L, _, k) => k }
+    assert(k1.toSet.intersect(k2.toSet).nonEmpty)
+    assert(!out.exists(_._1 == 4L))
+    assert(out == refWinnow(docs))
+  }
+
+  test("d14 over fixture data: selected density is the expected ~2/(W+1) " +
+    "compression, and every doc long enough to have a window appears") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val out = graft.ops.Dedup.d14Winnow(spark, dir)
+    val nGrams = docs.filter(length(col("text")) >= 40)
+      .agg(sum(length(col("text")) - lit(39))).collect()(0).getLong(0)
+    val nSel = out.count()
+    // 2/(W+1) = 0.222…; allow wide slack but pin the order of magnitude.
+    assert(nSel > nGrams / 10 && nSel < nGrams * 2 / 5)
+    val expectDocs = docs.filter(length(col("text")) >= 40 + 8 - 1).count()
+    assert(out.select("doc_id").distinct().count() == expectDocs)
+  }
 }
