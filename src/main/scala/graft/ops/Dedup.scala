@@ -203,6 +203,87 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
   }
 
+  /** d15's Jaccard threshold as an exact rational (3/10, d4's bar):
+    * the prefix length and the verify comparison are pure integer
+    * arithmetic — no float enters until the reported score.
+    */
+  private val PTauNum = 3
+  private val PTauDen = 10
+
+  /** d15 — prefix-filtered EXACT set-Jaccard self-join (the AllPairs /
+    * PPJoin family: Bayardo, Ma & Srikant, WWW 2007; Chaudhuri et al.,
+    * ICDE 2006): every document pair whose distinct-3-gram-shingle sets
+    * have Jaccard >= τ, with NO blocking key and NO approximation —
+    * the exact-match complement to d2's MinHash estimate and d4's
+    * source-blocked index. The prefix-filter lemma does the pruning:
+    * under one global shingle ordering (here ascending document
+    * frequency, rarest first, ties by key), J(A,B) >= τ implies the
+    * (n - ceil(τn) + 1)-prefixes of A and B share an element — so
+    * indexing ONLY prefixes loses no qualifying pair, and candidates
+    * are generated from the rarest shingles, exactly where posting
+    * lists are shortest.
+    *
+    * Shape at scale: the shingle pipeline is evaluated per consumer
+    * (df count, rank join, verify arrays — linear scans each) rather
+    * than persisted: at corpus scale the exploded key frame dwarfs
+    * memory, and scans are the cheap embarrassingly-parallel leg. The
+    * quadratic danger is candidate generation, bounded by the d4
+    * posting cap on PREFIX postings ([2, MaxPostings]); an over-cap
+    * prefix shingle contributes no candidates (recall caveat, m4's
+    * honesty rule: exact modulo the cap). Verification touches only
+    * candidate pairs' key arrays — |A∩B| as array_intersect, and the
+    * τ test as the integer cross-multiplication 13·|A∩B| >= 3·(n_a+n_b).
+    */
+  def d15PrefixJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Tables.spread(load(s, dir, "documents"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t")).as("sh_arr"))
+      // explode_outer for d4's InferFiltersFromGenerate reason; n is
+      // the DISTINCT shingle count (shingles() dedups) — set Jaccard.
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("n"),
+        explode_outer(col("sh_arr")).as("sh"))
+      .select(col("doc_id"), col("n"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shk"))
+    val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
+    // One doc_id exchange below the rank window serves both the prefix
+    // branch and the verify arrays (identical subtree → ReusedExchange;
+    // arrs prunes the window away but keeps the exchange).
+    val ranked = sh.join(dfreq, "shk")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shk"))))
+    // π(n) = n - ceil(τn) + 1, ceil in exact integer arithmetic.
+    val pref = ranked
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $PTauNum + ${PTauDen - 1}) div $PTauDen") + 1)
+      .select(col("doc_id"), col("n"), col("shk"))
+    val postings = pref.groupBy("shk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxPostings))
+    val cand = postings
+      .select(explode(flatten(transform(col("docs"), a =>
+        transform(filter(col("docs"), b => b.getField("doc_id") > a.getField("doc_id")),
+          b => struct(a.getField("doc_id").as("doc_a"), a.getField("n").as("n_a"),
+            b.getField("doc_id").as("doc_b"), b.getField("n").as("n_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.n_a").as("n_a"),
+        col("p.doc_b").as("doc_b"), col("p.n_b").as("n_b"))
+      .distinct()
+    val arrs = ranked.select(col("doc_id"), col("shk"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("shk"))).as("arr"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        // array_intersect dedups, so a 60-bit key collision inside one
+        // doc can't double-count; the oracle's count(DISTINCT) matches.
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("ni"),
+        col("n_a"), col("n_b"))
+      .filter(col("ni") * (PTauNum + PTauDen) >= (col("n_a") + col("n_b")) * PTauNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") /
+          (col("n_a") + col("n_b") - col("ni")).cast("double"), 6).as("jaccard"))
+  }
+
   /** d8 — embedding-cosine near-dup with sign-bit LSH blocking (the
     * production blocking path when no label exists): pairs only within a
     * hash bucket derived from the data itself. Same pair math as d5 —
@@ -899,6 +980,7 @@ object Dedup {
     "d12_substr_spans" -> d12SubstrSpans,
     "d13_span_scrub" -> d13SpanScrub,
     "d14_winnow" -> d14Winnow,
+    "d15_prefix_jaccard" -> d15PrefixJaccard,
     // t-named (decontamination family, t10's siblings) but registered
     // here: they are d12/d13 with an eval tag, sharing every internal.
     "t13_contam_spans" -> t13ContamSpans,
@@ -1026,6 +1108,38 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3""".stripMargin,
+    "d15_prefix_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, $shinglesSql AS sh_arr
+         |        FROM t WHERE len(toks) >= 3),
+         |shu AS (SELECT doc_id, len(sh_arr) AS n, unnest(sh_arr) AS sh
+         |        FROM sh0),
+         |shk AS (SELECT doc_id, n,
+         |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS shk
+         |       FROM shu),
+         |dfq AS (SELECT shk, count(*) AS df FROM shk GROUP BY 1),
+         |ranked AS (SELECT s.doc_id, s.n, s.shk,
+         |    row_number() OVER (PARTITION BY s.doc_id
+         |      ORDER BY d.df, s.shk) AS rk
+         |  FROM shk s JOIN dfq d USING (shk)),
+         |pref AS (SELECT doc_id, n, shk FROM ranked
+         |         WHERE rk <= n - ($PTauNum*n + ${PTauDen - 1})//$PTauDen + 1),
+         |pcap AS (SELECT shk FROM pref GROUP BY 1
+         |         HAVING count(*) BETWEEN 2 AND $MaxPostings),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.n AS n_a,
+         |    b.doc_id AS doc_b, b.n AS n_b
+         |  FROM pref a JOIN pref b ON a.shk = b.shk AND a.doc_id < b.doc_id
+         |  JOIN pcap c ON c.shk = a.shk),
+         |inter AS (SELECT doc_a, n_a, doc_b, n_b,
+         |    count(DISTINCT x.shk) AS ni
+         |  FROM cand JOIN shk x ON x.doc_id = doc_a
+         |  JOIN shk y ON y.doc_id = doc_b AND y.shk = x.shk
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(ni AS DOUBLE) / CAST(n_a + n_b - ni AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM inter
+         |WHERE ${PTauNum + PTauDen} * ni >= $PTauNum * (n_a + n_b)""".stripMargin,
     "d8b_neardup_multiband" ->
       s"""WITH ${Similarity.bandedCteSql},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,

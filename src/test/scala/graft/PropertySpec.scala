@@ -250,6 +250,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("d15PrefixJaccard ≡ brute-force all-pairs exact Jaccard on fixture " +
+    "data — the prefix filter loses no qualifying pair") {
+    val dir = "/root/testdata/sf0.001"
+    // Independent reference: RAW shingle strings (no md5 keys), every
+    // one of the ~125k doc pairs checked directly.
+    val sets = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .map { case (id, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        id -> (if (t.length < 3) Set.empty[String]
+               else t.sliding(3).map(_.mkString(" ")).toSet)
+      }
+      .filter(_._2.nonEmpty)
+    val expect = (for {
+      i <- sets.indices
+      j <- i + 1 until sets.length
+      sa = sets(i); sb = sets(j)
+      lo = if (sa._1 < sb._1) sa else sb
+      hi = if (sa._1 < sb._1) sb else sa
+      ni = lo._2.intersect(hi._2).size
+      if 13L * ni >= 3L * (lo._2.size + hi._2.size)
+    } yield ((lo._1, hi._1),
+      ni.toDouble / (lo._2.size + hi._2.size - ni))).toMap
+    val got = graft.ops.Dedup.d15PrefixJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    assert(expect.nonEmpty) // the gate is not vacuous on fixtures
+    // The engine emits round(j, 6); the reference is unrounded.
+    expect.foreach { case (k, v) => assert(math.abs(got(k) - v) <= 5e-7) }
+  }
+
   test("ingest partitions the stream: validated + rejected == input") {
     val goodFac = Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.chooseNum(-10.0, 10.0))
       .map { case (id, p) =>
