@@ -419,6 +419,66 @@ object TextAnalysis {
         col("lm_score"))
   }
 
+  private val ImpTargetLang = "en"
+
+  /** t16 — hashed-feature importance weights, the DSIR shape (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169): score each document by how much
+    * its token distribution looks like a TARGET domain (here the
+    * lang='en' slice, t10's eval-slice convention) relative to the raw
+    * corpus. Tokens hash into 256 buckets (two md5 hex chars — DSIR's hashed
+    * n-gram features — vocabulary-free, so the op scales to any
+    * corpus); each token contributes its bucket's target share
+    * cnt_target(b)/cnt_raw(b); the document weight is the
+    * position-ordered mean (t15's fold).
+    *
+    * Two documented deviations from the paper, both for cross-engine
+    * determinism: (1) the weight omits the constant N_raw/N_target
+    * factor of the likelihood ratio — importance RESAMPLING is
+    * invariant to a constant factor (q60's normalization-skipped
+    * precedent), and keeping it would add two global scalars for zero
+    * ranking information; (2) the mean is over raw shares, not
+    * log-ratios — each share is ONE exactly-rounded IEEE division of
+    * two exact integers, bit-equal in any engine, where ln is
+    * libm-1-ulp territory (t15's reasoning, verbatim).
+    *
+    * Shape at scale: one scan; the two window counts share one bucket
+    * exchange (same partition key → one Window operator); the fold
+    * rides a doc_id aggregation. No global aggregate, no join against
+    * a model table — the "model" IS the window count, computed in
+    * place. A hot bucket serializes its window partition like t15's
+    * hot w1 — linear cost either way.
+    */
+  def t16Importance(s: SparkSession, dir: String): DataFrame =
+    importanceWeights(load(s, dir, "documents"))
+
+  /** Frame-based core over any `(doc_id, lang, text)` corpus. */
+  def importanceWeights(docs: DataFrame): DataFrame = {
+    val tk = graft.Tables.spread(docs)
+      .select(col("doc_id"),
+        (col("lang") <=> lit(ImpTargetLang)).cast("int").as("tgt"),
+        toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tgt"), posexplode(col("tk")))
+      .select(col("doc_id"), col("tgt"), (col("pos") + 1).as("pos"),
+        conv(substring(md5(col("col")), 1, 2), 16, 10).cast("long").as("b"))
+    val r = tk
+      .withColumn("cnt_t", sum(col("tgt")).over(Window.partitionBy("b")))
+      .withColumn("cnt_r", count(lit(1)).over(Window.partitionBy("b")))
+      .select(col("doc_id"), col("pos"),
+        (col("cnt_t").cast("double") / col("cnt_r").cast("double")).as("r"))
+    val scored = r.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("r")))).as("rs"))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(col("rs"), lit(0.0), (a, x) => a + x.getField("r")) /
+          col("n_tokens").cast("double")).as("imp_weight"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("imp_weight"))
+  }
+
   /** Adjacent-token n-grams ("wᵢ … wᵢ₊ₙ₋₁") in document order — the ONE
     * formulation shared by t5/t9 (bigrams) and t10 (5-gram shingles),
     * mirrored once in [[ngramsSql]]: separator or empty/null behavior
@@ -553,7 +613,8 @@ object TextAnalysis {
     "t8_chunk" -> t8Chunk,
     "t11_pack" -> t11Pack,
     "t12_bm25" -> t12Bm25,
-    "t15_lm_score" -> t15LmScore)
+    "t15_lm_score" -> t15LmScore,
+    "t16_importance" -> t16Importance)
 
   private[ops] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -666,6 +727,25 @@ object TextAnalysis {
     "t10_contamination" ->
       contaminationSql("documents", EvalSource, MaxContamPostings),
     "t15_lm_score" -> s"WITH ${lmSql("documents")}",
+    "t16_importance" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN lang IS NOT DISTINCT FROM '$ImpTargetLang'
+         |      THEN 1 ELSE 0 END AS tgt,
+         |    $toksSql AS toks FROM documents),
+         |itk AS (SELECT doc_id, tgt, i AS pos,
+         |    CAST(('0x' || substr(md5(toks[i]), 1, 2)) AS BIGINT) AS b
+         |  FROM t, unnest(generate_series(1, len(toks))) u(i)),
+         |ir AS (SELECT doc_id, pos,
+         |    CAST(CAST(sum(tgt) OVER (PARTITION BY b) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) OVER (PARTITION BY b) AS DOUBLE) AS r
+         |  FROM itk),
+         |isc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    list_sum(list(r ORDER BY pos)) / CAST(count(*) AS DOUBLE)
+         |      AS imp_weight
+         |  FROM ir GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(isc.n_tokens, 0) AS n_tokens,
+         |  isc.imp_weight
+         |FROM documents d LEFT JOIN isc ON isc.doc_id = d.doc_id""".stripMargin,
     "t9_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id,

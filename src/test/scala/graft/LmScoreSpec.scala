@@ -75,4 +75,91 @@ class LmScoreSpec extends AnyFunSuite {
       (col("lm_score") <= 0.0 || col("lm_score") > 1.0)).count() == 0)
     assert(out.filter(col("lm_score").isNotNull).count() > 0)
   }
+
+  // ---- t16 importance weights (DSIR) — the sibling fold over hashed
+  // bucket shares instead of bigram quotients.
+
+  /** In-JVM reference of t16's exact arithmetic: md5-hex bucket,
+    * global integer bucket counts, position-ordered share fold.
+    */
+  private def refImportance(rows: Seq[(Long, String, String)])
+      : Map[Long, (Long, Option[Double])] = {
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Integer.parseInt(
+        md.digest(tok.getBytes("UTF-8")).take(1).map("%02x".format(_))
+          .mkString, 16)
+    }
+    val tk = rows.flatMap { case (id, lang, text) =>
+      Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+        .map(t => (id, lang == "en", bucket(t)))
+    }
+    val cntR = tk.groupBy(_._3).map { case (b, xs) => b -> xs.size }
+    val cntT = tk.groupBy(_._3).map { case (b, xs) => b -> xs.count(_._2) }
+    rows.map { case (id, _, text) =>
+      val bs = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+        .map(bucket)
+      id -> (if (bs.isEmpty) (0L, None)
+             else (bs.length.toLong, Some(
+               bs.foldLeft(0.0)((a, b) =>
+                 a + cntT(b).toDouble / cntR(b).toDouble) / bs.length)))
+    }.toMap
+  }
+
+  private def imp(rows: Seq[(Long, String, String)])
+      : Map[Long, (Long, Option[Double])] =
+    TextAnalysis.importanceWeights(rows.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+
+  test("t16 ≡ in-JVM reference on a mixed corpus incl. degenerate docs " +
+    "(empty / null text, null lang as non-target)") {
+    val rows = Seq(
+      (1L, "en", "alpha beta alpha gamma"),
+      (2L, "de", "gamma delta delta"),
+      (3L, "en", "delta alpha"),
+      (4L, "es", ""),
+      (5L, null.asInstanceOf[String], "alpha alpha"),
+      (6L, "en", null.asInstanceOf[String]))
+    assert(imp(rows) == refImportance(rows))
+  }
+
+  test("t16: an all-target corpus weighs exactly 1.0 everywhere — every " +
+    "bucket share is the exact integer quotient n/n") {
+    val rows = Seq(
+      (1L, "en", "a b c d e"),
+      (2L, "en", "c d e f"),
+      (3L, "en", "zz"))
+    val out = imp(rows)
+    assert(out.values.forall { case (n, w) => n > 0 && w.contains(1.0) })
+  }
+
+  test("t16 discriminates: target-vocabulary docs outweigh off-target " +
+    "docs sharing no tokens (modulo bucket collisions, checked)") {
+    val rows = Seq(
+      (1L, "en", "red blue red blue"),
+      (2L, "en", "red blue green"),
+      (3L, "fr", "rouge bleu vert"),
+      (4L, "fr", "rouge rouge bleu"))
+    val ref = refImportance(rows)
+    // The fixture premise: the two vocabularies land in disjoint
+    // buckets (verified here, not assumed), so en buckets are pure.
+    assert(ref(1L)._2.contains(1.0) && ref(3L)._2.contains(0.0))
+    val out = imp(rows)
+    assert(out == ref)
+    assert(out(2L)._2.get > out(4L)._2.get)
+  }
+
+  test("t16 deterministic under repartitioning") {
+    val rows = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de",
+        Seq.tabulate(20)(j => s"tok${(i * 5 + j * 11) % 17}").mkString(" ")))
+    val a = TextAnalysis.importanceWeights(
+      rows.toDF("doc_id", "lang", "text")).collect().map(_.toSeq).toSet
+    val b = TextAnalysis.importanceWeights(
+      rows.toDF("doc_id", "lang", "text").repartition(7))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 30)
+  }
 }
