@@ -48,9 +48,10 @@ object Bench {
       "t10_contamination", "d11_semantic_dedup", "q54_scd2",
       "q55_weighted_pick", "q56_retention", "q57_hop_window",
       "t11_pack", "q58_mixture_sample", "q59_token_budget",
-      "q60_temperature_mix", "t12_bm25", "d12_substr_spans")
-      // d13/t14/c4/t15 are deliberately absent: their outputs are left
-      // joins with unique right keys, which Spark 4 eliminates
+      "q60_temperature_mix", "t12_bm25", "d12_substr_spans",
+      "d14_winnow", "d15_prefix_jaccard")
+      // d13/t14/c4/t15/t16 are deliberately absent: their outputs are
+      // left joins with unique right keys, which Spark 4 eliminates
       // wholesale under Bench's count() — the "measurement" would be
       // a bare documents scan (verified on the optimized plan). t13 is
       // d12 plus an eval tag on the identical pipeline. d12 carries
