@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ops.Scd.queries ++
       graft.ops.Sampling.queries ++
       graft.ops.RangeJoin.queries ++
-      graft.ops.Curation.queries
+      graft.ops.Curation.queries ++
+      graft.ops.Hybrid.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.ops.Scd.oracle ++
       graft.ops.Sampling.oracle ++
       graft.ops.RangeJoin.oracle ++
-      graft.ops.Curation.oracle
+      graft.ops.Curation.oracle ++
+      graft.ops.Hybrid.oracle
 }

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+
+/** Hybrid retrieval — reciprocal-rank fusion (RRF, Cormack et al. 2009)
+  * of a lexical BM25 leg and an embedding-cosine leg. The standard
+  * first-stage retriever of a RAG stack: lexical matching catches exact
+  * terminology the embedding model never saw; the vector leg catches
+  * paraphrases with zero token overlap; RRF fuses the two rank lists
+  * without having to calibrate their incomparable score scales.
+  *
+  * Shape at scale: the two legs ARE the engine's plan-pinned retrieval
+  * kernels — [[TextAnalysis.bm25]] (one corpus tokenize pass, rarest-M
+  * query-term budget, broadcast query side) and s1's broadcast
+  * brute-force cosine (norms hoisted out of the pair loop, native dot
+  * kernel) — so the fusion adds NO new heavy machinery: each leg emits
+  * at most `legK` rows per query, and the full-outer fusion join plus
+  * the final top-k window touch only those bounded candidate lists
+  * (≤ 2·legK rows per query, thousands of queries by contract — an
+  * eval/benchmark suite, not a second corpus).
+  *
+  * Vector coverage is allowed to be PARTIAL: corpus docs without an
+  * embedding row can still surface via the lexical leg, and queries
+  * without one retrieve lexically only (real corpora embed lazily;
+  * the sf0.1 fixtures embed just 2000 of 5000 docs). Missing-leg
+  * candidates simply lack that leg's RRF term.
+  *
+  * Float discipline (NOTES invariants): each RRF term is 1.0/(c+rank)
+  * — ONE exactly-rounded division of an integer-valued denominator —
+  * and the fused score adds the lexical term then the vector term in
+  * that fixed two-term order on both engines, so the result is
+  * bit-identical cross-engine and needs NO rounding. Ranks come from
+  * the already-gated leg formulations (BM25: round-6 score then doc_id
+  * tie-break; cosine: round-6 similarity then doc_id tie-break), and
+  * the fused rank tie-breaks on doc_id.
+  */
+object Hybrid {
+
+  /** Standard RRF damping constant (Cormack et al. 2009). */
+  private val RrfC = 60
+  /** Per-leg candidate depth feeding the fusion. */
+  private val LegK = 10
+  /** Fused results kept per query. */
+  private val TopK = 5
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-double squared norm — s1's recurrence, hoisted per row. */
+  private def sqNorm(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  /** Frame-based core: fuse BM25 over `(doc_id, text)` of
+    * `corpus`/`queries` with cosine over `emb` `(vec_id, embedding)`,
+    * joined on doc_id = vec_id. Returns (query_id, doc_id, rank, rrf).
+    */
+  def hybridRrf(corpus: DataFrame, queries: DataFrame, emb: DataFrame,
+      legK: Int = LegK, k: Int = TopK): DataFrame = {
+    val lex = TextAnalysis.bm25(corpus, queries, legK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+
+    // Vector leg: s1's broadcast brute-force shape over the embedded
+    // subset of each side. Norms computed once in the scan; the
+    // per-pair kernel is only the native dot product.
+    val e = emb
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("n2", sqNorm(col("v")))
+    val cvec = corpus.select(col("doc_id"))
+      .join(e, col("doc_id") === col("vec_id")).drop("vec_id")
+    val qvec = queries.select(col("doc_id").as("query_id"))
+      .join(e, col("query_id") === col("vec_id"))
+      .select(col("query_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val vw = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    val vec = cvec.crossJoin(broadcast(qvec))
+      .select(col("query_id"), col("doc_id"),
+        round(graft.functions.Functions.dot_product(col("qv"), col("v")) /
+          sqrt(col("qn2") * col("n2")), 6).as("cos_sim"))
+      .withColumn("vec_rank", row_number().over(vw))
+      .filter(col("vec_rank") <= legK)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+
+    // RRF fusion over the union of the two bounded candidate lists.
+    // Fixed two-term order (lex + vec); a missing leg contributes 0.0
+    // (x + 0.0 == x exactly for the always-positive present term).
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("vec_rank")), lit(0.0))).as("rrf"))
+      .withColumn("rank", row_number().over(fw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("rrf"))
+  }
+
+  /** t17 — hybrid retrieval on the fixtures: eval-set docs (src0,
+    * t10/t12's convention) as queries against the rest of the corpus,
+    * embeddings joined on doc_id = vec_id.
+    */
+  def t17HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    hybridRrf(
+      docs.filter(!(col("source") <=> lit(TextAnalysis.EvalSource))),
+      docs.filter(col("source") <=> lit(TextAnalysis.EvalSource)),
+      load(s, dir, "embeddings"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_hybrid_rrf" -> t17HybridRrf)
+
+  val oracle: Map[String, String] = Map(
+    // Lexical leg = the SHARED bm25Ctes builder (t12's gate text);
+    // vector leg = s1's oracle formulation (list_cosine_similarity
+    // over DOUBLE[], round-6, doc_id tie-break). The RRF terms are
+    // integer-denominator divisions summed lex-then-vec — bit-equal
+    // cross-engine, so `rrf` carries no rounding.
+    "t17_hybrid_rrf" ->
+      s"""WITH ${TextAnalysis.bm25Ctes(
+             s"SELECT doc_id, text FROM documents WHERE source IS DISTINCT FROM '${TextAnalysis.EvalSource}'",
+             s"SELECT doc_id, text FROM documents WHERE source IS NOT DISTINCT FROM '${TextAnalysis.EvalSource}'")},
+         |hlex AS (SELECT query_id, doc_id, rank AS lex_rank
+         |  FROM bmranked WHERE rank <= $LegK),
+         |hemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |hcv AS (SELECT d.doc_id, e.v
+         |  FROM documents d JOIN hemb e ON e.vec_id = d.doc_id
+         |  WHERE d.source IS DISTINCT FROM '${TextAnalysis.EvalSource}'),
+         |hqv AS (SELECT d.doc_id AS query_id, e.v
+         |  FROM documents d JOIN hemb e ON e.vec_id = d.doc_id
+         |  WHERE d.source IS NOT DISTINCT FROM '${TextAnalysis.EvalSource}'),
+         |hvs AS (SELECT q.query_id, c.doc_id,
+         |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+         |  FROM hqv q CROSS JOIN hcv c),
+         |hvr AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, doc_id ASC) AS vec_rank
+         |  FROM hvs),
+         |hvec AS (SELECT query_id, doc_id, vec_rank FROM hvr
+         |  WHERE vec_rank <= $LegK),
+         |hf AS (SELECT query_id, doc_id,
+         |    coalesce(CAST(1.0 AS DOUBLE) / ($RrfC + l.lex_rank), CAST(0.0 AS DOUBLE)) +
+         |    coalesce(CAST(1.0 AS DOUBLE) / ($RrfC + v.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM hlex l FULL JOIN hvec v USING (query_id, doc_id)),
+         |hr AS (SELECT query_id, doc_id, rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS rank
+         |  FROM hf)
+         |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf
+         |FROM hr WHERE rank <= $TopK""".stripMargin)
+}

@@ -518,7 +518,7 @@ object TextAnalysis {
           .as("n_distinct_bigrams"))
   }
 
-  private val EvalSource = "src0"
+  private[ops] val EvalSource = "src0"
   private val MaxContamPostings = 1000
 
   /** t10 — benchmark decontamination: flag training documents sharing
@@ -639,6 +639,51 @@ object TextAnalysis {
        |      FROM lmp GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(lms.n_bigrams, 0) AS n_bigrams, lms.lm_score
        |FROM $rel d LEFT JOIN lms ON lms.doc_id = d.doc_id""".stripMargin
+  /** t12's oracle CTE chain over `(doc_id, text)` relations `corpusSel`
+    * / `querySel` (full SELECT statements), ending in `bmranked`
+    * (query_id, doc_id, score, rank) — UNFILTERED by k, so composers
+    * pick their own candidate depth. All CTE names are `bm`-prefixed
+    * for collision-free composition (shared with the t17 hybrid-RRF
+    * oracle, so the lexical legs of the two gates cannot diverge).
+    */
+  private[ops] def bm25Ctes(corpusSel: String, querySel: String): String =
+    s"""bmcorpus AS ($corpusSel),
+       |bmqdocs AS ($querySel),
+       |bmtf AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM bmcorpus) t
+       |  GROUP BY 1, 2),
+       |bmdfreq AS (SELECT term, count(*) AS df FROM bmtf GROUP BY 1),
+       |bmdlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
+       |  FROM bmtf GROUP BY 1),
+       |bmstats AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(dlen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM bmdlen),
+       |bmqterms AS (SELECT doc_id AS query_id, unnest(list_distinct($toksSql)) AS term
+       |  FROM bmqdocs),
+       |bmqsel AS (SELECT query_id, term, df,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY df ASC, term ASC) AS qrank
+       |  FROM bmqterms JOIN bmdfreq USING (term)),
+       |bmqkept AS (SELECT query_id, term, df FROM bmqsel
+       |  WHERE qrank <= $Bm25QueryTerms),
+       |bmscored AS (SELECT q.query_id, t.doc_id, q.term,
+       |    ln(CAST(1.0 AS DOUBLE) +
+       |        (s.n_docs - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
+       |      (t.tf * CAST(2.2 AS DOUBLE)) /
+       |      (t.tf + CAST(1.2 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dlen / s.avgdl)) AS sc
+       |  FROM bmqkept q
+       |  JOIN bmtf t USING (term)
+       |  JOIN bmdlen l ON l.doc_id = t.doc_id
+       |  CROSS JOIN bmstats s),
+       |bmagg AS (SELECT query_id, doc_id,
+       |    round(list_sum(list(sc ORDER BY term)), 6) AS score
+       |  FROM bmscored GROUP BY 1, 2),
+       |bmranked AS (SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM bmagg)""".stripMargin
+
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   private def bigramsSql(arr: String): String = ngramsSql(arr, 2)
@@ -832,46 +877,11 @@ object TextAnalysis {
     // same left-to-right fold as the engine's sorted sequential
     // `aggregate`; HUGEINT sums cast back before use.
     "t12_bm25" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-         |    WHERE source IS DISTINCT FROM '$EvalSource'),
-         |qdocs AS (SELECT doc_id, text FROM documents
-         |    WHERE source IS NOT DISTINCT FROM '$EvalSource'),
-         |tf AS (SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM corpus) t
-         |  GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen
-         |  FROM tf GROUP BY 1),
-         |stats AS (SELECT count(*) AS n_docs,
-         |    CAST(sum(dlen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-         |  FROM dlen),
-         |qterms AS (SELECT doc_id AS query_id, unnest(list_distinct($toksSql)) AS term
-         |  FROM qdocs),
-         |qsel AS (SELECT query_id, term, df,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY df ASC, term ASC) AS qrank
-         |  FROM qterms JOIN dfreq USING (term)),
-         |qkept AS (SELECT query_id, term, df FROM qsel
-         |  WHERE qrank <= $Bm25QueryTerms),
-         |scored AS (SELECT q.query_id, t.doc_id, q.term,
-         |    ln(CAST(1.0 AS DOUBLE) +
-         |        (s.n_docs - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
-         |      (t.tf * CAST(2.2 AS DOUBLE)) /
-         |      (t.tf + CAST(1.2 AS DOUBLE) *
-         |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dlen / s.avgdl)) AS sc
-         |  FROM qkept q
-         |  JOIN tf t USING (term)
-         |  JOIN dlen l ON l.doc_id = t.doc_id
-         |  CROSS JOIN stats s),
-         |agg AS (SELECT query_id, doc_id,
-         |    round(list_sum(list(sc ORDER BY term)), 6) AS score
-         |  FROM scored GROUP BY 1, 2),
-         |ranked AS (SELECT query_id, doc_id, score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, doc_id ASC) AS rank
-         |  FROM agg)
+      s"""WITH ${bm25Ctes(
+             s"SELECT doc_id, text FROM documents WHERE source IS DISTINCT FROM '$EvalSource'",
+             s"SELECT doc_id, text FROM documents WHERE source IS NOT DISTINCT FROM '$EvalSource'")}
          |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
-         |FROM ranked WHERE rank <= $Bm25TopK""".stripMargin,
+         |FROM bmranked WHERE rank <= $Bm25TopK""".stripMargin,
     "t5_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (SELECT doc_id,
