@@ -14,12 +14,39 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-      // as a timestamp; read it as epoch-nanos long (exact — also makes
-      // ordering comparisons identical to engines that keep nanos).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations; Spark 4 refuses to read that as a timestamp, so opt
+      // into reading it as epoch-nanos long (exact). Harmless when the
+      // file is micros.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // Downstream queries do integer arithmetic on ts (bucketing, range
+      // joins, session gaps) and assume epoch NANOS as LongType. Testdata
+      // generations vary the physical type (TIMESTAMP(NANOS) vs
+      // timestamp[us]); normalize whatever we get to the long-nanos
+      // contract here, once, so 9+ queries don't each re-adapt.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType => df // nanos-as-long path: already epoch nanos
+        case TimestampType =>
+          // instant-based: unix_micros is timezone-independent here
+          df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+        case TimestampNTZType =>
+          // NTZ carries wall-clock fields only; interpret them as UTC via
+          // field extraction — deterministic regardless of
+          // spark.sql.session.timeZone (a cast to TimestampType is not).
+          val micros =
+            expr("unix_date(cast(ts as date))").cast("long") * lit(86400000000L) +
+            expr("date_part('HOUR', ts)").cast("long") * lit(3600000000L) +
+            expr("date_part('MINUTE', ts)").cast("long") * lit(60000000L) +
+            expr("cast(date_part('SECOND', ts) * 1000000 as long)")
+          df.withColumn("ts", micros * lit(1000L))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported parquet logical type $other")
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Spread a scan across the cluster when the file layout
