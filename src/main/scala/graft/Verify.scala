@@ -24,30 +24,66 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        dumpOne(spark, sfDir, outDir, name, fn).foreach(failures(name) = _)
       }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // Failure manifest — written even when empty so its presence proves
+    // the mechanism ran. Round-5 lesson: a throwing query that only logs
+    // to stderr VANISHES from the correctness report (9 regressions
+    // shipped without a red row); the empty output dir left by dumpOne
+    // makes the driver's compare print a loud "no parquet output" FAIL.
+    val fjson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), fjson)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
+
+  /** Run one query and write `outDir/name` parquet. On ANY throw, scrub
+    * partial output and leave the name's directory EMPTY — the driver's
+    * compare treats an output-less query dir as an explicit FAIL row,
+    * so a broken query can't silently disappear from the gate. Returns
+    * the error message (None = success) for the `_failures.json`
+    * manifest.
+    */
+  def dumpOne(spark: SparkSession, sfDir: String, outDir: String,
+              name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] = {
+    val dest = new java.io.File(s"$outDir/$name")
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(dest.getPath)
+      None
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+      System.err.println(s"[verify] $name failed: $msg")
+      deleteRecursively(dest) // partial/_temporary write debris
+      dest.mkdirs()           // empty dir => loud "no parquet output" FAIL
+      Some(msg)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL (or an exception message)
+    * would otherwise make the driver's json.load fail and silently zero
+    * the round's correctness.
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }
