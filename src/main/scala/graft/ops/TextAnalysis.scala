@@ -256,6 +256,18 @@ object TextAnalysis {
 
   private val Bm25TopK = 5
   private val Bm25QueryTerms = 16
+  /** Per-term posting budget (static index pruning, Carmel et al. 2001):
+    * even inside the rarest-M query-term budget, ONE stopword-shaped
+    * term (posting list ~ the whole corpus) makes `scored` blow up as
+    * |queries sharing it| x |corpus|. Keep only the top
+    * [[Bm25MaxPostings]] docs per term, ranked by the INTEGER impact
+    * proxy (tf DESC, dlen ASC, doc_id ASC) — within a term, idf is
+    * constant and the BM25 term score rises with tf and falls with
+    * dlen, so the proxy tracks true impact order while staying
+    * bit-deterministic across engines (no float ordering). Mirrored in
+    * [[bm25Ctes]]; d4's MaxPostings is the same idea on shingles.
+    */
+  private val Bm25MaxPostings = 1000
 
   /** t12 — BM25 retrieval: score the corpus against the eval-set
     * documents as queries (src0, t10's convention) and keep the top-k
@@ -337,7 +349,24 @@ object TextAnalysis {
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl")))
-    val scored = tf.join(broadcast(qdf), "term")
+    // Posting truncation happens BEFORE the query join so the
+    // |queries| x |posting| multiplication only ever sees capped
+    // postings. (Two rejected shapes, both measured: a post-join
+    // rank-limit window sorts the full blowup before pruning — 4x
+    // slower than no cap at all; a semi-join built from the BUDGETED
+    // terms drags dfreq in and re-tokenizes the corpus — a third
+    // corpus pass, plan-pinned away.) The build side here is the raw
+    // eval-side term set — small by the same contract that lets qdf
+    // broadcast, corpus-independent, and a SUPERSET of the budgeted
+    // terms, which is harmless: per-term ranking doesn't depend on the
+    // query, so capped postings for budgeted terms are identical.
+    val psel = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("dlen").asc, col("doc_id").asc)
+    val posted = tf
+      .join(broadcast(qterms.select("term").distinct()), "term", "left_semi")
+      .withColumn("prank", row_number().over(psel))
+      .filter(col("prank") <= Bm25MaxPostings).drop("prank")
+    val scored = posted.join(broadcast(qdf), "term")
       .select(col("query_id"), col("doc_id"), col("term"), sc.as("sc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -666,16 +695,22 @@ object TextAnalysis {
        |  FROM bmqterms JOIN bmdfreq USING (term)),
        |bmqkept AS (SELECT query_id, term, df FROM bmqsel
        |  WHERE qrank <= $Bm25QueryTerms),
+       |bmposted AS (SELECT t.term, t.doc_id, t.tf, l.dlen,
+       |    row_number() OVER (PARTITION BY t.term
+       |      ORDER BY t.tf DESC, l.dlen ASC, t.doc_id ASC) AS prank
+       |  FROM bmtf t
+       |  JOIN (SELECT DISTINCT term FROM bmqkept) bt USING (term)
+       |  JOIN bmdlen l ON l.doc_id = t.doc_id),
        |bmscored AS (SELECT q.query_id, t.doc_id, q.term,
        |    ln(CAST(1.0 AS DOUBLE) +
        |        (s.n_docs - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
        |      (t.tf * CAST(2.2 AS DOUBLE)) /
        |      (t.tf + CAST(1.2 AS DOUBLE) *
-       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dlen / s.avgdl)) AS sc
+       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * t.dlen / s.avgdl)) AS sc
        |  FROM bmqkept q
-       |  JOIN bmtf t USING (term)
-       |  JOIN bmdlen l ON l.doc_id = t.doc_id
-       |  CROSS JOIN bmstats s),
+       |  JOIN bmposted t USING (term)
+       |  CROSS JOIN bmstats s
+       |  WHERE t.prank <= $Bm25MaxPostings),
        |bmagg AS (SELECT query_id, doc_id,
        |    round(list_sum(list(sc ORDER BY term)), 6) AS score
        |  FROM bmscored GROUP BY 1, 2),
