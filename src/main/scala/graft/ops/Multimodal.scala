@@ -317,10 +317,42 @@ object Multimodal {
       .distinct()
   }
 
+  /** m4's oracled entry. [[imageHashes]] only emits for decodable
+    * images and the testdata carries none, so the GATE derives the
+    * 64-bit perceptual hash the way m1 derives metadata: a
+    * deterministic 56-bit value from the payload md5 (7 hex bytes —
+    * positive in a signed long, so `>>` ≡ logical shift in both
+    * engines), which DuckDB reproduces with hex math. Every 10th doc
+    * additionally plants a hamming-1 twin (doc_id + 1e6, one md5-chosen
+    * bit flipped), so the banded self-join + hamming filter is
+    * exercised with NON-empty output — an all-random hash set would
+    * pass vacuously on zero pairs. Real images flow through
+    * [[imageHashes]] into the same [[m4ImageNearDup]] operator
+    * (MultimodalSpec pins that branch, including the pigeonhole recall
+    * bound).
+    */
+  def m4ImageNearDupStub(s: SparkSession, dir: String): DataFrame = {
+    val phash = (0 until 7).map { i =>
+      shiftleft(conv(substring(col("h"), 2 * i + 1, 2), 16, 10).cast("long"),
+        8 * i)
+    }.reduce(_ + _)
+    val hashes = load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), phash.as("phash"))
+    val twins = hashes.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        // SQL-form shiftleft: the Scala API pins the shift amount to a
+        // literal Int, the SQL form takes a per-row expression.
+        expr("phash ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 56 AS INT))")
+          .as("phash"))
+    m4ImageNearDup(hashes.union(twins))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m2_frame_sample" -> m2FrameSample,
-    "m3_thumbnail" -> m3Thumbnail)
+    "m3_thumbnail" -> m3Thumbnail,
+    "m4_image_neardup" -> m4ImageNearDupStub)
 
   // Hex-pair → byte value, mirroring MessageDigest output hex-by-hex.
   private def hexByteSql(i: Int): String = {
@@ -365,5 +397,27 @@ object Multimodal {
          |       ELSE (width * 256) // long_side END AS thumb_w,
          |  CASE WHEN long_side <= 256 THEN height
          |       ELSE (height * 256) // long_side END AS thumb_h
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin,
+    "m4_image_neardup" -> {
+      val phashSql = (0 until 7)
+        .map(i => s"(CAST(${hexByteSql(i)} AS BIGINT) << ${8 * i})")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |base AS (SELECT doc_id, $phashSql AS phash FROM h),
+         |twins AS (SELECT doc_id + 1000000 AS doc_id,
+         |    xor(phash, CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INTEGER)) AS phash
+         |  FROM base WHERE doc_id % 10 = 0),
+         |hashes AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+         |banded AS (SELECT doc_id, phash, band,
+         |    (phash >> (band * 16)) & 65535 AS band_val,
+         |    count(*) OVER (PARTITION BY band, (phash >> (band * 16)) & 65535) AS _n
+         |  FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+         |kept AS (SELECT * FROM banded WHERE _n <= 1000)
+         |SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, bb.phash)) AS BIGINT) AS hamming
+         |FROM kept a
+         |JOIN kept bb ON a.band = bb.band AND a.band_val = bb.band_val
+         |  AND a.doc_id < bb.doc_id
+         |WHERE bit_count(xor(a.phash, bb.phash)) <= 3""".stripMargin
+    })
 }
