@@ -152,12 +152,18 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("q35: GK percentile sketch stays within 1% of exact percentiles") {
     import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q35_approx_percentile")(spark, dir)
-    val exact = Tables.load(spark, dir, "lineitem")
+    // sf0.01 — the gate's own SF: these two queries are `no_oracle`
+    // there (sketches aren't cross-engine reproducible), so this bound
+    // IS their correctness check, at the same data the driver runs.
+    val sfDir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q35_approx_percentile")(spark, sfDir)
+    val exact = Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5)").as("e50"),
         expr("percentile(l_extendedprice, 0.95)").as("e95"))
-    approx.join(exact, "l_returnflag").collect().foreach { r =>
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
       assert(math.abs(r.getAs[Double]("ap50") - r.getAs[Double]("e50"))
         / r.getAs[Double]("e50") <= 0.01)
       assert(math.abs(r.getAs[Double]("ap95") - r.getAs[Double]("e95"))
@@ -167,8 +173,9 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("q30: HLL estimates stay within 2% of exact distinct counts") {
     import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q30_approx_distinct")(spark, dir)
-    val exact = Tables.load(spark, dir, "lineitem")
+    val sfDir = "/root/testdata/sf0.01" // gate SF — see q35's note
+    val approx = SparkEntry.queries("q30_approx_distinct")(spark, sfDir)
+    val exact = Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
