@@ -296,10 +296,12 @@ object TextAnalysis {
     * the SAME literals in engine and oracle ((k1+1) precomputed — the
     * double 1.2+1.0 != literal 2.2); idf's `ln` is libm-1-ulp territory
     * like t6's, absorbed by round-6; the per-(query, doc) term-score
-    * sum folds in TERM ORDER on both sides (sort_array + sequential
-    * `aggregate` fold ≡ DuckDB list_sum over `list(... ORDER BY term)`)
-    * — a partial-agg float `sum()` would not be order-reproducible.
-    * Ranking is over the ROUNDED score with doc_id tie-break.
+    * sum folds in QRANK order on both sides via M pinned max()-slots
+    * added left-to-right (q43's association-order rule) — a partial-agg
+    * float `sum()` would not be order-reproducible, and the previous
+    * collect_list + sort_array fold paid an ObjectHashAggregate + sort
+    * for the same guarantee. Ranking is over the ROUNDED score with
+    * doc_id tie-break.
     */
   def t12Bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
@@ -343,7 +345,7 @@ object TextAnalysis {
       .orderBy(col("df").asc, col("term").asc)
     val qdf = dfreq.join(broadcast(qterms), "term")
       .withColumn("qrank", row_number().over(qsel))
-      .filter(col("qrank") <= Bm25QueryTerms).drop("qrank")
+      .filter(col("qrank") <= Bm25QueryTerms)
       .crossJoin(broadcast(stats))
     val sc = log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -367,14 +369,26 @@ object TextAnalysis {
       .withColumn("prank", row_number().over(psel))
       .filter(col("prank") <= Bm25MaxPostings).drop("prank")
     val scored = posted.join(broadcast(qdf), "term")
-      .select(col("query_id"), col("doc_id"), col("term"), sc.as("sc"))
+      .select(col("query_id"), col("doc_id"), col("qrank"), sc.as("sc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
+    // Per-(query, doc) score = the sum of ≤M per-term scores, folded in
+    // a PINNED association order for cross-engine reproducibility
+    // (float partial-agg sum is merge-order-sensitive). qrank is a
+    // bijection to term within a query, so each (query, doc, slot)
+    // holds at most one score: M max()-slots in ONE codegen'd
+    // HashAggregate, added left-to-right — replaces a
+    // collect_list + sort_array + fold ObjectHashAggregate that
+    // buffered and sorted every row of the scored frame (measured:
+    // t12 11.6 -> 4.3 s at sf0.1 — the fold dominated, not the join).
+    val slots = (1 to Bm25QueryTerms).map(i =>
+      max(when(col("qrank") === i, col("sc"))).as(s"_s$i"))
+    val pinnedSum = (1 to Bm25QueryTerms)
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduce(_ + _)
     scored.groupBy("query_id", "doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("sc")))).as("ts"))
-      .select(col("query_id"), col("doc_id"),
-        round(aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("sc")), 6)
-          .as("score"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("query_id"), col("doc_id"), round(pinnedSum, 6).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
@@ -693,7 +707,7 @@ object TextAnalysis {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY df ASC, term ASC) AS qrank
        |  FROM bmqterms JOIN bmdfreq USING (term)),
-       |bmqkept AS (SELECT query_id, term, df FROM bmqsel
+       |bmqkept AS (SELECT query_id, term, df, qrank FROM bmqsel
        |  WHERE qrank <= $Bm25QueryTerms),
        |bmposted AS (SELECT t.term, t.doc_id, t.tf, l.dlen,
        |    row_number() OVER (PARTITION BY t.term
@@ -701,7 +715,7 @@ object TextAnalysis {
        |  FROM bmtf t
        |  JOIN (SELECT DISTINCT term FROM bmqkept) bt USING (term)
        |  JOIN bmdlen l ON l.doc_id = t.doc_id),
-       |bmscored AS (SELECT q.query_id, t.doc_id, q.term,
+       |bmscored AS (SELECT q.query_id, t.doc_id, q.qrank,
        |    ln(CAST(1.0 AS DOUBLE) +
        |        (s.n_docs - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
        |      (t.tf * CAST(2.2 AS DOUBLE)) /
@@ -712,7 +726,9 @@ object TextAnalysis {
        |  CROSS JOIN bmstats s
        |  WHERE t.prank <= $Bm25MaxPostings),
        |bmagg AS (SELECT query_id, doc_id,
-       |    round(list_sum(list(sc ORDER BY term)), 6) AS score
+       |    round(${(1 to Bm25QueryTerms).map(i =>
+                  s"coalesce(max(CASE WHEN qrank = $i THEN sc END), CAST(0 AS DOUBLE))")
+                  .mkString(" + ")}, 6) AS score
        |  FROM bmscored GROUP BY 1, 2),
        |bmranked AS (SELECT query_id, doc_id, score,
        |    row_number() OVER (PARTITION BY query_id
