@@ -33,15 +33,15 @@ object Tables {
           // instant-based: unix_micros is timezone-independent here
           df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
         case TimestampNTZType =>
-          // NTZ carries wall-clock fields only; interpret them as UTC via
-          // field extraction — deterministic regardless of
-          // spark.sql.session.timeZone (a cast to TimestampType is not).
-          val micros =
-            expr("unix_date(cast(ts as date))").cast("long") * lit(86400000000L) +
-            expr("date_part('HOUR', ts)").cast("long") * lit(3600000000L) +
-            expr("date_part('MINUTE', ts)").cast("long") * lit(60000000L) +
-            expr("cast(date_part('SECOND', ts) * 1000000 as long)")
-          df.withColumn("ts", micros * lit(1000L))
+          // NTZ carries wall-clock fields only; interpret them as UTC.
+          // timestampdiff between two NTZ values is pure local-datetime
+          // arithmetic — one subtraction per row, deterministic
+          // regardless of spark.sql.session.timeZone (a cast to
+          // TimestampType is not; verified hash-identical under a
+          // hostile session zone).
+          df.withColumn("ts",
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+              * lit(1000L))
         case other =>
           throw new IllegalStateException(
             s"events.ts: unsupported parquet logical type $other")
