@@ -21,9 +21,11 @@ Design choices, stated so the measurements are interpretable:
 - Row groups are forced small (nrows/32, floor 10k) so files carry many
   row groups and scan parallelism comes from byte-range splits — the
   layout regime Tables.spread must self-disable in at real scale.
-- pyarrow, not Spark, writes the output: events.ts is parquet
-  TIMESTAMP(NANOS), which a Spark rewrite would silently demote (the
-  engine reads it via nanosAsLong; the oracle needs the real type).
+- pyarrow, not Spark, writes the output: events.ts's physical type
+  (TIMESTAMP(NANOS) in early testdata generations, timestamp[us]
+  since round 6) is preserved bit-for-bit from the source — the gate
+  must see the same physical type the driver ships, and Tables.load
+  adapts to either.
 
 Usage: python3 tools/scale_gen.py [src] [dst] [copies]
 """
