@@ -22,9 +22,13 @@ class Bm25Spec extends AnyFunSuite {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** In-JVM BM25 with the operator's exact operation order. */
+  /** In-JVM BM25 with the operator's exact operation order: rarest-m
+    * query-term budget, per-term posting cap in (tf desc, dlen asc,
+    * doc_id asc) impact order, and the per-(query, doc) sum folded in
+    * QRANK order (the engine's pinned max-slot association order).
+    */
   private def refBm25(corpus: Seq[(Long, String)], queries: Seq[(Long, String)],
-      k: Int, m: Int = 16): Set[(Long, Long, Long, Double)] = {
+      k: Int, m: Int = 16, cap: Int = 1000): Set[(Long, Long, Long, Double)] = {
     def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
     val tf = corpus.flatMap { case (d, t) => toks(t).map((d, _)) }
       .groupBy(identity).map { case (kk, v) => (kk, v.size.toLong) }
@@ -32,13 +36,16 @@ class Bm25Spec extends AnyFunSuite {
     val nDocs = dlen.size.toLong
     val avgdl = dlen.values.sum.toDouble / nDocs.toDouble
     val dfm = tf.keys.groupBy(_._2).map { case (t, v) => (t, v.size.toLong) }
+    def posting(term: String): Seq[Long] = dlen.keys.toSeq
+      .filter(d => tf.contains((d, term)))
+      .sortBy(d => (-tf((d, term)), dlen(d), d)).take(cap)
     queries.flatMap { case (qid, qtext) =>
       val qts = toks(qtext).distinct.filter(dfm.contains)
         .map(t => (t, dfm(t))).sortBy { case (t, d) => (d, t) }.take(m)
       val contrib = for {
-        (term, dfv) <- qts
-        d <- dlen.keys.toSeq if tf.contains((d, term))
-      } yield (d, term,
+        ((term, dfv), qrank) <- qts.zipWithIndex
+        d <- posting(term)
+      } yield (d, qrank,
         math.log(1.0 + (nDocs - dfv + 0.5) / (dfv + 0.5)) *
           (tf((d, term)) * 2.2) /
           (tf((d, term)) + 1.2 * (0.25 + 0.75 * dlen(d) / avgdl)))
@@ -109,5 +116,23 @@ class Bm25Spec extends AnyFunSuite {
     val got = TextAnalysis.bm25(c, queries.toDF("doc_id", "text"), 3)
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == refBm25(corpus, queries, 3))
+  }
+
+  test("bm25: posting cap keeps impact order, not doc_id order, past 1000 postings") {
+    // 1100 docs share term "x" (past the 1000-posting cap): 1050 tf=1
+    // docs with SMALL ids, 50 tf=2 docs with LARGE ids (2000+). The cap
+    // ranks by (tf desc, dlen asc, doc_id asc), so every tf=2 doc must
+    // survive despite its large id — a doc_id-ordered (or insertion-
+    // ordered) cap would silently drop all of them. Their higher tf
+    // then puts them at ranks 1..5 (doc_id tie-break within the group).
+    val corp = (1 to 1050).map(i => (i.toLong, "x")) ++
+      (0 until 50).map(i => ((2000 + i).toLong, "x x"))
+    val q = Seq((9000L, "x"))
+    val got = TextAnalysis.bm25(
+        corp.toDF("doc_id", "text"), q.toDF("doc_id", "text"), 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == refBm25(corp, q, 5))
+    assert(got.map(_._2) == Set(2000L, 2001L, 2002L, 2003L, 2004L),
+      s"top-5 must be the first five high-tf docs, got ${got.map(_._2)}")
   }
 }
