@@ -134,23 +134,85 @@ object Kmeans {
       .select(col("vec_id"), col("sub_idx"), quantize(col("sv")).as("q"))
 
   /** Training core over an (ideally persisted) quantized-subvector
-    * frame. Persisting matters: the 4 subspace runs each drive ~iters+2
-    * actions (init collect, per-round stats, final assign), and every
-    * action would otherwise re-scan the parquet AND re-execute the
-    * subvector explode+quantize — ~20 redundant recomputes per call.
+    * frame. All subspaces train JOINTLY: the per-subspace Lloyd's runs
+    * are independent k-means whose only coupling is the driver loop, so
+    * one grouped iteration — centroids keyed (sub, cell), assignment
+    * joined on sub, stats grouped by (sub, cell) — trains every
+    * codebook with ONE action per round (k x subspaces rows through
+    * the driver) instead of subspaces x (init + rounds + final)
+    * sequential jobs. Per-subspace arithmetic, tie-breaks and results
+    * are bit-identical to the sequential formulation (the s8 oracle
+    * already replays exactly this shape: the `sub` key threaded through
+    * every CTE). Persisting still matters: init + per-round stats +
+    * the caller's final assignment would otherwise each re-scan the
+    * parquet AND re-run the subvector explode+quantize.
     * (s7's flat corpus is deliberately NOT cached: one scan per round
     * is the textbook k-means cost and caching a 100 TB corpus is not a
     * plan — the exploded subvector frame here is derived work worth
     * keeping for the bounded training window.)
     */
   private def trainPqOn(subs: DataFrame, k: Int,
-      iters: Int): Seq[(Int, Long, Seq[Long])] =
-    (0 until Similarity.PqSubspaces).flatMap { b =>
-      val e = subs.filter(col("sub_idx") === b)
-        .select(col("vec_id").as("id"), col("q"))
-      val (_, cents) = lloyd(e, initFrom(e, k), iters, Similarity.PqSubDim)
-      cents.map { case (cell, cv) => (b, cell, cv) }
+      iters: Int): Seq[(Int, Long, Seq[Long])] = {
+    val e = subs.select(col("sub_idx").cast("int").as("gid"),
+      col("vec_id").as("id"), col("q"))
+    lloydGrouped(e, initGrouped(e, k), iters, Similarity.PqSubDim)._2
+  }
+
+  /** Grouped assignment: like [[assign]] but centroids carry a group id
+    * and vectors join their own group's centroids (broadcast equi-join
+    * on gid instead of a cross join).
+    */
+  private def assignGrouped(e: DataFrame,
+      cents: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cdf = cents.toDF("gid", "cell", "cv")
+    e.join(broadcast(cdf), "gid")
+      .select(col("gid"), col("id"), col("q"), col("cell"),
+        sqDist(col("q"), col("cv")).as("dist"))
+      .groupBy("gid", "id")
+      .agg(min_by(struct(col("cell"), col("q"), col("dist")),
+        struct(col("dist"), col("cell"))).as("best"))
+      .select(col("gid"), col("id"), col("best.cell").as("cell"),
+        col("best.q").as("q"), col("best.dist").as("dist"))
+  }
+
+  /** Grouped Lloyd's: [[lloyd]] with an extra group key on every step —
+    * N independent k-means in one job per round. `e` must be
+    * `(gid: int, id: long, q: array<long>)`.
+    */
+  private[graft] def lloydGrouped(e: DataFrame, init: Seq[(Int, Long, Seq[Long])],
+      iters: Int, dim: Int): (DataFrame, Seq[(Int, Long, Seq[Long])]) = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val a = assignGrouped(e, cents)
+      val sums = (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s_$i"))
+      // (k x groups) rows x (dim+2) values — still the bounded driver hop.
+      val stats = a.groupBy("gid", "cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+      cents = cents.map { case (g, cell, prev) =>
+        stats.get((g, cell)) match {
+          case Some(r) =>
+            val n = r.getLong(2)
+            (g, cell, Seq.tabulate(dim)(i => Math.floorDiv(r.getLong(3 + i), n)))
+          case None => (g, cell, prev) // empty cell keeps its centroid
+        }
+      }
     }
+    (assignGrouped(e, cents), cents)
+  }
+
+  /** First-k-vectors init per group — each group's seed is its own
+    * subvector of the same first-k vectors, exactly [[initFrom]] applied
+    * groupwise (ids are shared across groups by construction).
+    */
+  private def initGrouped(e: DataFrame, k: Int): Seq[(Int, Long, Seq[Long])] =
+    e.filter(col("id") < k).orderBy("gid", "id")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq
 
   /** First-k-vectors init — deterministic, and exactly what s3/s4 use as
     * their fixed codebooks, so trained centroids are a drop-in refinement.
