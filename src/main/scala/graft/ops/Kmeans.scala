@@ -114,14 +114,14 @@ object Kmeans {
     lloyd(e, initFrom(e, k), iters)._2
   }
 
-  /** Per-subspace PQ codebook training: one Lloyd's run per subspace
-    * over that subspace's subvectors (layout shared with s4/s5 via
-    * [[Similarity.subvectors]]), seeded like s4's codebook with the
-    * first-k vectors' subvectors. Returns `(sub_idx, cent_id, cv)` in
-    * scaled-long space — [[Similarity.s4PqCodesTrained]] maps it back to
-    * float space and feeds the unchanged assignment operator. The k
-    * subspace runs share the quantized subvector frame; each is the same
-    * bounded-driver-hop iteration as [[lloyd]].
+  /** Per-subspace PQ codebook training over each subspace's subvectors
+    * (layout shared with s4/s5 via [[Similarity.subvectors]]), seeded
+    * like s4's codebook with the first-k vectors' subvectors. Returns
+    * `(sub_idx, cent_id, cv)` in scaled-long space —
+    * [[Similarity.s4PqCodesTrained]] maps it back to float space and
+    * feeds the unchanged assignment operator. All subspaces train
+    * JOINTLY in one grouped Lloyd's ([[lloydGrouped]]): one job per
+    * round over the shared quantized subvector frame.
     */
   def trainPqCodebooks(s: SparkSession, dir: String,
       k: Int = K, iters: Int = Iters): Seq[(Int, Long, Seq[Long])] = {

@@ -41,6 +41,37 @@ class KmeansSpec extends AnyFunSuite {
     assert(cmap(0L).head == 100L, s"cell 0 converges onto the far cluster: $cmap")
   }
 
+  test("lloydGrouped ≡ independent per-group lloyd (centroids and assignments)") {
+    import spark.implicits._
+    // Two deliberately different groups — one with the duplicate-seed
+    // empty-cell dynamics, one well-separated — trained jointly must
+    // equal each trained alone: the grouped formulation's only change
+    // is job fusion, never arithmetic.
+    val g0 = Seq(
+      (0L, Seq(0L, 0L, 0L, 0L)), (1L, Seq(0L, 0L, 0L, 0L)),
+      (2L, Seq(100L, 0L, 0L, 0L)), (3L, Seq(100L, 0L, 0L, 0L)))
+    val g1 = Seq(
+      (0L, Seq(-5L, 3L, 0L, 0L)), (1L, Seq(40L, -7L, 1L, 0L)),
+      (2L, Seq(-6L, 2L, 0L, 0L)), (3L, Seq(41L, -9L, 0L, 0L)))
+    val joint = (g0.map { case (id, q) => (0, id, q) } ++
+      g1.map { case (id, q) => (1, id, q) }).toDF("gid", "id", "q")
+    val init = g0.take(2).map { case (id, q) => (0, id, q) } ++
+      g1.take(2).map { case (id, q) => (1, id, q) }
+    val (ja, jc) = Kmeans.lloydGrouped(joint, init, iters = 2, dim = 4)
+    val jointAssign = ja.select("gid", "id", "cell").as[(Int, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    for ((g, pts) <- Seq(0 -> g0, 1 -> g1)) {
+      val (sa, sc) = Kmeans.lloyd(pts.toDF("id", "q"), pts.take(2),
+        iters = 2, dim = 4)
+      assert(jc.collect { case (`g`, cell, cv) => (cell, cv) } == sc,
+        s"group $g centroids diverge")
+      val soloAssign = sa.select("id", "cell").as[(Long, Long)].collect().toMap
+      soloAssign.foreach { case (id, cell) =>
+        assert(jointAssign((g, id)) == cell, s"group $g id $id assignment diverges")
+      }
+    }
+  }
+
   test("zero iterations = assignment to the init centroids, exact integer distances") {
     import spark.implicits._
     val pts = Seq(
