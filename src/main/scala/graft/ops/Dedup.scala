@@ -1130,11 +1130,11 @@ object Dedup {
          |    b.doc_id AS doc_b, b.n AS n_b
          |  FROM pref a JOIN pref b ON a.shk = b.shk AND a.doc_id < b.doc_id
          |  JOIN pcap c ON c.shk = a.shk),
+         |dl AS (SELECT doc_id, list(DISTINCT shk) AS ls FROM shk GROUP BY 1),
          |inter AS (SELECT doc_a, n_a, doc_b, n_b,
-         |    count(DISTINCT x.shk) AS ni
-         |  FROM cand JOIN shk x ON x.doc_id = doc_a
-         |  JOIN shk y ON y.doc_id = doc_b AND y.shk = x.shk
-         |  GROUP BY 1, 2, 3, 4)
+         |    len(list_intersect(da.ls, db.ls)) AS ni
+         |  FROM cand JOIN dl da ON da.doc_id = doc_a
+         |  JOIN dl db ON db.doc_id = doc_b)
          |SELECT doc_a, doc_b,
          |  round(CAST(ni AS DOUBLE) / CAST(n_a + n_b - ni AS DOUBLE), 6)
          |    AS jaccard
