@@ -58,18 +58,28 @@ object Verify {
       fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(dest.getPath)
       None
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OutOfMemoryError/VM fault must abort the whole
+      // dump — later green rows from a poisoned JVM are untrustworthy,
+      // and the missing output dirs still fail loudly at the driver.
       val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
       System.err.println(s"[verify] $name failed: $msg")
       deleteRecursively(dest) // partial/_temporary write debris
       dest.mkdirs()           // empty dir => loud "no parquet output" FAIL
+      // The loud-failure invariant requires the dir to be EMPTY: leftover
+      // parquet debris (e.g. a file locked during scrub) would be read by
+      // the driver as a corrupt "result" instead of a no-output FAIL.
+      val leftovers = Option(dest.listFiles).getOrElse(Array.empty)
+      require(leftovers.isEmpty,
+        s"[verify] $name: scrub left debris: ${leftovers.take(5).mkString(", ")}")
       Some(msg)
     }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
+    if (!f.delete() && f.exists())
+      System.err.println(s"[verify] WARNING: could not delete ${f.getPath}")
   }
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20)

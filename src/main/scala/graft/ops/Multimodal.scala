@@ -323,8 +323,8 @@ object Multimodal {
     * deterministic 56-bit value from the payload md5 (7 hex bytes —
     * positive in a signed long, so `>>` ≡ logical shift in both
     * engines), which DuckDB reproduces with hex math. Every 10th doc
-    * additionally plants a hamming-1 twin (doc_id + 1e6, one md5-chosen
-    * bit flipped), so the banded self-join + hamming filter is
+    * additionally plants a hamming-1 twin (doc_id + 1e6, bit
+    * `doc_id % 56` flipped), so the banded self-join + hamming filter is
     * exercised with NON-empty output — an all-random hash set would
     * pass vacuously on zero pairs. Real images flow through
     * [[imageHashes]] into the same [[m4ImageNearDup]] operator
@@ -336,8 +336,15 @@ object Multimodal {
       shiftleft(conv(substring(col("h"), 2 * i + 1, 2), 16, 10).cast("long"),
         8 * i)
     }.reduce(_ + _)
+    // Twin ids are doc_id + 1e6; a real doc_id >= 1e6 would collide with
+    // a twin id and corrupt the pair set. Guard per-row (codegen'd, gate
+    // path only) rather than assume the fixtures stay sparse.
+    val guardedId = when(col("doc_id") >= 1000000L,
+      raise_error(concat(lit("m4 stub: doc_id "), col("doc_id").cast("string"),
+        lit(" >= 1e6 collides with twin id space"))).cast("long"))
+      .otherwise(col("doc_id"))
     val hashes = load(s, dir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(guardedId.as("doc_id"), md5(col("text")).as("h"))
       .select(col("doc_id"), phash.as("phash"))
     val twins = hashes.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),

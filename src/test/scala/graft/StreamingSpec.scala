@@ -22,6 +22,21 @@ class StreamingSpec extends AnyFunSuite {
   private def withQuery[T](q: StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
+  /** Run `body` with the RocksDB state store provider active — the
+    * provider a 100 TB deployment would run (state larger than heap,
+    * changelog checkpointing). Queries STARTED inside pick it up.
+    */
+  private def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("latest-per-key over a stream: update mode, out-of-order upsert (T4/A5)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
@@ -449,6 +464,64 @@ class StreamingSpec extends AnyFunSuite {
         .map { case (k, ts, p) => k -> ((ts, p)) }.toMap
       // Pre-restart state won: the older event did not regress it.
       assert(state("ALP") == (("2025-10-15T10:05:00+11:00", 10.0)))
+    }
+  }
+
+  test("RocksDB state store: watermarked windows emit identically to the default provider (T2/T3)") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      val in = MemoryStream[String]
+      val totals = State.windowedTotals(
+        Ingest.facilityEvents(in.toDF()), watermark = "10 minutes")
+      val q = totals.writeStream.outputMode("append")
+        .format("memory").queryName("totals_rocks").start()
+      withQuery(q) {
+        in.addData(
+          facJson("ALP", "2025-10-15T10:05:00+11:00", 10.0, 1.0),
+          facJson("BET", "2025-10-15T10:07:00+11:00", 5.0, 2.0))
+        q.processAllAvailable()
+        in.addData(facJson("ALP", "2025-10-15T10:30:00+11:00", 7.0, 0.5))
+        q.processAllAvailable()
+        in.addData(facJson("ALP", "2025-10-15T10:06:00+11:00", 1000.0, 999.0)) // too late
+        in.addData(facJson("ALP", "2025-10-15T10:45:00+11:00", 3.0, 0.1))
+        q.processAllAvailable()
+        val emitted = spark.table("totals_rocks")
+          .select($"bucket_start".cast("string"), $"total_power_mw").as[(String, Double)]
+          .collect().toMap
+        // Same assertions as the default-provider test: provider choice
+        // must not change window emission or late-row semantics.
+        assert(emitted("2025-10-14 23:05:00") == 15.0)
+        assert(!emitted.values.exists(_ >= 1000.0))
+      }
+    }
+  }
+
+  test("RocksDB state store: latest-per-key checkpoint recovery survives a restart (T7)") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDB {
+      val dir = java.nio.file.Files.createTempDirectory("ckpt_rocks").toString
+      val in = MemoryStream[String]
+      def start() = graft.sources.Sinks.parquetBatchLog(
+        State.latestPerFacility(Ingest.facilityEvents(in.toDF())),
+        dir, "ckpt_rocks_t", outputMode = "update")
+
+      val q1 = start()
+      in.addData(facJson("ALP", "2025-10-15T10:05:00+11:00", 10.0, 1.0))
+      q1.processAllAvailable()
+      q1.stop() // crash/redeploy boundary — RocksDB snapshot must reload
+
+      val q2 = start()
+      withQuery(q2) {
+        in.addData(facJson("ALP", "2025-10-15T10:00:00+11:00", 99.0, 9.0)) // older
+        q2.processAllAvailable()
+        val state = graft.sources.Sinks.readBatchLog(spark, dir)
+          .groupBy($"facility_id")
+          .agg(max_by(struct($"timestamp", $"power_mw"),
+            struct(to_timestamp($"timestamp"), $"timestamp")).as("l"))
+          .select($"facility_id", $"l.*").as[(String, String, Double)].collect()
+          .map { case (k, ts, p) => k -> ((ts, p)) }.toMap
+        assert(state("ALP") == (("2025-10-15T10:05:00+11:00", 10.0)))
+      }
     }
   }
 
