@@ -67,8 +67,17 @@ object Hybrid {
     val e = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n2", sqNorm(col("v")))
+    // Explicit partition count: cvec is a SMALL frame (embedded corpus
+    // subset) that the cross join below expands by |queries| — AQE's
+    // byte-based coalesce sees only the pre-expansion bytes and folds
+    // it to ~1 partition, serializing every dot product and the leg's
+    // local sort onto one core (measured at sf1: 41.7 s single-task vs
+    // sub-second parallel). Same pre-expansion rule as bm25's posting
+    // spread; the explicit number keeps AQE's hands off.
+    val vparts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val cvec = corpus.select(col("doc_id"))
       .join(e, col("doc_id") === col("vec_id")).drop("vec_id")
+      .repartition(vparts, col("doc_id"))
     val qvec = queries.select(col("doc_id").as("query_id"))
       .join(e, col("query_id") === col("vec_id"))
       .select(col("query_id"), col("v").as("qv"), col("n2").as("qn2"))

@@ -364,10 +364,32 @@ object TextAnalysis {
     // query, so capped postings for budgeted terms are identical.
     val psel = Window.partitionBy("term")
       .orderBy(col("tf").desc, col("dlen").asc, col("doc_id").asc)
+    // Spread the |queries| × posting-cap expansion BEFORE it happens.
+    // `posted` leaves the cap window hash-partitioned by `term`, and a
+    // small vocabulary (the fixtures have ~31 terms; any natural corpus
+    // still has far fewer hot terms than tasks) makes that a
+    // few-task stage; the broadcast query join then expands each task
+    // by ~|queries| and the partial aggregate below buffers
+    // (16 max-slots) × (groups in task) — measured as the sf1 8 GB
+    // GC-death. Re-keying the CAPPED postings (a tiny frame:
+    // ≤ terms × cap rows) by doc_id co-locates every (query, doc)
+    // group in one task, so the partial agg fully reduces and the
+    // final merge sees one row per group. The partition count scales
+    // with the expanded row count (|queries| × M × cap), not with
+    // cores — the query side is small by the same contract that lets
+    // it broadcast, so the count() is a cheap driver-side bound, and
+    // the explicit number keeps AQE from byte-coalescing the tiny
+    // pre-expansion shuffle into a handful of post-expansion monsters.
+    val nq = queries.select(col("doc_id")).distinct().count()
+    val expanded = nq * Bm25QueryTerms * Bm25MaxPostings
+    val parts = math.max(
+      corpus.sparkSession.sessionState.conf.numShufflePartitions,
+      math.min(16384L, expanded / 200000L).toInt)
     val posted = tf
       .join(broadcast(qterms.select("term").distinct()), "term", "left_semi")
       .withColumn("prank", row_number().over(psel))
       .filter(col("prank") <= Bm25MaxPostings).drop("prank")
+      .repartition(parts, col("doc_id"))
     val scored = posted.join(broadcast(qdf), "term")
       .select(col("query_id"), col("doc_id"), col("qrank"), sc.as("sc"))
     val w = Window.partitionBy("query_id")
