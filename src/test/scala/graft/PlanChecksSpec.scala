@@ -263,4 +263,19 @@ class PlanChecksSpec extends AnyFunSuite {
     assert("- HashAggregate".r.findAllIn(p).length == 2, s"expected partial+final:\n${p.take(800)}")
     assert("- Exchange".r.findAllIn(p).length == 1, s"expected one shuffle:\n${p.take(800)}")
   }
+
+  test("EXPLAINS.md has an executed-plan section for EVERY registered query " +
+    "(regenerate with `sbt \"runMain graft.Plans\"` after adding one)") {
+    // A query absent from EXPLAINS.md has no pinned executed plan, so a
+    // silent broadcast→shuffle flip there would surface only as a bench
+    // delta (VERDICT r6 item 4). Plans.scala appends every registered
+    // name; this pin makes forgetting the regeneration a red build.
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("EXPLAINS.md")))
+    val sections = md.linesIterator
+      .filter(_.startsWith("## ")).map(_.drop(3).trim).toSet
+    val missing = SparkEntry.queries.keySet -- sections
+    assert(missing.isEmpty,
+      s"queries with no EXPLAINS section: ${missing.toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -46,12 +46,28 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
+    """Fresh capped connection: DuckDB retains allocations across queries
+    on a shared connection, and at sf1+ two heavy oracles back-to-back
+    (t8, t17) OOM'd the replay while each passes standalone. A fresh
+    connection per oracle plus an explicit memory_limit + spill dir
+    makes the 10x gate a deterministic single command.
+    GRAFT_DUCKDB_MEM caps the oracle side only (default 8GB, matching
+    the Spark side's default heap); 0/empty disables the cap.
+    """
     con = duckdb.connect()
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "8GB")
+    if mem and mem != "0":
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
@@ -62,11 +78,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
             continue
+        con = connect(sf_dir)
         got_df = con.execute(
             f"SELECT * FROM read_parquet({files!r})").df()
         if name not in oracle:
             print(f"weak {name}: no oracle, rows={len(got_df)}")
             n_weak += 1
+            con.close()
             continue
         try:
             exp_df = con.execute(oracle[name]).df()
@@ -74,6 +92,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        finally:
+            con.close()  # fresh connection per oracle — see connect()
         try:
             gc, g = canon(got_df)
             ec, e = canon(exp_df)
