@@ -336,15 +336,23 @@ object Multimodal {
       shiftleft(conv(substring(col("h"), 2 * i + 1, 2), 16, 10).cast("long"),
         8 * i)
     }.reduce(_ + _)
-    // Twin ids are doc_id + 1e6; a real doc_id >= 1e6 would collide with
-    // a twin id and corrupt the pair set. Guard per-row (codegen'd, gate
-    // path only) rather than assume the fixtures stay sparse.
-    val guardedId = when(col("doc_id") >= 1000000L,
-      raise_error(concat(lit("m4 stub: doc_id "), col("doc_id").cast("string"),
-        lit(" >= 1e6 collides with twin id space"))).cast("long"))
-      .otherwise(col("doc_id"))
+    // Twin ids are doc_id + 1e6; a REAL doc_id equal to some twin id
+    // would corrupt the pair set. Check the actual collision condition
+    // (∃ d, d' real: d' = d + 1e6 ∧ d % 10 = 0) — a naive "all ids
+    // < 1e6" guard false-positives on the scale corpora, whose ids are
+    // stride-offset per copy (2^33·k + small: far above 1e6, never
+    // within 1e6 of another cluster). One bounded semi-join on the id
+    // column at build time; gate-stub path only.
+    val ids = load(s, dir, "documents").select(col("doc_id"))
+    val clash = ids
+      .join(ids.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "m4 stub: twin id space (doc_id + 1e6) collides with real doc_ids")
     val hashes = load(s, dir, "documents")
-      .select(guardedId.as("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
       .select(col("doc_id"), phash.as("phash"))
     val twins = hashes.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),

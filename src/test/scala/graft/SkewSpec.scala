@@ -141,6 +141,47 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE-split join ≡ salted join on the same hot-key input (order-independent digest)") {
+    // The two skew mitigations must be RESULT-interchangeable: AQE's
+    // runtime split (variant the engine ships by default) and explicit
+    // salting (the tool for keys AQE can't fix) may only reshape the
+    // shuffle. Mirrors graft.SkewProbe's sf1 evidence at test scale.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val skewKey = "spark.sql.adaptive.skewJoin.enabled"
+    val skewPrev = spark.conf.getOption(skewKey)
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.range(0, 1000000).select(lit(1L).as("k"), col("id").as("v"))
+        .union(spark.range(0, 100).select((col("id") + 2).as("k"), col("id").as("v")))
+      val dim = spark.range(0, 200).select(col("id").as("k"), (col("id") * 2).as("w"))
+      def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(hash(df.columns.map(col): _*).cast("long")))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      spark.conf.set(skewKey, "true")
+      val split = digest(fact.join(dim, "k"))
+      spark.conf.set(skewKey, "false")
+      val salted = digest(Skew.saltedJoin(fact, dim, "k", 16))
+      assert(split == salted, s"split $split != salted $salted")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      skewPrev match {
+        case Some(v) => spark.conf.set(skewKey, v)
+        case None => spark.conf.unset(skewKey)
+      }
+    }
+  }
+
   test("saltedSum == direct groupBy sum") {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag").as("k"), col("l_quantity"), col("l_extendedprice"))
