@@ -46,7 +46,7 @@ def norm(v):
     return v
 
 
-def connect(sf_dir):
+def connect(sf_dir, mem=None):
     """Fresh capped connection: DuckDB retains allocations across queries
     on a shared connection, and at sf1+ two heavy oracles back-to-back
     (t8, t17) OOM'd the replay while each passes standalone. A fresh
@@ -61,7 +61,8 @@ def connect(sf_dir):
     on the engine under test.
     """
     con = duckdb.connect()
-    mem = os.environ.get("GRAFT_DUCKDB_MEM", "24GB")
+    if mem is None:
+        mem = os.environ.get("GRAFT_DUCKDB_MEM", "24GB")
     if mem and mem != "0":
         con.execute(f"SET memory_limit='{mem}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
@@ -92,7 +93,19 @@ def main(sf_dir, out_dir):
             con.close()
             continue
         try:
-            exp_df = con.execute(oracle[name]).df()
+            try:
+                exp_df = con.execute(oracle[name]).df()
+            except duckdb.OutOfMemoryException:
+                # Escalate once: a few sf1+ oracles (c5/c6 end-to-end
+                # curation) hold non-spillable working sets past the
+                # default cap but pass with more room (c5: 90 s at
+                # 60GB). Sequential replay means the bigger budget is
+                # still exclusive to this one query.
+                con.close()
+                retry = os.environ.get("GRAFT_DUCKDB_MEM_RETRY", "60GB")
+                print(f"     {name}: oracle over memory cap, retrying at {retry}")
+                con = connect(sf_dir, mem=retry)
+                exp_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
