@@ -65,7 +65,9 @@ def connect(sf_dir, mem=None):
         mem = os.environ.get("GRAFT_DUCKDB_MEM", "24GB")
     if mem and mem != "0":
         con.execute(f"SET memory_limit='{mem}'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # Per-process spill dir: concurrent replays sharing one dir
+        # remove each other's temp files mid-query (fatal IOException).
+        con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
