@@ -1,0 +1,157 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.stream.{MergeState, State}
+
+/** Streaming-throughput harness (round-8 evidence): measures rows/s of
+  * the stateful streaming surface under the RocksDB state store — the
+  * provider a 100 TB deployment would run — instead of leaving the
+  * streaming ops with correctness-only specs.
+  *
+  * Method: the sf-dir `events` table is staged once as `nFiles`
+  * time-ordered parquet slices (repartitionByRange on event time, part
+  * files mtime-stamped in range order so the file streaming source
+  * consumes them chronologically). Each op then runs a
+  * `Trigger.AvailableNow` query over that staging dir with
+  * `maxFilesPerTrigger=1`, i.e. `nFiles` micro-batches arriving in event
+  * -time order — watermarks advance naturally and the state store sees
+  * the same write pattern a live chronological feed would produce.
+  * Sink is `noop` so the measurement is source-decode + state, not sink.
+  *
+  * Ops measured (all RocksDB-backed):
+  *   - windowed_agg    5-min tumbling totals, 60-min watermark (A9/T2)
+  *   - hop_window      10/5-min hopping totals (q57's streaming twin)
+  *   - session_window  15-min-gap sessions (q32's streaming twin)
+  *   - dedup           watermarked dropDuplicates (T5)
+  *   - latest_fmgws    flatMapGroupsWithState dict-merge (T4)
+  *   - latest_tws      transformWithState dict-merge (T4, Spark 4 API)
+  *
+  * Prints ONE JSON line:
+  * `{"metric":"stream_throughput","sf":…,"ops":{name:{"rows":…,"sec":…,
+  *   "rows_per_sec":…,"batches":…,"out_rows":…}}}`.
+  *
+  * Usage: runMain graft.StreamBench [sfDir] [nFiles]
+  */
+object StreamBench {
+
+  /** events → the facility-event shape the streaming ops consume.
+    * 500 synthetic facilities (user_id % 500) — the state-key
+    * cardinality class of the reference's fleet, scaled up.
+    */
+  private def facilityShape(ev: DataFrame): DataFrame =
+    ev.select(
+      concat(lit("F"), (col("user_id") % 500).cast("string")).as("facility_id"),
+      col("ts").as("event_ts"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+      unix_millis(col("ts")).as("event_ts_ms"),
+      // Partial-event pattern for the dict-merge ops: view events carry
+      // only power, click events only co2, the rest carry both — so the
+      // overlay state path (not just the both-fields fast path) is hot.
+      when(col("event_type") =!= "click", col("value")).as("power_mw"),
+      when(col("event_type") =!= "view", round(col("value") * lit(0.4), 3))
+        .as("co2_tonnes"))
+
+  /** Stage `df` as `nFiles` chronological parquet slices; returns the
+    * staging dir. Part files of repartitionByRange are numbered in
+    * range order; stamping strictly increasing mtimes makes the file
+    * streaming source (which orders by timestamp) consume them in event
+    * -time order.
+    */
+  private def stage(df: DataFrame, nFiles: Int, dir: File): Unit = {
+    df.repartitionByRange(nFiles, col("event_ts"))
+      .sortWithinPartitions("event_ts")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val parts = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(t0 + i * 2000L), s"mtime stamp failed: $f")
+    }
+  }
+
+  final case class OpResult(rows: Long, sec: Double, batches: Int, outRows: Long)
+
+  private def runOp(spark: SparkSession, stagingDir: File, schema: org.apache.spark.sql.types.StructType,
+      build: DataFrame => DataFrame, checkpointRoot: File, name: String): OpResult = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagingDir.getAbsolutePath)
+    val out = build(src)
+    val cp = new File(checkpointRoot, name)
+    val t0 = System.nanoTime()
+    val q = out.writeStream
+      .format("noop")
+      .option("checkpointLocation", cp.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(if (name.startsWith("latest")) "update" else "append")
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress
+    val rows = progress.map(_.numInputRows).sum
+    val outRows = progress.map(p => math.max(0L, p.sink.numOutputRows)).sum
+    OpResult(rows, sec, progress.count(_.numInputRows > 0), outRows)
+  }
+
+  private def ops(spark: SparkSession): Seq[(String, DataFrame => DataFrame)] = {
+    import spark.implicits._
+    Seq(
+      "windowed_agg" -> ((df: DataFrame) => State.windowedTotals(df)),
+      "hop_window" -> ((df: DataFrame) => State.hoppingTotals(df)),
+      "session_window" -> ((df: DataFrame) => State.sessionTotals(df)),
+      "dedup" -> ((df: DataFrame) => State.dedupEvents(df)),
+      "latest_fmgws" -> ((df: DataFrame) =>
+        MergeState.latestMerged(df.as[MergeState.PartialEvent]).toDF()),
+      "latest_tws" -> ((df: DataFrame) =>
+        MergeState.latestMergedTws(df.as[MergeState.PartialEvent]).toDF()))
+  }
+
+  /** Runs every op over `sfDir`'s events; returns (name → result). */
+  def run(spark: SparkSession, sfDir: String, nFiles: Int): Seq[(String, OpResult)] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_streambench").toFile
+    val stagingDir = new File(work, "staged")
+    val cpRoot = new File(work, "cp")
+    stage(facilityShape(spark.read.parquet(s"$sfDir/events.parquet")), nFiles, stagingDir)
+    val schema = spark.read.parquet(stagingDir.getAbsolutePath).schema
+    try ops(spark).map { case (name, build) =>
+      name -> runOp(spark, stagingDir, schema, build, cpRoot, name)
+    } finally deleteRec(work)
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false") // streaming: AQE is inert; keep plans stable
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Warm-up at sf0.001 (JIT/codegen/RocksDB native-lib load).
+    run(spark, "/root/testdata/sf0.001", 2)
+
+    val results = run(spark, sfDir, nFiles)
+    val opsJson = results.map { case (n, r) =>
+      f""""$n":{"rows":${r.rows},"sec":${r.sec}%.3f,"rows_per_sec":${r.rows / r.sec}%.0f,"batches":${r.batches},"out_rows":${r.outRows}}"""
+    }.mkString(",")
+    println(s"""{"metric":"stream_throughput","sf":"$sfDir","n_files":$nFiles,"ops":{$opsJson}}""")
+    spark.stop()
+  }
+}
