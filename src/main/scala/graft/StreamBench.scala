@@ -42,19 +42,29 @@ object StreamBench {
   /** events → the facility-event shape the streaming ops consume.
     * 500 synthetic facilities (user_id % 500) — the state-key
     * cardinality class of the reference's fleet, scaled up.
+    *
+    * Input is the [[Tables.load]]-normalized events frame (`ts` = epoch
+    * NANOS as LongType): the physical parquet type of `events.ts` varies
+    * across testdata generations (TIMESTAMP(NANOS) / timestamp[us] /
+    * NTZ), and deriving event time from the normalized long
+    * (`timestamp_micros(ts div 1000)`, the q32 pattern) is the one path
+    * that works on all of them — reading the column raw re-imports the
+    * type-drift bug the rest of the engine is immunized against.
     */
-  private def facilityShape(ev: DataFrame): DataFrame =
+  private[graft] def facilityShape(ev: DataFrame): DataFrame = {
+    val eventTs = timestamp_micros(expr("ts div 1000"))
     ev.select(
       concat(lit("F"), (col("user_id") % 500).cast("string")).as("facility_id"),
-      col("ts").as("event_ts"),
-      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
-      unix_millis(col("ts")).as("event_ts_ms"),
+      eventTs.as("event_ts"),
+      date_format(eventTs, "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+      expr("ts div 1000000").as("event_ts_ms"),
       // Partial-event pattern for the dict-merge ops: view events carry
       // only power, click events only co2, the rest carry both — so the
       // overlay state path (not just the both-fields fast path) is hot.
       when(col("event_type") =!= "click", col("value")).as("power_mw"),
       when(col("event_type") =!= "view", round(col("value") * lit(0.4), 3))
         .as("co2_tonnes"))
+  }
 
   /** Stage `df` as `nFiles` chronological parquet slices; returns the
     * staging dir. Part files of repartitionByRange are numbered in
@@ -62,7 +72,7 @@ object StreamBench {
     * streaming source (which orders by timestamp) consume them in event
     * -time order.
     */
-  private def stage(df: DataFrame, nFiles: Int, dir: File): Unit = {
+  private def stage(df: DataFrame, nFiles: Int, dir: File): Int = {
     df.repartitionByRange(nFiles, col("event_ts"))
       .sortWithinPartitions("event_ts")
       .write.mode("overwrite").parquet(dir.getAbsolutePath)
@@ -71,9 +81,20 @@ object StreamBench {
     parts.zipWithIndex.foreach { case (f, i) =>
       require(f.setLastModified(t0 + i * 2000L), s"mtime stamp failed: $f")
     }
+    // Empty range partitions emit no part file, so the staged count can
+    // legitimately be < nFiles — return (and report) the ACTUAL count so
+    // batch-count drift is visible instead of silent.
+    parts.length
   }
 
-  final case class OpResult(rows: Long, sec: Double, batches: Int, outRows: Long)
+  /** Per-op measurement. `stateRows`/`stateMemBytes` are the final
+    * progress's state-operator totals; `compactionMs` sums the RocksDB
+    * compaction-latency custom metrics across the run (0 under HDFS
+    * provider) — the state-store-pressure signals a 100 TB deployment
+    * watches.
+    */
+  final case class OpResult(rows: Long, sec: Double, batches: Int, outRows: Long,
+      stateRows: Long = 0L, stateMemBytes: Long = 0L, compactionMs: Long = 0L)
 
   private def runOp(spark: SparkSession, stagingDir: File, schema: org.apache.spark.sql.types.StructType,
       build: DataFrame => DataFrame, checkpointRoot: File, name: String): OpResult = {
@@ -94,7 +115,20 @@ object StreamBench {
     val progress = q.recentProgress
     val rows = progress.map(_.numInputRows).sum
     val outRows = progress.map(p => math.max(0L, p.sink.numOutputRows)).sum
-    OpResult(rows, sec, progress.count(_.numInputRows > 0), outRows)
+    val lastState = progress.reverse.find(_.stateOperators.nonEmpty)
+    val stateRows = lastState.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateMem = lastState.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    // RocksDB compaction pressure, summed across batches; metric keys are
+    // provider-specific so match by name rather than pinning one.
+    import scala.jdk.CollectionConverters._
+    val compactionMs = progress.flatMap(_.stateOperators).flatMap { op =>
+      op.customMetrics.asScala.collect {
+        case (k, v) if k.toLowerCase.contains("compact") &&
+          k.toLowerCase.contains("latency") => v.longValue()
+      }
+    }.sum
+    OpResult(rows, sec, progress.count(_.numInputRows > 0), outRows,
+      stateRows, stateMem, compactionMs)
   }
 
   private def ops(spark: SparkSession): Seq[(String, DataFrame => DataFrame)] = {
@@ -110,16 +144,44 @@ object StreamBench {
         MergeState.latestMergedTws(df.as[MergeState.PartialEvent]).toDF()))
   }
 
-  /** Runs every op over `sfDir`'s events; returns (name → result). */
-  def run(spark: SparkSession, sfDir: String, nFiles: Int): Seq[(String, OpResult)] = {
+  final case class RunResult(stagedFiles: Int, ops: Seq[(String, OpResult)])
+
+  /** Runs every op over `sfDir`'s events; returns the staged-file count
+    * plus (name → result).
+    */
+  def run(spark: SparkSession, sfDir: String, nFiles: Int): RunResult =
+    runShaped(spark, facilityShape(Tables.load(spark, sfDir, "events")), nFiles)
+
+  private[graft] def runShaped(spark: SparkSession, shaped: DataFrame,
+      nFiles: Int): RunResult = {
     val work = java.nio.file.Files.createTempDirectory("graft_streambench").toFile
     val stagingDir = new File(work, "staged")
     val cpRoot = new File(work, "cp")
-    stage(facilityShape(spark.read.parquet(s"$sfDir/events.parquet")), nFiles, stagingDir)
-    val schema = spark.read.parquet(stagingDir.getAbsolutePath).schema
-    try ops(spark).map { case (name, build) =>
-      name -> runOp(spark, stagingDir, schema, build, cpRoot, name)
-    } finally deleteRec(work)
+    val staged = stage(shaped, nFiles, stagingDir)
+    if (staged != nFiles)
+      System.err.println(
+        s"[StreamBench] staged $staged part files for requested $nFiles " +
+          "(empty range partitions) — batch counts reflect the actual number")
+    // recentProgress is a RING BUFFER (default 100 entries, incl. no-data
+    // batches): with nFiles near/above ~100 the early entries are evicted
+    // and the post-run row sums silently undercount. Size it to the
+    // actual batch count (+ slack for empty trailing batches) for the
+    // duration of the measurement.
+    val progKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevProg = spark.conf.getOption(progKey)
+    spark.conf.set(progKey, (staged * 2 + 64).toString)
+    try {
+      val schema = spark.read.parquet(stagingDir.getAbsolutePath).schema
+      RunResult(staged, ops(spark).map { case (name, build) =>
+        name -> runOp(spark, stagingDir, schema, build, cpRoot, name)
+      })
+    } finally {
+      prevProg match {
+        case Some(v) => spark.conf.set(progKey, v)
+        case None => spark.conf.unset(progKey)
+      }
+      deleteRec(work)
+    }
   }
 
   private def deleteRec(f: File): Unit = {
@@ -144,14 +206,16 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up at sf0.001 (JIT/codegen/RocksDB native-lib load).
-    run(spark, "/root/testdata/sf0.001", 2)
+    // Warm-up (JIT/codegen/RocksDB native-lib load): a 1000-row slice of
+    // the SAME sfDir — no dependence on any other dataset existing.
+    val shaped = facilityShape(Tables.load(spark, sfDir, "events"))
+    runShaped(spark, shaped.limit(1000), 2)
 
     val results = run(spark, sfDir, nFiles)
-    val opsJson = results.map { case (n, r) =>
-      f""""$n":{"rows":${r.rows},"sec":${r.sec}%.3f,"rows_per_sec":${r.rows / r.sec}%.0f,"batches":${r.batches},"out_rows":${r.outRows}}"""
+    val opsJson = results.ops.map { case (n, r) =>
+      f""""$n":{"rows":${r.rows},"sec":${r.sec}%.3f,"rows_per_sec":${r.rows / r.sec}%.0f,"batches":${r.batches},"out_rows":${r.outRows},"state_rows":${r.stateRows},"state_mem_mb":${r.stateMemBytes / 1e6}%.1f,"compaction_ms":${r.compactionMs}}"""
     }.mkString(",")
-    println(s"""{"metric":"stream_throughput","sf":"$sfDir","n_files":$nFiles,"ops":{$opsJson}}""")
+    println(s"""{"metric":"stream_throughput","sf":"$sfDir","n_files":$nFiles,"staged_files":${results.stagedFiles},"ops":{$opsJson}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,29 @@
+package graft
+
+import scala.io.Source
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins `SparkEntry.queries.keySet` against a committed expectation file
+  * (VERDICT r8 item 7): the driver's correctness gate enumerates exactly
+  * this registry, so an accidental rename/removal — which would silently
+  * shrink the gate — fails CI here instead of surfacing as a missing row
+  * in the next CORRECTNESS report. Adding a query is a DELIBERATE act:
+  * update `src/test/resources/registry_queries.txt` in the same commit.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("SparkEntry.queries matches the committed registry expectation") {
+    val src = Source.fromInputStream(
+      getClass.getResourceAsStream("/registry_queries.txt"))
+    val expected = try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+    finally src.close()
+    val actual = SparkEntry.queries.keySet
+    val missing = expected -- actual
+    val extra = actual -- expected
+    assert(missing.isEmpty,
+      s"queries removed from the registry (gate would shrink): ${missing.toSeq.sorted}")
+    assert(extra.isEmpty,
+      s"queries not in registry_queries.txt (add them deliberately): ${extra.toSeq.sorted}")
+  }
+}
