@@ -55,7 +55,15 @@ object Verify {
               name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] = {
     val dest = new java.io.File(s"$outDir/$name")
     try {
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // final stage into one task, so a heavy verify leg (d15's
+      // array_intersect over millions of candidate pairs at sf3) runs
+      // single-threaded for tens of minutes. repartition adds one
+      // round-robin shuffle of the final OUTPUT rows only — upstream
+      // compute keeps full parallelism, and the single-file layout the
+      // driver compare expects is preserved. Row order changes, which
+      // is immaterial: the compare sorts rows before hashing.
+      fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(dest.getPath)
       None
     } catch { case scala.util.control.NonFatal(e) =>

@@ -260,9 +260,32 @@ object Dedup {
     val postings = pref.groupBy("shk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
       .filter(size(col("docs")).between(2, MaxPostings))
-    val cand = postings
+    // Pre-expansion sizing (the round-7 t12/t17 rule, which this
+    // operator had NOT applied — found by the sf3 gate, where the
+    // whole quadratic pair stream landed on ONE task for 25+ min):
+    // AQE's byte-based coalesce sees a ~KB capped posting frame and
+    // cannot see that the explode below multiplies each posting of
+    // size p into p(p-1)/2 pairs. One extra linear pass computes the
+    // EXACT pair-emission count and sizes the shuffle to it (~200k
+    // pairs/task, the t12 density; bounded 16384).
+    val expanded = postings
+      .agg(coalesce(
+        sum(expr("cast(size(docs) as long) * (size(docs) - 1) div 2")),
+        lit(0L)))
+      .head.getLong(0)
+    val parts = math.max(
+      s.sessionState.conf.numShufflePartitions,
+      math.min(16384L, expanded / 200000L).toInt)
+    val cand = postings.repartition(parts, col("shk"))
       .select(explode(flatten(transform(col("docs"), a =>
-        transform(filter(col("docs"), b => b.getField("doc_id") > a.getField("doc_id")),
+        // Length filter (PPJoin): J(A,B) >= τ forces min(n) >= τ·max(n)
+        // — |A∩B| <= min and J >= τ give i >= τ·union >= τ·max. Pure
+        // pruning ahead of the exact verify, so recall-lossless; at
+        // duplication-heavy scale it drops cross-size candidates before
+        // they cost an array_intersect.
+        transform(filter(col("docs"), b => b.getField("doc_id") > a.getField("doc_id")
+            && b.getField("n") * lit(PTauNum) <= a.getField("n") * lit(PTauDen)
+            && a.getField("n") * lit(PTauNum) <= b.getField("n") * lit(PTauDen)),
           b => struct(a.getField("doc_id").as("doc_a"), a.getField("n").as("n_a"),
             b.getField("doc_id").as("doc_b"), b.getField("n").as("n_b")))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.n_a").as("n_a"),
