@@ -81,6 +81,19 @@ object Verify {
       require(leftovers.isEmpty,
         s"[verify] $name: scrub left debris: ${leftovers.take(5).mkString(", ")}")
       Some(msg)
+    } finally {
+      // Drop cached plans between queries (Bench's clearCache rule):
+      // persisted frames from iterative queries (d9/d11/k-means
+      // training) otherwise accumulate across the 114-query dump and
+      // squeeze late heavy queries' heap at 30× scale. clearCache ONLY
+      // — unpersisting `getPersistentRDDs` wholesale looks tempting
+      // but destroys localCheckpoint blocks, whose lineage is
+      // TRUNCATED: the memoized curation run (c1/c2 are two views of
+      // one `curate()`) then dies with CHECKPOINT_RDD_BLOCK_ID_NOT_
+      // FOUND instead of recomputing (measured, round 9). Cached
+      // InMemoryRelations keep their lineage, so clearing them is
+      // always recompute-safe.
+      spark.catalog.clearCache()
     }
   }
 

@@ -293,9 +293,19 @@ object Dedup {
       .distinct()
     val arrs = ranked.select(col("doc_id"), col("shk"))
       .groupBy("doc_id").agg(sort_array(collect_list(col("shk"))).as("arr"))
+    // SHUFFLE_HASH pinned (d2's band-join precedent): the arrs side is
+    // |docs| × ~1.6 KB shingle-key arrays — a few hundred MB at 30×
+    // scale, GBs at corpus scale — and AQE's post-agg size estimate is
+    // unreliable enough that it flipped this to BROADCAST at sf3,
+    // collecting >1 GB of build side into the driver (maxResultSize
+    // abort; measured round 9). Per-partition hash build is the shape
+    // that survives: uniform ~200-element arrays, doc_id-hashed, no
+    // driver involvement.
     cand
-      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a")), Seq("doc_a"))
-      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b")), Seq("doc_b"))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         // array_intersect dedups, so a 60-bit key collision inside one
         // doc can't double-count; the oracle's count(DISTINCT) matches.
