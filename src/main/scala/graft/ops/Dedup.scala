@@ -233,6 +233,24 @@ object Dedup {
     * honesty rule: exact modulo the cap). Verification touches only
     * candidate pairs' key arrays — |A∩B| as array_intersect, and the
     * τ test as the integer cross-multiplication 13·|A∩B| >= 3·(n_a+n_b).
+    *
+    * EXACT-TWIN COLLAPSE (round 9, forced by the 30× gate): duplicated
+    * corpora are this operator's worst case — at 30× duplication every
+    * prefix posting is 30× deeper, so the pair-emission stream grows
+    * ~900× (≈10⁹ rows / tens of GB of shuffle before the pair-distinct;
+    * measured: disk-filling). Since J(A,B) depends ONLY on the two
+    * shingle-key sets, documents with identical (set, n) are
+    * interchangeable: group them once, run the whole prefix-filter
+    * pipeline over one REPRESENTATIVE per group, and expand result
+    * pairs back through group membership (cross-group pairs inherit the
+    * rep pair's score; within-group pairs are exactly J = 1.0). Output
+    * is row-identical to the direct formulation, but the quadratic legs
+    * shrink by the SQUARE of the duplication depth — the collapse is
+    * what makes exact all-pairs similarity runnable on a corpus where
+    * boilerplate is duplicated millions of times. The expansion explode
+    * is output-bound (it emits exactly the result rows), and both it
+    * and the candidate explode carry explicit pre-expansion partition
+    * counts (the round-7 rule — AQE cannot see either multiplication).
     */
   def d15PrefixJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = graft.Tables.spread(load(s, dir, "documents"))
@@ -245,11 +263,25 @@ object Dedup {
         explode_outer(col("sh_arr")).as("sh"))
       .select(col("doc_id"), col("n"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shk"))
-    val dfreq = sh.groupBy("shk").agg(count(lit(1)).as("df"))
-    // One doc_id exchange below the rank window serves both the prefix
-    // branch and the verify arrays (identical subtree → ReusedExchange;
-    // arrs prunes the window away but keeps the exchange).
-    val ranked = sh.join(dfreq, "shk")
+    // Twin collapse: canonical sorted key array per doc, grouped by
+    // (arr, n) — n is carried alongside the key set so a rare intra-doc
+    // 60-bit key collision (n > |arr|) can never merge docs whose
+    // original shingle counts differ; every member of a group is
+    // bit-exactly interchangeable in the pair math below.
+    val allArrs = sh.groupBy("doc_id")
+      .agg(first(col("n")).as("n"),
+        sort_array(collect_list(col("shk"))).as("arr"))
+    val grp = allArrs.groupBy("arr", "n")
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    val shR = grp.select(col("rep").as("doc_id"), col("n"),
+      explode(col("arr")).as("shk"))
+    // Document frequency over REPRESENTATIVES: the global ordering only
+    // needs to be consistent for the prefix lemma, and rep-level df is
+    // the meaningful rarity signal on a duplicated corpus (30 copies of
+    // one doc shouldn't make its shingles look "common").
+    val dfreq = shR.groupBy("shk").agg(count(lit(1)).as("df"))
+    val ranked = shR.join(dfreq, "shk")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("shk"))))
     // π(n) = n - ceil(τn) + 1, ceil in exact integer arithmetic.
@@ -291,17 +323,16 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.n_a").as("n_a"),
         col("p.doc_b").as("doc_b"), col("p.n_b").as("n_b"))
       .distinct()
-    val arrs = ranked.select(col("doc_id"), col("shk"))
-      .groupBy("doc_id").agg(sort_array(collect_list(col("shk"))).as("arr"))
+    val arrs = grp.select(col("rep").as("doc_id"), col("arr"))
     // SHUFFLE_HASH pinned (d2's band-join precedent): the arrs side is
-    // |docs| × ~1.6 KB shingle-key arrays — a few hundred MB at 30×
-    // scale, GBs at corpus scale — and AQE's post-agg size estimate is
-    // unreliable enough that it flipped this to BROADCAST at sf3,
+    // one ~1.6 KB shingle-key array per DISTINCT document — still
+    // hundreds of MB at corpus scale — and AQE's post-agg size estimate
+    // is unreliable enough that it flipped this to BROADCAST at sf3,
     // collecting >1 GB of build side into the driver (maxResultSize
     // abort; measured round 9). Per-partition hash build is the shape
-    // that survives: uniform ~200-element arrays, doc_id-hashed, no
-    // driver involvement.
-    cand
+    // that survives: uniform arrays, doc_id-hashed, no driver
+    // involvement.
+    val repPairs = cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"))
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"))
@@ -315,6 +346,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
           (col("n_a") + col("n_b") - col("ni")).cast("double"), 6).as("jaccard"))
+      // Materialize ONCE (d9's localCheckpoint precedent): the sizing
+      // aggregate below and the expansion both consume repPairs, and
+      // without a checkpoint each would replay the full candidate +
+      // verify pipeline. Rep-level pairs are small by construction.
+      .localCheckpoint()
+
+    // ---- expansion back to document pairs (output-bound explode) ----
+    val mem = grp.select(col("rep"), col("members"))
+    val gsz = grp.select(col("rep"), size(col("members")).cast("long").as("m"))
+    val crossOut = repPairs
+      .join(gsz.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
+      .join(gsz.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b")
+      .agg(coalesce(sum(col("ma") * col("mb")), lit(0L))).head.getLong(0)
+    val withinOut = grp.agg(coalesce(sum(
+        expr("cast(size(members) as long) * (size(members) - 1) div 2")),
+      lit(0L))).head.getLong(0)
+    val outParts = math.max(
+      s.sessionState.conf.numShufflePartitions,
+      math.min(16384L, (crossOut + withinOut) / 200000L).toInt)
+    // Cross-group pairs: every (x ∈ A, y ∈ B) inherits the rep pair's
+    // exact score; least/greatest restores the doc_a < doc_b contract
+    // (group ids interleave). Each doc pair arises from exactly one
+    // rep pair, so no distinct is needed.
+    val cross = repPairs
+      .join(mem.select(col("rep").as("doc_a"), col("members").as("ma"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(mem.select(col("rep").as("doc_b"), col("members").as("mb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .repartition(outParts, col("doc_a"), col("doc_b"))
+      .select(col("jaccard"), explode(flatten(transform(col("ma"), x =>
+        transform(col("mb"), y =>
+          struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("jaccard"))
+    // Within-group pairs: identical (set, n) means J is EXACTLY 1.0 —
+    // the same value the direct formulation computes (ni = n_a = n_b).
+    // Members are sorted, so (i < j) positions give doc_a < doc_b.
+    val within = grp
+      .filter(size(col("members")) >= 2)
+      .repartition(outParts, col("rep"))
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** d8 — embedding-cosine near-dup with sign-bit LSH blocking (the

@@ -282,6 +282,53 @@ class PropertySpec extends AnyFunSuite {
     expect.foreach { case (k, v) => assert(math.abs(got(k) - v) <= 5e-7) }
   }
 
+  test("d15PrefixJaccard on a DUPLICATED corpus ≡ brute force — the " +
+    "exact-twin collapse changes the plan, never the output") {
+    // Purpose-built corpus: each of 5 base texts duplicated 4× (so the
+    // within-group J=1.0 path and the cross-group m_a×m_b expansion
+    // both fire, which the driver fixtures — twin-free — never do).
+    // Texts 0/1 and 2/3 are near-dups of each other; 4 is unrelated.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tomorrow",
+      "partition pruning keeps a hundred terabyte scan honest at the metadata layer",
+      "partition pruning keeps a hundred terabyte scan honest at the storage layer",
+      "watermarks bound streaming state by event time not by row count")
+    val docs = for {
+      (t, ti) <- base.zipWithIndex
+      c <- 0 until 4
+    } yield ((ti * 10 + c).toLong, t)
+    val dir = java.nio.file.Files.createTempDirectory("d15twins").toFile
+    try {
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"${dir.getPath}/documents.parquet")
+      val sets = docs.map { case (id, text) =>
+        id -> text.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+      }
+      val expect = (for {
+        i <- sets.indices
+        j <- i + 1 until sets.length
+        lo = if (sets(i)._1 < sets(j)._1) sets(i) else sets(j)
+        hi = if (sets(i)._1 < sets(j)._1) sets(j) else sets(i)
+        ni = lo._2.intersect(hi._2).size
+        if 13L * ni >= 3L * (lo._2.size + hi._2.size)
+      } yield ((lo._1, hi._1),
+        ni.toDouble / (lo._2.size + hi._2.size - ni))).toMap
+      val got = graft.ops.Dedup.d15PrefixJaccard(spark, dir.getPath).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(got.keySet == expect.keySet)
+      // Within-group twins must be present and exactly 1.0.
+      assert(got((0L, 1L)) == 1.0)
+      assert(expect.count { case (_, v) => v == 1.0 } == 5 * (4 * 3) / 2)
+      expect.foreach { case (k, v) => assert(math.abs(got(k) - v) <= 5e-7, k) }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("ingest partitions the stream: validated + rejected == input") {
     val goodFac = Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.chooseNum(-10.0, 10.0))
       .map { case (id, p) =>

