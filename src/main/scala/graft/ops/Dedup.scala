@@ -274,6 +274,13 @@ object Dedup {
     val grp = allArrs.groupBy("arr", "n")
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"))
+      // The collapse hub: six consumers (rep keys, postings sizing,
+      // verify arrays, membership, group sizes, within-pairs) would
+      // each replay the tokenize→shingle→md5 pipeline — measured 4×
+      // the operator's wall at sf0.1. One row per DISTINCT document
+      // (key array + members), MEMORY_AND_DISK so corpus scale spills
+      // instead of evicting; released by the caller's clearCache.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shR = grp.select(col("rep").as("doc_id"), col("n"),
       explode(col("arr")).as("shk"))
     // Document frequency over REPRESENTATIVES: the global ordering only
@@ -292,6 +299,10 @@ object Dedup {
     val postings = pref.groupBy("shk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
       .filter(size(col("docs")).between(2, MaxPostings))
+      // Cached like grp: consumed by the sizing aggregate AND the
+      // candidate explode — capped lists, so the footprint is bounded
+      // by MaxPostings × #prefix-shingles, not by pairs.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pre-expansion sizing (the round-7 t12/t17 rule, which this
     // operator had NOT applied — found by the sf3 gate, where the
     // whole quadratic pair stream landed on ONE task for 25+ min):
@@ -355,16 +366,18 @@ object Dedup {
     // ---- expansion back to document pairs (output-bound explode) ----
     val mem = grp.select(col("rep"), col("members"))
     val gsz = grp.select(col("rep"), size(col("members")).cast("long").as("m"))
-    val crossOut = repPairs
+    // One sizing job for both expansion legs (union of two 1-row aggs).
+    val outRows = repPairs
       .join(gsz.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
       .join(gsz.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b")
-      .agg(coalesce(sum(col("ma") * col("mb")), lit(0L))).head.getLong(0)
-    val withinOut = grp.agg(coalesce(sum(
-        expr("cast(size(members) as long) * (size(members) - 1) div 2")),
-      lit(0L))).head.getLong(0)
+      .agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).as("c"))
+      .unionAll(grp.agg(coalesce(sum(
+          expr("cast(size(members) as long) * (size(members) - 1) div 2")),
+        lit(0L)).as("c")))
+      .agg(sum(col("c"))).head.getLong(0)
     val outParts = math.max(
       s.sessionState.conf.numShufflePartitions,
-      math.min(16384L, (crossOut + withinOut) / 200000L).toInt)
+      math.min(16384L, outRows / 200000L).toInt)
     // Cross-group pairs: every (x ∈ A, y ∈ B) inherits the rep pair's
     // exact score; least/greatest restores the doc_a < doc_b contract
     // (group ids interleave). Each doc pair arises from exactly one
