@@ -243,14 +243,35 @@ object Dedup {
     * interchangeable: group them once, run the whole prefix-filter
     * pipeline over one REPRESENTATIVE per group, and expand result
     * pairs back through group membership (cross-group pairs inherit the
-    * rep pair's score; within-group pairs are exactly J = 1.0). Output
-    * is row-identical to the direct formulation, but the quadratic legs
-    * shrink by the SQUARE of the duplication depth — the collapse is
-    * what makes exact all-pairs similarity runnable on a corpus where
-    * boilerplate is duplicated millions of times. The expansion explode
-    * is output-bound (it emits exactly the result rows), and both it
-    * and the candidate explode carry explicit pre-expansion partition
-    * counts (the round-7 rule — AQE cannot see either multiplication).
+    * rep pair's score; within-group pairs are exactly J = 1.0). The
+    * quadratic legs shrink by the SQUARE of the duplication depth — the
+    * collapse is what makes exact all-pairs similarity runnable on a
+    * corpus where boilerplate is duplicated millions of times.
+    *
+    * Cap/df semantics under the collapse: document frequency and the
+    * [2, MaxPostings] prefix-posting cap count one representative per
+    * DISTINCT shingle set — 30 copies of a doc neither make its
+    * shingles look common nor exhaust the cap — and within-group
+    * exact-duplicate pairs are emitted unconditionally (J is
+    * identically 1.0; no candidate generation is needed to prove it).
+    * So the output is row-identical to the direct per-document
+    * formulation exactly when the cap never fires; when it does, the
+    * group-level cap dominates it (strictly higher recall on duplicated
+    * corpora). The committed oracle mirrors the collapse — group-level
+    * df/cap, membership expansion — so engine and oracle agree at
+    * every duplication depth.
+    *
+    * The expansion explodes are output-bound (they emit exactly the
+    * result rows), CHUNKED — the exploded product is built one side at
+    * a time, so the largest in-memory object is one member list, never
+    * an m_a×m_b pair array — and carry explicit pre-expansion partition
+    * counts keyed on the exploded member (the round-7 rule: AQE cannot
+    * see a generator's multiplication, and a partitioner can't split
+    * one row — spreading must happen AFTER the first explode). When the
+    * corpus has no exact twins (every group a singleton — the common
+    * small-scale case), the rep pairs ARE the answer: the sizing job
+    * detects it (within-pair count 0, fused into the candidate-sizing
+    * pass) and the expansion machinery is skipped entirely.
     */
   def d15PrefixJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = graft.Tables.spread(load(s, dir, "documents"))
@@ -308,14 +329,25 @@ object Dedup {
     // whole quadratic pair stream landed on ONE task for 25+ min):
     // AQE's byte-based coalesce sees a ~KB capped posting frame and
     // cannot see that the explode below multiplies each posting of
-    // size p into p(p-1)/2 pairs. One extra linear pass computes the
-    // EXACT pair-emission count and sizes the shuffle to it (~200k
-    // pairs/task, the t12 density; bounded 16384).
-    val expanded = postings
+    // size p into p(p-1)/2 pairs. One linear pass computes the EXACT
+    // pair-emission count and sizes the shuffle to it (~200k
+    // pairs/task, the t12 density; bounded 16384). FUSED into the same
+    // job (round 10): the within-group twin-pair count — zero exactly
+    // when every group is a singleton, which triggers the expansion
+    // bypass below, and otherwise one of the two terms of the output
+    // sizing — so the twin-free path pays ONE driver action, not three.
+    val szRow = postings
       .agg(coalesce(
-        sum(expr("cast(size(docs) as long) * (size(docs) - 1) div 2")),
-        lit(0L)))
-      .head.getLong(0)
+          sum(expr("cast(size(docs) as long) * (size(docs) - 1) div 2")),
+          lit(0L)).as("cand"),
+        lit(0L).as("within"))
+      .unionAll(grp.agg(lit(0L).as("cand"),
+        coalesce(sum(
+            expr("cast(size(members) as long) * (size(members) - 1) div 2")),
+          lit(0L)).as("within")))
+      .agg(sum(col("cand")), sum(col("within"))).head
+    val expanded = szRow.getLong(0)
+    val withinPairs = szRow.getLong(1)
     val parts = math.max(
       s.sessionState.conf.numShufflePartitions,
       math.min(16384L, expanded / 200000L).toInt)
@@ -343,7 +375,7 @@ object Dedup {
     // abort; measured round 9). Per-partition hash build is the shape
     // that survives: uniform arrays, doc_id-hashed, no driver
     // involvement.
-    val repPairs = cand
+    val repPairs0 = cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"))
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"))
@@ -357,53 +389,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
           (col("n_a") + col("n_b") - col("ni")).cast("double"), 6).as("jaccard"))
-      // Materialize ONCE (d9's localCheckpoint precedent): the sizing
-      // aggregate below and the expansion both consume repPairs, and
-      // without a checkpoint each would replay the full candidate +
-      // verify pipeline. Rep-level pairs are small by construction.
-      .localCheckpoint()
+    // TWIN-FREE BYPASS: zero within-group pairs means every group is a
+    // singleton — members ≡ [rep], the cross expansion is the identity
+    // map (cand already emits doc_a < doc_b), and the within leg is
+    // empty. The rep pairs ARE the answer; skip the checkpoint, the
+    // expansion sizing job, and both expansion legs (they were ~half of
+    // the operator's sf0.1 wall as pure fixed cost on twin-free data).
+    if (withinPairs == 0L) return repPairs0
+
+    // Materialize ONCE (d9's localCheckpoint precedent): the sizing
+    // aggregate below and the expansion both consume repPairs, and
+    // without a checkpoint each would replay the full candidate +
+    // verify pipeline. Rep-level pairs are small by construction.
+    val repPairs = repPairs0.localCheckpoint()
 
     // ---- expansion back to document pairs (output-bound explode) ----
     val mem = grp.select(col("rep"), col("members"))
     val gsz = grp.select(col("rep"), size(col("members")).cast("long").as("m"))
-    // One sizing job for both expansion legs (union of two 1-row aggs).
-    val outRows = repPairs
+    // Cross-pair count: Σ m_a·m_b over rep pairs (the within term is
+    // already known from the fused sizing job above).
+    val outRows = withinPairs + repPairs
       .join(gsz.select(col("rep").as("doc_a"), col("m").as("ma")), "doc_a")
       .join(gsz.select(col("rep").as("doc_b"), col("m").as("mb")), "doc_b")
-      .agg(coalesce(sum(col("ma") * col("mb")), lit(0L)).as("c"))
-      .unionAll(grp.agg(coalesce(sum(
-          expr("cast(size(members) as long) * (size(members) - 1) div 2")),
-        lit(0L)).as("c")))
-      .agg(sum(col("c"))).head.getLong(0)
+      .agg(coalesce(sum(col("ma") * col("mb")), lit(0L)))
+      .head.getLong(0)
     val outParts = math.max(
       s.sessionState.conf.numShufflePartitions,
       math.min(16384L, outRows / 200000L).toInt)
     // Cross-group pairs: every (x ∈ A, y ∈ B) inherits the rep pair's
     // exact score; least/greatest restores the doc_a < doc_b contract
     // (group ids interleave). Each doc pair arises from exactly one
-    // rep pair, so no distinct is needed.
+    // rep pair, so no distinct is needed. CHUNKED (round 10): explode
+    // side A into rows BEFORE pairing with side B, so the largest
+    // in-memory object is one member list (which grp already holds),
+    // never an m_a×m_b struct array — and repartition on the exploded
+    // member, because a partitioner cannot split one row: keyed on
+    // (doc_a, doc_b) a single pair of million-member twin groups lands
+    // its whole 10¹² product on one task; keyed on (x, rep_b) it
+    // spreads over outParts tasks.
     val cross = repPairs
       .join(mem.select(col("rep").as("doc_a"), col("members").as("ma"))
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(mem.select(col("rep").as("doc_b"), col("members").as("mb"))
         .hint("shuffle_hash"), Seq("doc_b"))
-      .repartition(outParts, col("doc_a"), col("doc_b"))
-      .select(col("jaccard"), explode(flatten(transform(col("ma"), x =>
-        transform(col("mb"), y =>
-          struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("jaccard"))
+      .select(col("doc_b"), col("jaccard"), col("mb"),
+        explode(col("ma")).as("x"))
+      .repartition(outParts, col("x"), col("doc_b"))
+      .select(col("jaccard"), col("x"), explode(col("mb")).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
     // Within-group pairs: identical (set, n) means J is EXACTLY 1.0 —
     // the same value the direct formulation computes (ni = n_a = n_b).
-    // Members are sorted, so (i < j) positions give doc_a < doc_b.
+    // Members are sorted, so positions i < j give doc_a < doc_b; the
+    // same chunking applies (posexplode the anchor first, slice the
+    // suffix after the spread — one row never holds the pair product).
     val within = grp
       .filter(size(col("members")) >= 2)
-      .repartition(outParts, col("rep"))
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + lit(2), size(col("members"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        lit(1.0).as("jaccard"))
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "x")))
+      .repartition(outParts, col("x"))
+      .select(col("x").as("doc_a"),
+        explode(slice(col("members"), col("i") + lit(2),
+          size(col("members")))).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
     cross.unionByName(within)
   }
 
@@ -1232,6 +1279,13 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3""".stripMargin,
     "d15_prefix_jaccard" ->
+      // Mirrors the engine's exact-twin collapse (round-10 divergence
+      // fix): document frequency and the [2, MaxPostings] prefix-posting
+      // cap are computed over one REPRESENTATIVE per distinct
+      // (key-list, n) group — not over all documents — and rep-level
+      // result pairs are expanded through group membership, with
+      // within-group pairs at exactly J = 1.0. Engine and oracle agree
+      // at every duplication depth, including when the cap fires.
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh0 AS (SELECT doc_id, $shinglesSql AS sh_arr
          |        FROM t WHERE len(toks) >= 3),
@@ -1240,29 +1294,44 @@ object Dedup {
          |shk AS (SELECT doc_id, n,
          |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS shk
          |       FROM shu),
-         |dfq AS (SELECT shk, count(*) AS df FROM shk GROUP BY 1),
-         |ranked AS (SELECT s.doc_id, s.n, s.shk,
-         |    row_number() OVER (PARTITION BY s.doc_id
+         |dl AS (SELECT doc_id, n, list_sort(list(shk)) AS arr
+         |       FROM shk GROUP BY doc_id, n),
+         |grp AS (SELECT arr, n, min(doc_id) AS rep,
+         |          list_sort(list(doc_id)) AS members
+         |        FROM dl GROUP BY arr, n),
+         |shr AS (SELECT rep, n, unnest(arr) AS shk FROM grp),
+         |dfq AS (SELECT shk, count(*) AS df FROM shr GROUP BY 1),
+         |ranked AS (SELECT s.rep, s.n, s.shk,
+         |    row_number() OVER (PARTITION BY s.rep
          |      ORDER BY d.df, s.shk) AS rk
-         |  FROM shk s JOIN dfq d USING (shk)),
-         |pref AS (SELECT doc_id, n, shk FROM ranked
+         |  FROM shr s JOIN dfq d USING (shk)),
+         |pref AS (SELECT rep, n, shk FROM ranked
          |         WHERE rk <= n - ($PTauNum*n + ${PTauDen - 1})//$PTauDen + 1),
          |pcap AS (SELECT shk FROM pref GROUP BY 1
          |         HAVING count(*) BETWEEN 2 AND $MaxPostings),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.n AS n_a,
-         |    b.doc_id AS doc_b, b.n AS n_b
-         |  FROM pref a JOIN pref b ON a.shk = b.shk AND a.doc_id < b.doc_id
+         |cand AS (SELECT DISTINCT a.rep AS rep_a, a.n AS n_a,
+         |    b.rep AS rep_b, b.n AS n_b
+         |  FROM pref a JOIN pref b ON a.shk = b.shk AND a.rep < b.rep
          |  JOIN pcap c ON c.shk = a.shk),
-         |dl AS (SELECT doc_id, list(DISTINCT shk) AS ls FROM shk GROUP BY 1),
-         |inter AS (SELECT doc_a, n_a, doc_b, n_b,
-         |    len(list_intersect(da.ls, db.ls)) AS ni
-         |  FROM cand JOIN dl da ON da.doc_id = doc_a
-         |  JOIN dl db ON db.doc_id = doc_b)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(ni AS DOUBLE) / CAST(n_a + n_b - ni AS DOUBLE), 6)
-         |    AS jaccard
-         |FROM inter
-         |WHERE ${PTauNum + PTauDen} * ni >= $PTauNum * (n_a + n_b)""".stripMargin,
+         |inter AS (SELECT rep_a, n_a, rep_b, n_b,
+         |    len(list_intersect(ga.arr, gb.arr)) AS ni
+         |  FROM cand JOIN grp ga ON ga.rep = rep_a
+         |  JOIN grp gb ON gb.rep = rep_b),
+         |rp AS (SELECT rep_a, rep_b,
+         |    round(CAST(ni AS DOUBLE) / CAST(n_a + n_b - ni AS DOUBLE), 6)
+         |      AS jaccard
+         |  FROM inter
+         |  WHERE ${PTauNum + PTauDen} * ni >= $PTauNum * (n_a + n_b)),
+         |memx AS (SELECT rep, unnest(members) AS m FROM grp),
+         |crossx AS (SELECT least(ma.m, mb.m) AS doc_a,
+         |    greatest(ma.m, mb.m) AS doc_b, rp.jaccard
+         |  FROM rp JOIN memx ma ON ma.rep = rp.rep_a
+         |  JOIN memx mb ON mb.rep = rp.rep_b),
+         |withinx AS (SELECT a.m AS doc_a, b.m AS doc_b,
+         |    CAST(1.0 AS DOUBLE) AS jaccard
+         |  FROM memx a JOIN memx b ON a.rep = b.rep AND a.m < b.m)
+         |SELECT doc_a, doc_b, jaccard FROM crossx
+         |UNION ALL SELECT doc_a, doc_b, jaccard FROM withinx""".stripMargin,
     "d8b_neardup_multiband" ->
       s"""WITH ${Similarity.bandedCteSql},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -329,6 +329,87 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("d15PrefixJaccard at 300× duplication depth: row-identity holds AND " +
+    "total shuffle traffic stays output-bound — never quadratic in documents") {
+    // Adversarial duplication stress (VERDICT r9 item 6): a TINY distinct
+    // corpus duplicated to a depth (300) an order past the sf3 gate's 30×.
+    // Un-collapsed, the prefix-posting candidate stream alone is
+    // ~C(depth·dups,2) ≈ 630k rows PER SHARED PREFIX SHINGLE; collapsed,
+    // every quadratic leg runs over 5 representatives and the expansion
+    // emits exactly the result rows. The listener-measured shuffle-write
+    // record total is the observable: it must stay a small multiple of
+    // input+output, far under the document-level quadratic.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tomorrow",
+      "partition pruning keeps a hundred terabyte scan honest at the metadata layer",
+      "partition pruning keeps a hundred terabyte scan honest at the storage layer",
+      "watermarks bound streaming state by event time not by row count")
+    val depth = 300
+    val docs = for {
+      (t, ti) <- base.zipWithIndex
+      c <- 0 until depth
+    } yield ((ti * 1000 + c).toLong, t)
+    val nDocs = docs.size.toLong // 1500
+    // Group-level expected result, expanded count-wise (the brute force
+    // over C(1500,2) doc pairs reduces exactly to the 5×5 base matrix).
+    val sets = base.map(t =>
+      t.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet)
+    val basePairs = (for {
+      i <- sets.indices; j <- i + 1 until sets.length
+      ni = sets(i).intersect(sets(j)).size
+      if 13L * ni >= 3L * (sets(i).size + sets(j).size)
+    } yield ((i, j), ni.toDouble / (sets(i).size + sets(j).size - ni))).toMap
+    val expect = scala.collection.mutable.HashMap[(Long, Long), Double]()
+    for (ti <- base.indices; a <- 0 until depth; b <- a + 1 until depth)
+      expect(((ti * 1000 + a).toLong, (ti * 1000 + b).toLong)) = 1.0
+    for (((i, j), v) <- basePairs; a <- 0 until depth; b <- 0 until depth)
+      expect(((i * 1000 + a).toLong, (j * 1000 + b).toLong)) = v
+
+    val dir = java.nio.file.Files.createTempDirectory("d15depth").toFile
+    val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          recs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit
+        }
+      }
+    }
+    try {
+      docs.toDF("doc_id", "text").repartition(8).write.mode("overwrite")
+        .parquet(s"${dir.getPath}/documents.parquet")
+      spark.sparkContext.addSparkListener(listener)
+      val got = graft.ops.Dedup.d15PrefixJaccard(spark, dir.getPath).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(got.size == expect.size)
+      assert(got.keySet == expect.keySet)
+      expect.foreach { case (k, v) => assert(math.abs(got(k) - v) <= 5e-7, k) }
+      // Listener events are delivered async: poll until the total is
+      // stable across two consecutive reads before asserting on it.
+      var prev = -1L
+      var waited = 0
+      while (recs.get() != prev && waited < 100) {
+        prev = recs.get(); Thread.sleep(100); waited += 1
+      }
+      val quadratic = nDocs * (nDocs - 1) / 2 // 1,124,250 document pairs
+      val bound = 2L * (nDocs + got.size)     // output-bound envelope
+      info(s"shuffle-write records=${recs.get()} output=${got.size} " +
+        s"bound=$bound doc-quadratic=$quadratic")
+      assert(recs.get() < bound,
+        s"shuffle traffic ${recs.get()} exceeds the output-bound envelope " +
+          s"$bound — a quadratic leg is running at document level")
+      assert(recs.get() < quadratic / 4)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("ingest partitions the stream: validated + rejected == input") {
     val goodFac = Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.chooseNum(-10.0, 10.0))
       .map { case (id, p) =>

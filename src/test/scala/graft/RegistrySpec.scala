@@ -14,8 +14,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("SparkEntry.queries matches the committed registry expectation") {
-    val src = Source.fromInputStream(
-      getClass.getResourceAsStream("/registry_queries.txt"))
+    val stream = getClass.getResourceAsStream("/registry_queries.txt")
+    // Fail diagnosably, not with a bare NPE from Source, if the
+    // expectation file ever drops out of the test classpath.
+    assert(stream != null,
+      "registry_queries.txt missing from src/test/resources — the " +
+        "registry pin cannot run without its committed expectation")
+    val src = Source.fromInputStream(stream)
     val expected = try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
     finally src.close()
     val actual = SparkEntry.queries.keySet

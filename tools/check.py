@@ -94,6 +94,113 @@ def run_oracle(con, sql, timeout_s):
         timer.cancel()
 
 
+# Positive Spark-side evidence for oracle-infeasible queries (VERDICT r9
+# item 4): when a quadratic oracle dies at 30x (timeout / OOM / spill
+# disk), the engine's answer should not be asserted by NOTHING. Each
+# entry is a linear-cost DuckDB query over the DUMPED result (view
+# `result`, plus sibling dumps via {out}) and the input tables, returning
+# one row of named booleans — all must be true. These are structural
+# invariants (conservation, ordering, referential integrity), not value
+# recomputation: cheap at any scale, and a violation is a real engine
+# defect, so a failed selfcheck counts as a gate FAIL.
+_CONSERVATION_SQL = """
+WITH cand AS (SELECT doc_id FROM documents
+              WHERE source IS DISTINCT FROM 'src0'),
+ch AS (SELECT DISTINCT doc_id FROM read_parquet('{out}/c5_curation2/*.parquet')),
+au AS (SELECT doc_id FROM read_parquet('{out}/c6_curation2_audit/*.parquet'))
+SELECT
+  (SELECT count(*) FROM ch JOIN au USING (doc_id)) = 0
+    AS chunks_audit_disjoint,
+  (SELECT count(*) FROM ch) + (SELECT count(*) FROM au)
+    = (SELECT count(*) FROM cand) AS conserved,
+  (SELECT count(doc_id) FROM au) = (SELECT count(DISTINCT doc_id) FROM au)
+    AS audit_one_row_per_doc,
+  (SELECT count(*) FROM ch WHERE doc_id NOT IN (SELECT doc_id FROM cand)) = 0
+    AS chunks_from_candidates
+"""
+
+SELFCHECKS = {
+    # c5/c6 are two views of one curate2() run; the conservation contract
+    # (every candidate doc lands in chunks or in exactly one audit row,
+    # reasons non-overlapping) ties them together, so both queries run
+    # the same joint check against both dumps.
+    "c5_curation2": _CONSERVATION_SQL,
+    "c6_curation2_audit": _CONSERVATION_SQL,
+    "d11_semantic_dedup": """
+WITH r AS (SELECT vec_id, cluster_id FROM result)
+SELECT
+  (SELECT count(*) FROM r) = (SELECT count(DISTINCT vec_id) FROM r)
+    AS one_row_per_vec,
+  (SELECT count(*) FROM r WHERE cluster_id > vec_id) = 0 AS label_le_id,
+  (SELECT count(*) FROM (SELECT DISTINCT cluster_id FROM r) c
+   WHERE NOT EXISTS (SELECT 1 FROM r
+     WHERE r.vec_id = c.cluster_id AND r.cluster_id = c.cluster_id)) = 0
+    AS keeper_self_labeled,
+  (SELECT count(*) FROM r
+   WHERE vec_id NOT IN (SELECT vec_id FROM embeddings)) = 0 AS vecs_exist,
+  (SELECT count(*) FROM (SELECT cluster_id FROM r GROUP BY 1
+                         HAVING count(*) < 2)) = 0 AS clusters_nontrivial
+""",
+    "d15_prefix_jaccard": """
+WITH r AS (SELECT doc_a, doc_b, jaccard FROM result)
+SELECT
+  (SELECT count(*) FROM r WHERE doc_a >= doc_b) = 0 AS ordered_pairs,
+  (SELECT count(*) FROM r WHERE jaccard < 0.3 OR jaccard > 1.0) = 0
+    AS scores_in_tau_1,
+  (SELECT count(*) FROM r)
+    = (SELECT count(*) FROM (SELECT DISTINCT doc_a, doc_b FROM r))
+    AS pairs_distinct,
+  (SELECT count(*) FROM r
+   WHERE doc_a NOT IN (SELECT doc_id FROM documents)
+      OR doc_b NOT IN (SELECT doc_id FROM documents)) = 0 AS docs_exist
+""",
+}
+
+
+def selfcheck(name, sf_dir, out_dir, files):
+    """Run the query's invariant SQL on a fresh connection. Returns
+    None (no check defined), or (ok, detail) where detail names each
+    invariant's verdict.
+    """
+    if name not in SELFCHECKS:
+        return None
+    con = connect(sf_dir)
+    try:
+        con.execute(
+            f"CREATE VIEW result AS SELECT * FROM read_parquet({files!r})")
+        cur = con.execute(SELFCHECKS[name].format(out=out_dir))
+        cols = [d[0] for d in cur.description]
+        row = cur.fetchone()
+        verdicts = dict(zip(cols, [bool(v) for v in row]))
+        return all(verdicts.values()), verdicts
+    finally:
+        con.close()
+
+
+def infeasible(name, sf_dir, out_dir, files, why, n_pass, n_fail, n_inf):
+    """Classify one oracle-infeasible query: run its selfcheck (if any)
+    and fold the verdict into the counters. A failed INVARIANT is an
+    engine defect — it FAILS the gate even though the oracle never ran.
+    """
+    try:
+        res = selfcheck(name, sf_dir, out_dir, files)
+    except Exception as e:
+        print(f"INFEASIBLE {name}: {why}; selfcheck errored: {e}")
+        return n_pass, n_fail + 1, n_inf
+    if res is None:
+        print(f"INFEASIBLE {name}: {why}")
+        return n_pass, n_fail, n_inf + 1
+    ok, verdicts = res
+    if ok:
+        print(f"INFEASIBLE+SELFCHECK {name}: {why}; "
+              f"{len(verdicts)}/{len(verdicts)} invariants hold "
+              f"({', '.join(verdicts)})")
+        return n_pass, n_fail, n_inf + 1
+    bad = [k for k, v in verdicts.items() if not v]
+    print(f"FAIL {name}: {why}; selfcheck VIOLATED: {bad}")
+    return n_pass, n_fail + 1, n_inf
+
+
 def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
@@ -133,15 +240,18 @@ def main(sf_dir, out_dir):
             # ceiling, not a verdict on the engine's output (the d15-at-
             # sf1 precedent): recorded loudly as its own category, does
             # not fail the gate, and the Spark-side rows remain dumped
-            # for inspection.
-            print(f"INFEASIBLE {name}: oracle exceeded {timeout_s:.0f}s wall cap")
-            n_inf += 1
+            # for inspection. Where a selfcheck exists, the engine's
+            # answer still gets POSITIVE structural evidence.
+            why = f"oracle exceeded {timeout_s:.0f}s wall cap"
+            n_pass, n_fail, n_inf = infeasible(
+                name, sf_dir, out_dir, files, why, n_pass, n_fail, n_inf)
             continue
         except (duckdb.OutOfMemoryException, duckdb.IOException) as e:
             # Same category when even the escalated retry exhausts
             # memory or its spill fills the disk (c5/c6 at sf3).
-            print(f"INFEASIBLE {name}: oracle resource exhaustion: {e}")
-            n_inf += 1
+            why = f"oracle resource exhaustion: {e}"
+            n_pass, n_fail, n_inf = infeasible(
+                name, sf_dir, out_dir, files, why, n_pass, n_fail, n_inf)
             continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -170,7 +280,23 @@ def main(sf_dir, out_dir):
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), "
           f"{n_inf} oracle-infeasible")
-    return 1 if n_fail else 0
+    # Vacuous-green guard: with GRAFT_ORACLE_TIMEOUT_S set, every oracle
+    # can be classified INFEASIBLE (timeout / OOM-after-retry / spill-
+    # disk-full) without failing the gate — a too-low cap or a full disk
+    # must not read as green. Zero passes out of a non-empty replay is a
+    # harness failure, not a verdict; a majority-infeasible replay gets
+    # a loud warning (it verified little).
+    n_oracled = n_pass + n_fail + n_inf
+    if n_fail:
+        return 1
+    if n_oracled > 0 and n_pass == 0:
+        print("VACUOUS: no oracle passed — gate verified nothing "
+              "(check timeout/memory caps and spill disk)")
+        return 2
+    if n_oracled > 0 and n_inf > n_oracled // 2:
+        print(f"WARNING: {n_inf}/{n_oracled} oracles infeasible — "
+              "the replay verified a minority of oracled queries")
+    return 0
 
 
 if __name__ == "__main__":
