@@ -273,7 +273,22 @@ object Dedup {
     * detects it (within-pair count 0, fused into the candidate-sizing
     * pass) and the expansion machinery is skipped entirely.
     */
-  def d15PrefixJaccard(s: SparkSession, dir: String): DataFrame = {
+  def d15PrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    d15PrefixJaccardImpl(s, dir, BcastTwinDocs, BcastMaxGroup)
+
+  /** Sparse-twin broadcast-expansion thresholds (see the strategy note
+    * inside the method): ≤200k twin-doc member ids keeps the broadcast
+    * build side ~MBs; ≤1000 members/group bounds any single pair's
+    * expansion. Past either, the shuffle expansion path takes over.
+    */
+  private val BcastTwinDocs = 200000L
+  private val BcastMaxGroup = 1000L
+
+  /** Implementation with explicit thresholds so tests can force the
+    * duplication-heavy shuffle path on a small fixture (pass 0, 0).
+    */
+  private[graft] def d15PrefixJaccardImpl(s: SparkSession, dir: String,
+      bcastTwinDocs: Long, bcastMaxGroup: Long): DataFrame = {
     val sh = graft.Tables.spread(load(s, dir, "documents"))
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
@@ -340,14 +355,22 @@ object Dedup {
       .agg(coalesce(
           sum(expr("cast(size(docs) as long) * (size(docs) - 1) div 2")),
           lit(0L)).as("cand"),
-        lit(0L).as("within"))
+        lit(0L).as("within"), lit(0L).as("twin_docs"), lit(0L).as("max_m"))
       .unionAll(grp.agg(lit(0L).as("cand"),
         coalesce(sum(
             expr("cast(size(members) as long) * (size(members) - 1) div 2")),
-          lit(0L)).as("within")))
-      .agg(sum(col("cand")), sum(col("within"))).head
+          lit(0L)).as("within"),
+        coalesce(sum(expr(
+            "case when size(members) >= 2 then cast(size(members) as long) " +
+              "else 0L end")),
+          lit(0L)).as("twin_docs"),
+        coalesce(max(size(col("members")).cast("long")), lit(0L)).as("max_m")))
+      .agg(sum(col("cand")), sum(col("within")), sum(col("twin_docs")),
+        max(col("max_m"))).head
     val expanded = szRow.getLong(0)
     val withinPairs = szRow.getLong(1)
+    val twinDocs = szRow.getLong(2)
+    val maxGroup = szRow.getLong(3)
     val parts = math.max(
       s.sessionState.conf.numShufflePartitions,
       math.min(16384L, expanded / 200000L).toInt)
@@ -392,15 +415,62 @@ object Dedup {
     // TWIN-FREE BYPASS: zero within-group pairs means every group is a
     // singleton — members ≡ [rep], the cross expansion is the identity
     // map (cand already emits doc_a < doc_b), and the within leg is
-    // empty. The rep pairs ARE the answer; skip the checkpoint, the
-    // expansion sizing job, and both expansion legs (they were ~half of
-    // the operator's sf0.1 wall as pure fixed cost on twin-free data).
+    // empty. The rep pairs ARE the answer; skip every expansion job.
     if (withinPairs == 0L) return repPairs0
 
-    // Materialize ONCE (d9's localCheckpoint precedent): the sizing
-    // aggregate below and the expansion both consume repPairs, and
-    // without a checkpoint each would replay the full candidate +
-    // verify pipeline. Rep-level pairs are small by construction.
+    // Within-group pairs: identical (set, n) means J is EXACTLY 1.0 —
+    // the same value the direct formulation computes (ni = n_a = n_b).
+    // Members are sorted, so positions i < j give doc_a < doc_b; the
+    // expansion is CHUNKED (posexplode the anchor first, spread by it,
+    // slice the suffix after — one row never holds the pair product).
+    def withinLeg(parts: Int): DataFrame = grp
+      .filter(size(col("members")) >= 2)
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "x")))
+      .repartition(parts, col("x"))
+      .select(col("x").as("doc_a"),
+        explode(slice(col("members"), col("i") + lit(2),
+          size(col("members")))).as("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+
+    // SPARSE-TWIN PATH (the common shape of a pre-cleaned corpus: a few
+    // boilerplate groups in an otherwise distinct corpus — the sf0.1
+    // fixture has 8 twin groups among 4,992 documents). Only pairs that
+    // TOUCH a multi-member group need membership expansion, and the
+    // multi-group frame is bounded by the fused-job stats — so expand
+    // through a BROADCAST left-join of just those groups, defaulting the
+    // missing side to [doc]: one consumer chain, which removes the
+    // localCheckpoint (repPairs' pipeline runs once), the second sizing
+    // action, and both shuffle-hash expansion joins. Thresholds keep the
+    // broadcast honest: ≤200k member ids (~3 MB build side) and ≤1000
+    // members per group (per-pair expansion ≤10⁶, within the default
+    // partitioning's streaming reach). Past either bound — the
+    // duplication-HEAVY regime (sf3's 30× is 4.5M twin docs) — the
+    // shuffle path below takes over.
+    if (twinDocs <= bcastTwinDocs && maxGroup <= bcastMaxGroup) {
+      val multiMem = grp.filter(size(col("members")) >= 2)
+        .select(col("rep"), col("members"))
+      val cross = repPairs0
+        .join(broadcast(multiMem.select(col("rep").as("doc_a"),
+          col("members").as("ma"))), Seq("doc_a"), "left")
+        .join(broadcast(multiMem.select(col("rep").as("doc_b"),
+          col("members").as("mb"))), Seq("doc_b"), "left")
+        .select(col("doc_b"), col("jaccard"),
+          coalesce(col("mb"), array(col("doc_b"))).as("mb"),
+          explode(coalesce(col("ma"), array(col("doc_a")))).as("x"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("x"), col("doc_b"))
+        .select(col("jaccard"), col("x"), explode(col("mb")).as("y"))
+        .select(least(col("x"), col("y")).as("doc_a"),
+          greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+      return cross.unionByName(
+        withinLeg(s.sessionState.conf.numShufflePartitions))
+    }
+
+    // DUPLICATION-HEAVY PATH. Materialize repPairs ONCE (d9's
+    // localCheckpoint precedent): the sizing aggregate below and the
+    // expansion both consume it, and without a checkpoint each would
+    // replay the full candidate + verify pipeline. Rep-level pairs are
+    // small by construction.
     val repPairs = repPairs0.localCheckpoint()
 
     // ---- expansion back to document pairs (output-bound explode) ----
@@ -438,20 +508,7 @@ object Dedup {
       .select(col("jaccard"), col("x"), explode(col("mb")).as("y"))
       .select(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
-    // Within-group pairs: identical (set, n) means J is EXACTLY 1.0 —
-    // the same value the direct formulation computes (ni = n_a = n_b).
-    // Members are sorted, so positions i < j give doc_a < doc_b; the
-    // same chunking applies (posexplode the anchor first, slice the
-    // suffix after the spread — one row never holds the pair product).
-    val within = grp
-      .filter(size(col("members")) >= 2)
-      .select(col("members"), posexplode(col("members")).as(Seq("i", "x")))
-      .repartition(outParts, col("x"))
-      .select(col("x").as("doc_a"),
-        explode(slice(col("members"), col("i") + lit(2),
-          size(col("members")))).as("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    cross.unionByName(withinLeg(outParts))
   }
 
   /** d8 — embedding-cosine near-dup with sign-bit LSH blocking (the

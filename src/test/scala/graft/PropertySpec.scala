@@ -321,6 +321,13 @@ class PropertySpec extends AnyFunSuite {
       assert(got((0L, 1L)) == 1.0)
       assert(expect.count { case (_, v) => v == 1.0 } == 5 * (4 * 3) / 2)
       expect.foreach { case (k, v) => assert(math.abs(got(k) - v) <= 5e-7, k) }
+      // The two expansion strategies must be row-identical: force the
+      // duplication-heavy SHUFFLE path (thresholds 0) on the same corpus
+      // the default (sparse-twin broadcast) path just answered.
+      val gotShuffle = graft.ops.Dedup
+        .d15PrefixJaccardImpl(spark, dir.getPath, 0L, 0L).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(gotShuffle == got)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
