@@ -355,7 +355,8 @@ object Dedup {
       .agg(coalesce(
           sum(expr("cast(size(docs) as long) * (size(docs) - 1) div 2")),
           lit(0L)).as("cand"),
-        lit(0L).as("within"), lit(0L).as("twin_docs"), lit(0L).as("max_m"))
+        lit(0L).as("within"), lit(0L).as("twin_docs"), lit(0L).as("max_m"),
+        lit(0L).as("arr_keys"))
       .unionAll(grp.agg(lit(0L).as("cand"),
         coalesce(sum(
             expr("cast(size(members) as long) * (size(members) - 1) div 2")),
@@ -364,17 +365,27 @@ object Dedup {
             "case when size(members) >= 2 then cast(size(members) as long) " +
               "else 0L end")),
           lit(0L)).as("twin_docs"),
-        coalesce(max(size(col("members")).cast("long")), lit(0L)).as("max_m")))
+        coalesce(max(size(col("members")).cast("long")), lit(0L)).as("max_m"),
+        coalesce(sum(size(col("arr")).cast("long")), lit(0L)).as("arr_keys")))
       .agg(sum(col("cand")), sum(col("within")), sum(col("twin_docs")),
-        max(col("max_m"))).head
+        max(col("max_m")), sum(col("arr_keys"))).head
     val expanded = szRow.getLong(0)
     val withinPairs = szRow.getLong(1)
     val twinDocs = szRow.getLong(2)
     val maxGroup = szRow.getLong(3)
+    val arrKeys = szRow.getLong(4)
     val parts = math.max(
       s.sessionState.conf.numShufflePartitions,
       math.min(16384L, expanded / 200000L).toInt)
-    val cand = postings.repartition(parts, col("shk"))
+    // parts == the session default ⟺ expanded ≤ 200k × default — the
+    // explode's emission is bounded small, and postings is already
+    // hash-partitioned by shk from its groupBy, so the repartition
+    // would be a pure extra shuffle. Only spread when the exact count
+    // says the multiplication needs it.
+    val candBase =
+      if (parts == s.sessionState.conf.numShufflePartitions) postings
+      else postings.repartition(parts, col("shk"))
+    val cand = candBase
       .select(explode(flatten(transform(col("docs"), a =>
         // Length filter (PPJoin): J(A,B) >= τ forces min(n) >= τ·max(n)
         // — |A∩B| <= min and J >= τ give i >= τ·union >= τ·max. Pure
@@ -390,19 +401,24 @@ object Dedup {
         col("p.doc_b").as("doc_b"), col("p.n_b").as("n_b"))
       .distinct()
     val arrs = grp.select(col("rep").as("doc_id"), col("arr"))
-    // SHUFFLE_HASH pinned (d2's band-join precedent): the arrs side is
-    // one ~1.6 KB shingle-key array per DISTINCT document — still
-    // hundreds of MB at corpus scale — and AQE's post-agg size estimate
-    // is unreliable enough that it flipped this to BROADCAST at sf3,
-    // collecting >1 GB of build side into the driver (maxResultSize
-    // abort; measured round 9). Per-partition hash build is the shape
-    // that survives: uniform arrays, doc_id-hashed, no driver
-    // involvement.
+    // Verify-join strategy, chosen from the MEASURED rep-level key
+    // count, not from AQE's estimate: AQE's post-agg sizing flipped
+    // this to BROADCAST at sf3 with a >1 GB build side (driver
+    // maxResultSize abort, round 9), so an unmeasured broadcast is
+    // banned — but when the fused sizing job says the whole key-array
+    // frame is small (≤~64 MB at 12 B/key), broadcasting it is the
+    // fast shape (two map-side joins, no shuffle of the candidate
+    // stream). Past the bound, SHUFFLE_HASH pinned (d2's band-join
+    // precedent): per-partition hash build, uniform arrays,
+    // doc_id-hashed, no driver involvement at any scale.
+    def arrSide(key: String, out: String): DataFrame = {
+      val proj = arrs.select(col("doc_id").as(key), col("arr").as(out))
+      if (arrKeys * 12L <= (64L << 20)) broadcast(proj)
+      else proj.hint("shuffle_hash")
+    }
     val repPairs0 = cand
-      .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"))
-        .hint("shuffle_hash"), Seq("doc_b"))
+      .join(arrSide("doc_a", "arr_a"), Seq("doc_a"))
+      .join(arrSide("doc_b", "arr_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         // array_intersect dedups, so a 60-bit key collision inside one
         // doc can't double-count; the oracle's count(DISTINCT) matches.
