@@ -324,14 +324,22 @@ object Dedup {
     // the meaningful rarity signal on a duplicated corpus (30 copies of
     // one doc shouldn't make its shingles look "common").
     val dfreq = shR.groupBy("shk").agg(count(lit(1)).as("df"))
-    val ranked = shR.join(dfreq, "shk")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("shk"))))
-    // π(n) = n - ceil(τn) + 1, ceil in exact integer arithmetic.
-    val pref = ranked
-      .filter(col("rk") <=
-        col("n") - expr(s"(n * $PTauNum + ${PTauDen - 1}) div $PTauDen") + 1)
-      .select(col("doc_id"), col("n"), col("shk"))
+    // π(n) = n - ceil(τn) + 1, ceil in exact integer arithmetic. The
+    // rank-and-filter is an AGGREGATE, not a window: collect each rep's
+    // (df, shk) pairs, sort the ~n-element array in-row, slice the
+    // π(n)-prefix. Identical selection to row_number ≤ π(n) (struct
+    // order IS (df, shk) order, duplicates preserved), but the window's
+    // partition-wide sort exchange is replaced by a partial+final
+    // aggregation — one fewer sort, map-side combine for free.
+    val pref = shR.join(dfreq, "shk")
+      .groupBy("doc_id")
+      .agg(first(col("n")).as("n"),
+        sort_array(collect_list(struct(col("df"), col("shk")))).as("ranked"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ranked"), lit(1),
+          expr(s"n - (n * $PTauNum + ${PTauDen - 1}) div $PTauDen + 1")))
+          .as("p"))
+      .select(col("doc_id"), col("n"), col("p.shk").as("shk"))
     val postings = pref.groupBy("shk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
       .filter(size(col("docs")).between(2, MaxPostings))
