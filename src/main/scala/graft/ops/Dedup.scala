@@ -257,9 +257,14 @@ object Dedup {
     * So the output is row-identical to the direct per-document
     * formulation exactly when the cap never fires; when it does, the
     * group-level cap dominates it (strictly higher recall on duplicated
-    * corpora). The committed oracle mirrors the collapse — group-level
-    * df/cap, membership expansion — so engine and oracle agree at
-    * every duplication depth.
+    * corpora). One 2⁻⁶⁰-class caveat for honesty: under an INTRA-doc
+    * 60-bit key collision (n > |distinct arr|) the direct formulation's
+    * deduping intersect scores two identical docs at ni/(2n−ni) < 1
+    * while the collapse states the true J = 1.0 — the collapse is the
+    * CORRECT value; the direct form under-scores its own exact twins.
+    * The committed oracle mirrors the collapse — group-level df/cap,
+    * membership expansion — so engine and oracle agree at every
+    * duplication depth.
     *
     * The expansion explodes are output-bound (they emit exactly the
     * result rows), CHUNKED — the exploded product is built one side at
@@ -385,13 +390,18 @@ object Dedup {
     val parts = math.max(
       s.sessionState.conf.numShufflePartitions,
       math.min(16384L, expanded / 200000L).toInt)
-    // parts == the session default ⟺ expanded ≤ 200k × default — the
-    // explode's emission is bounded small, and postings is already
-    // hash-partitioned by shk from its groupBy, so the repartition
-    // would be a pure extra shuffle. Only spread when the exact count
-    // says the multiplication needs it.
+    // Skip the pre-explode spread only under an ABSOLUTE emission
+    // bound, not merely parts == default: the cached postings frame's
+    // partitioning is whatever AQE finalized, and byte-based coalesce
+    // can have collapsed the ~KB frame to one partition — fine to
+    // stream ≤800k pair structs from one task into the distinct's
+    // shuffle, but at "parts == default" alone the skip could put
+    // 200k × numShufflePartitions pairs (40M at a 200-partition
+    // session) on that single coalesced task. Past the bound, the
+    // explicit repartition (never coalesced by AQE) spreads at the
+    // designed ~200k pairs/task.
     val candBase =
-      if (parts == s.sessionState.conf.numShufflePartitions) postings
+      if (expanded <= 800000L) postings
       else postings.repartition(parts, col("shk"))
     val cand = candBase
       .select(explode(flatten(transform(col("docs"), a =>

@@ -188,13 +188,27 @@ SELECT
 }
 
 
+# Joint invariants read sibling dumps beside the query's own — a
+# targeted replay dir that lacks the sibling cannot run the check.
+SELFCHECK_SIBLINGS = {
+    "c5_curation2": ["c6_curation2_audit"],
+    "c6_curation2_audit": ["c5_curation2"],
+}
+
+
 def selfcheck(name, sf_dir, out_dir, files):
     """Run the query's invariant SQL on a fresh connection. Returns
-    None (no check defined), or (ok, detail) where detail names each
-    invariant's verdict.
+    None when no check is defined OR a required sibling dump is absent
+    from this replay dir (targeted re-runs); ("error", msg) when the
+    check itself could not run — a HARNESS resource ceiling, never an
+    engine verdict; ("ok"|"violated", verdicts) otherwise. Only
+    "violated" indicates an engine defect.
     """
     if name not in SELFCHECKS:
         return None
+    for sib in SELFCHECK_SIBLINGS.get(name, []):
+        if not glob.glob(os.path.join(out_dir, sib, "*.parquet")):
+            return None
     con = connect(sf_dir)
     try:
         con.execute(
@@ -203,33 +217,40 @@ def selfcheck(name, sf_dir, out_dir, files):
         cols = [d[0] for d in cur.description]
         row = cur.fetchone()
         verdicts = dict(zip(cols, [bool(v) for v in row]))
-        return all(verdicts.values()), verdicts
+        return ("ok" if all(verdicts.values()) else "violated", verdicts)
+    except Exception as e:
+        return ("error", str(e))
     finally:
         con.close()
 
 
-def infeasible(name, sf_dir, out_dir, files, why, n_pass, n_fail, n_inf):
+def verdict_line(verdicts):
+    return (f"{len(verdicts)}/{len(verdicts)} invariants hold "
+            f"({', '.join(verdicts)})")
+
+
+def infeasible(name, sf_dir, out_dir, files, why, n_fail, n_inf, n_inf_sc):
     """Classify one oracle-infeasible query: run its selfcheck (if any)
-    and fold the verdict into the counters. A failed INVARIANT is an
-    engine defect — it FAILS the gate even though the oracle never ran.
+    and fold the verdict into the counters. A VIOLATED invariant is an
+    engine defect — it FAILS the gate even though the oracle never ran;
+    a selfcheck that cannot run (same resource ceiling that killed the
+    oracle) stays infeasible, loudly, with no evidence claimed.
     """
-    try:
-        res = selfcheck(name, sf_dir, out_dir, files)
-    except Exception as e:
-        print(f"INFEASIBLE {name}: {why}; selfcheck errored: {e}")
-        return n_pass, n_fail + 1, n_inf
+    res = selfcheck(name, sf_dir, out_dir, files)
     if res is None:
         print(f"INFEASIBLE {name}: {why}")
-        return n_pass, n_fail, n_inf + 1
-    ok, verdicts = res
-    if ok:
-        print(f"INFEASIBLE+SELFCHECK {name}: {why}; "
-              f"{len(verdicts)}/{len(verdicts)} invariants hold "
-              f"({', '.join(verdicts)})")
-        return n_pass, n_fail, n_inf + 1
-    bad = [k for k, v in verdicts.items() if not v]
+        return n_fail, n_inf + 1, n_inf_sc
+    kind, payload = res
+    if kind == "error":
+        print(f"INFEASIBLE {name}: {why}; "
+              f"selfcheck could not run (no evidence): {payload}")
+        return n_fail, n_inf + 1, n_inf_sc
+    if kind == "ok":
+        print(f"INFEASIBLE+SELFCHECK {name}: {why}; {verdict_line(payload)}")
+        return n_fail, n_inf + 1, n_inf_sc + 1
+    bad = [k for k, v in payload.items() if not v]
     print(f"FAIL {name}: {why}; selfcheck VIOLATED: {bad}")
-    return n_pass, n_fail + 1, n_inf
+    return n_fail + 1, n_inf, n_inf_sc
 
 
 def main(sf_dir, out_dir):
@@ -237,7 +258,7 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
-    n_pass = n_fail = n_weak = n_weak_sc = n_inf = 0
+    n_pass = n_fail = n_weak = n_weak_sc = n_inf = n_inf_sc = 0
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
@@ -249,19 +270,17 @@ def main(sf_dir, out_dir):
             f"SELECT * FROM read_parquet({files!r})").df()
         if name not in oracle:
             con.close()
-            try:
-                res = selfcheck(name, sf_dir, out_dir, files)
-            except Exception as e:
-                print(f"FAIL {name}: no oracle; selfcheck errored: {e}")
-                n_fail += 1
-                continue
+            res = selfcheck(name, sf_dir, out_dir, files)
             if res is None:
                 print(f"weak {name}: no oracle, rows={len(got_df)}")
                 n_weak += 1
-            elif res[0]:
+            elif res[0] == "error":
+                print(f"weak {name}: no oracle, rows={len(got_df)}; "
+                      f"selfcheck could not run (no evidence): {res[1]}")
+                n_weak += 1
+            elif res[0] == "ok":
                 print(f"weak+selfcheck {name}: rows={len(got_df)}; "
-                      f"{len(res[1])}/{len(res[1])} invariants hold "
-                      f"({', '.join(res[1])})")
+                      f"{verdict_line(res[1])}")
                 n_weak_sc += 1
             else:
                 bad = [k for k, v in res[1].items() if not v]
@@ -290,15 +309,15 @@ def main(sf_dir, out_dir):
             # for inspection. Where a selfcheck exists, the engine's
             # answer still gets POSITIVE structural evidence.
             why = f"oracle exceeded {timeout_s:.0f}s wall cap"
-            n_pass, n_fail, n_inf = infeasible(
-                name, sf_dir, out_dir, files, why, n_pass, n_fail, n_inf)
+            n_fail, n_inf, n_inf_sc = infeasible(
+                name, sf_dir, out_dir, files, why, n_fail, n_inf, n_inf_sc)
             continue
         except (duckdb.OutOfMemoryException, duckdb.IOException) as e:
             # Same category when even the escalated retry exhausts
             # memory or its spill fills the disk (c5/c6 at sf3).
             why = f"oracle resource exhaustion: {e}"
-            n_pass, n_fail, n_inf = infeasible(
-                name, sf_dir, out_dir, files, why, n_pass, n_fail, n_inf)
+            n_fail, n_inf, n_inf_sc = infeasible(
+                name, sf_dir, out_dir, files, why, n_fail, n_inf, n_inf_sc)
             continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -327,23 +346,25 @@ def main(sf_dir, out_dir):
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), "
           f"{n_weak_sc} weak+selfcheck (accuracy-bounded), "
-          f"{n_inf} oracle-infeasible")
+          f"{n_inf} oracle-infeasible ({n_inf_sc} with positive selfcheck)")
     # Vacuous-green guard: with GRAFT_ORACLE_TIMEOUT_S set, every oracle
     # can be classified INFEASIBLE (timeout / OOM-after-retry / spill-
     # disk-full) without failing the gate — a too-low cap or a full disk
-    # must not read as green. Zero passes out of a non-empty replay is a
-    # harness failure, not a verdict; a majority-infeasible replay gets
-    # a loud warning (it verified little).
+    # must not read as green. Zero verified queries out of a non-empty
+    # replay is a harness failure, not a verdict. An infeasible query
+    # whose selfcheck HELD counts as verified-by-evidence: a targeted
+    # replay of only the known-infeasible set is legitimate as long as
+    # its selfchecks ran green.
     n_oracled = n_pass + n_fail + n_inf
     if n_fail:
         return 1
-    if n_oracled > 0 and n_pass == 0:
-        print("VACUOUS: no oracle passed — gate verified nothing "
-              "(check timeout/memory caps and spill disk)")
+    if n_oracled > 0 and n_pass == 0 and n_inf_sc == 0:
+        print("VACUOUS: no oracle passed and no selfcheck held — gate "
+              "verified nothing (check timeout/memory caps and spill disk)")
         return 2
-    if n_oracled > 0 and n_inf > n_oracled // 2:
-        print(f"WARNING: {n_inf}/{n_oracled} oracles infeasible — "
-              "the replay verified a minority of oracled queries")
+    if n_oracled > 0 and n_inf > n_oracled // 2 and n_inf_sc < n_inf:
+        print(f"WARNING: {n_inf}/{n_oracled} oracles infeasible "
+              f"({n_inf - n_inf_sc} with NO positive evidence)")
     return 0
 
 
