@@ -211,13 +211,21 @@ object Curation {
     val gutted = scrubbed.filter(nTok < minTokens).select(col("doc_id"))
 
     // 6'. LM quality gate (t15) over the scrubbed survivor corpus.
-    // Every regated doc has >= minTokens tokens, so lm_score is never
-    // null and the inner join is total over regated.
+    // lmScore is total over regated (left-join back over its input) but
+    // a single-token doc has NO bigrams and a NULL lm_score — legal
+    // whenever minTokens == 1. NULL must land in an audit leg, not
+    // vanish through both three-valued filters (review-caught: with
+    // `lm_score < min` alone, a 1-token doc passed the regate, then
+    // failed BOTH kept and lmDropped — silently violating the
+    // conservation contract above). No LM evidence of quality = fails
+    // the quality gate: route NULL into lm_gate.
     val lm = TextAnalysis.lmScore(regated.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("lm_score"))
     val kept = regated.join(lm, Seq("doc_id"))
       .filter(col("lm_score") >= minLmScore)
-    val lmDropped = lm.filter(col("lm_score") < minLmScore).select(col("doc_id"))
+    val lmDropped = lm
+      .filter(col("lm_score").isNull || col("lm_score") < minLmScore)
+      .select(col("doc_id"))
 
     // 7'. Split + chunks on the scrubbed text (q39 / t8, shared code).
     val withSplit = kept
@@ -237,7 +245,7 @@ object Curation {
   // outside the language allowlist and minTokens 20 cuts the short tail
   // (fixture token counts span 10-99), src0 is the eval set (t10's
   // convention).
-  private val EvalSource = "src0"
+  private val EvalSource = TextAnalysis.EvalSource // ONE convention (see there)
   private val Langs = Seq("en", "de", "es", "fr")
   private val MinTokens = 20
   private val MinJaccard = 0.5
@@ -250,19 +258,36 @@ object Curation {
     * memo would hand frames bound to a STOPPED session to a later
     * caller that built a fresh one (review-caught).
     */
+  // Dead entries (stopped sessions) are purged on every access: without
+  // this, a long-lived process cycling SparkSessions over the same dirs
+  // pins every past session's Curated (and its persisted frames'
+  // metadata) in the map forever (review-caught). Entries of LIVE
+  // sessions are exactly the sharing the memo exists for and stay.
+  private def purgeStopped(m: ConcurrentHashMap[(SparkSession, String), Curated]): Unit =
+    m.keySet.forEach { k =>
+      // No release(): a stopped context already dropped its block
+      // manager (and unpersist on a dead session throws) — removing
+      // the reference is all the reclamation there is to do.
+      if (k._1.sparkContext.isStopped) m.remove(k)
+    }
+
   private val memo = new ConcurrentHashMap[(SparkSession, String), Curated]()
-  private def curatedFor(s: SparkSession, dir: String): Curated =
+  private def curatedFor(s: SparkSession, dir: String): Curated = {
+    purgeStopped(memo)
     memo.computeIfAbsent((s, dir), _ =>
       curate(graft.Tables.load(s, dir, "documents"),
         EvalSource, Langs, MinTokens, MinJaccard, MaxPostings))
+  }
 
   private val MinLmScore = 0.032
 
   private val memo2 = new ConcurrentHashMap[(SparkSession, String), Curated]()
-  private def curated2For(s: SparkSession, dir: String): Curated =
+  private def curated2For(s: SparkSession, dir: String): Curated = {
+    purgeStopped(memo2)
     memo2.computeIfAbsent((s, dir), _ =>
       curate2(graft.Tables.load(s, dir, "documents"),
         EvalSource, Langs, MinTokens, MinJaccard, MinLmScore))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation" -> ((s, dir) => curatedFor(s, dir).chunks),
@@ -392,7 +417,8 @@ object Curation {
        |clm AS (WITH ${TextAnalysis.lmSql("ckeeptok")}),
        |ckept AS (SELECT k.* FROM ckeeptok k JOIN clm l ON l.doc_id = k.doc_id
        |          WHERE l.lm_score >= $MinLmScore),
-       |clmdrop AS (SELECT doc_id FROM clm WHERE lm_score < $MinLmScore),
+       |clmdrop AS (SELECT doc_id FROM clm
+       |            WHERE lm_score IS NULL OR lm_score < $MinLmScore),
        |csplit2 AS (SELECT doc_id, text, source,
        |              (${Sampling.splitCaseSql}) AS split
        |            FROM ckept)""".stripMargin

@@ -661,8 +661,22 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = sym.join(labels, sym("a") === labels("id"))
         .select(col("b").as("id"), col("label"))
-      val next = labels.unionByName(msgs)
+      val hop = labels.unionByName(msgs)
         .groupBy("id").agg(min("label").as("label"))
+      // Path compression (pointer jumping): follow label → label(label)
+      // once per round. Every label value is itself a node id (labels
+      // start as the identity and only ever move to another member's
+      // id), so the lookup join is total and 1:1. One-hop propagation
+      // alone needs O(diameter) rounds — a 21-doc chain of incremental
+      // edits under-merged at the old cap of 20 (review-caught);
+      // with compression the reachable distance ~doubles per round, so
+      // 20 rounds cover diameters around 2^20 and the cap can only hit
+      // on adversarial inputs — which now fail loudly below instead of
+      // returning an under-merged refinement with a warn log.
+      val next = hop
+        .join(hop.select(col("id").as("_pid"), col("label").as("_plabel")),
+          hop("label") === col("_pid"))
+        .select(col("id"), col("_plabel").as("label"))
         .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("label", "old"), "id")
@@ -676,16 +690,20 @@ object Dedup {
       iter += 1
     }
     // Exiting via the iteration cap means labels are still propagating:
-    // the result is a valid REFINEMENT of the true components (labels
-    // only ever shrink toward the component min) but not the fixpoint —
-    // components with diameter > maxIter stay split. Silence here would
-    // let a truncated answer masquerade as the exact one (the oracled d9
-    // path compares against an exact transitive closure), so say so.
+    // the result would be a valid REFINEMENT of the true components
+    // (labels only ever shrink toward the component min) but not the
+    // fixpoint — and every caller's contract (d9/d11/c1-c6 oracles are
+    // exact transitive closures; curation audits near-dups by these
+    // labels) needs the fixpoint. A warn log let a truncated answer
+    // masquerade as the exact one in anything that doesn't read driver
+    // logs (review-caught), so fail loudly: with pointer jumping above,
+    // the default cap covers ~2^20 diameters and a genuine hit means
+    // the input needs an explicitly raised maxIter.
     if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      throw new IllegalStateException(
         s"connectedComponents: iteration cap $maxIter hit before convergence" +
           " — labels are an under-merged refinement, not the fixpoint;" +
-          " raise maxIter for graphs with diameter > cap")
+          " raise maxIter for graphs with diameter > ~2^maxIter")
     // Retention note: the returned frame IS the last round's
     // localCheckpoint, and checkpoint blocks (sym's and every round's
     // labels) are reclaimed by the ContextCleaner once their RDD
@@ -718,15 +736,23 @@ object Dedup {
     * misses; same one-aggregation cost.
     */
   /** Whitespace/case-normalized 16-hex content fingerprint — the ONE
-    * formulation shared by d6 and d10 (mirrored once by [[normFpSql]]):
-    * d10's "absent from the corpus" premise is only sound while its
-    * fingerprint is bit-identical to d6's.
+    * formulation shared by d6, d10 and t4 (mirrored once by
+    * [[normFpSql]]): d10's "absent from the corpus" premise is only
+    * sound while its fingerprint is bit-identical to d6's.
+    *
+    * The whitespace class is spelled out EXPLICITLY rather than `\s`
+    * because the two engines disagree on `\s` itself: Java regex reads
+    * it as `[ \t\n\x0B\f\r]` while DuckDB's RE2 reads `[\t\n\f\r ]` —
+    * no vertical tab. A document containing U+000B would fingerprint
+    * differently per engine under `\s` (review-caught; the explicit
+    * class below is the Java set, which both engines express exactly).
     */
+  private val WsClass = "[ \\t\\n\\x0B\\f\\r]+"
   private[ops] def normFp(text: Column): Column =
-    substring(md5(regexp_replace(lower(text), "\\s+", " ")), 1, 16)
+    substring(md5(regexp_replace(lower(text), WsClass, " ")), 1, 16)
 
   private[ops] val normFpSql =
-    "substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)"
+    "substr(md5(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 1, 16)"
 
   def d6NormDedup(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
@@ -1087,7 +1113,11 @@ object Dedup {
       t13ContamSpans(s, dir))
   }
 
-  private val EvalSrc = "src0"
+  // ONE convention (see TextAnalysis.EvalSource). A `def`, not a `val`:
+  // TextAnalysis's oracle strings reference Dedup.normFpSql, so a
+  // val here would close an object-initialization cycle between the
+  // two objects (deadlock-prone under concurrent first touch).
+  private def EvalSrc = TextAnalysis.EvalSource
 
   /** Frame-level composition surface: contamination spans of `corpus`
     * against `eval` (both `(doc_id, text)`).

@@ -87,8 +87,16 @@ object Similarity {
     */
   def withUnitNorm(e: DataFrame, vecCol: String): DataFrame = {
     val norm = sqrt(sqNorm(col(vecCol)))
+    // Zero-norm guard: an all-zero embedding (upstream encoder failure
+    // or padding) would otherwise emit 0.0/0.0 = NaN components and
+    // silently poison every downstream dot product (review-caught).
+    // The zero vector is kept AS the unit vector — its dot with
+    // anything is 0, the "similar to nothing" answer a zero embedding
+    // should give.
     e.withColumn("norm", norm)
-      .withColumn("unit_vec", transform(col(vecCol), x => x / col("norm")))
+      .withColumn("unit_vec",
+        when(col("norm") === 0.0, col(vecCol))
+          .otherwise(transform(col(vecCol), x => x / col("norm"))))
   }
 
   private val NBuckBits = 6
@@ -453,9 +461,13 @@ object Similarity {
     * vec_id asc).
     */
   def s5PqSearch(s: SparkSession, dir: String): DataFrame = {
-    val codes = s4PqCodes(s, dir) // (vec_id, sub_idx, code)
+    // Build the subvector pipeline ONCE and feed codes/queries/codebook
+    // from it through the pluggable-codebook seam (review-caught:
+    // calling s4PqCodes here constructed a second, divergent subvectors
+    // subtree that ReuseExchange could never collapse).
     val subs = subvectors(s, dir)
     val cents = codebook(subs)
+    val codes = s4PqCodesWith(subs, cents) // (vec_id, sub_idx, code)
     val queries = subs
       .filter(col("vec_id") >= PqCodes && col("vec_id") < PqCodes + PqQueries)
       .select(col("vec_id").as("query_id"), col("sub_idx").as("q_sub"), col("sv").as("qv"))

@@ -81,13 +81,13 @@ object TextAnalysis {
 
   /** t4 — document fingerprint: md5 over whitespace-normalized lowercase
     * text (the batch analog of a rolling-hash content fingerprint).
+    * Delegates to [[Dedup.normFp]] — the ONE fingerprint formulation
+    * (shared with d6/d10; an inline copy here drifted once it picked up
+    * the explicit-whitespace-class fix, review-caught).
     */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")), 1, 16)
-          .as("fingerprint"))
+      .select(col("doc_id"), Dedup.normFp(col("text")).as("fingerprint"))
 
   private val TopNgrams = 20
 
@@ -315,6 +315,16 @@ object TextAnalysis {
     * of docs with at least one token).
     */
   def bm25(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // The query side is small by contract (it broadcasts twice below)
+    // but may arrive as an arbitrarily expensive pipeline, and it is
+    // consumed THREE times: the partition-sizing count and two
+    // broadcast builds (qdf's join build and posted's semi-join
+    // build). localCheckpoint materializes the slim projection once so
+    // each consumer reads blocks instead of re-running the caller's
+    // pipeline (review-caught: the sizing count alone re-scanned the
+    // documents table per t12 invocation). Blocks are reclaimed by the
+    // ContextCleaner when the returned frame is dropped.
+    val q = queries.select(col("doc_id"), col("text")).localCheckpoint()
     // ONE tokenize pass: tf's (doc_id, term) exchange feeds everything.
     // Document length rides tf as a window sum (t6's shape — a separate
     // groupBy+join would prune different columns and re-scan the
@@ -338,7 +348,7 @@ object TextAnalysis {
     val stats = tfc.agg(count_distinct(col("doc_id")).as("n_docs"),
       (sum(col("tf")).cast("double") /
         count_distinct(col("doc_id")).cast("double")).as("avgdl"))
-    val qterms = queries.select(col("doc_id").as("query_id"),
+    val qterms = q.select(col("doc_id").as("query_id"),
       explode(array_distinct(toks(col("text")))).as("term"))
     // Per-query rarest-M term budget — small, broadcast onto tf.
     val qsel = Window.partitionBy("query_id")
@@ -377,10 +387,11 @@ object TextAnalysis {
     // final merge sees one row per group. The partition count scales
     // with the expanded row count (|queries| × M × cap), not with
     // cores — the query side is small by the same contract that lets
-    // it broadcast, so the count() is a cheap driver-side bound, and
-    // the explicit number keeps AQE from byte-coalescing the tiny
-    // pre-expansion shuffle into a handful of post-expansion monsters.
-    val nq = queries.select(col("doc_id")).distinct().count()
+    // it broadcast, so the count() over the checkpointed blocks is a
+    // cheap driver-side bound, and the explicit number keeps AQE from
+    // byte-coalescing the tiny pre-expansion shuffle into a handful of
+    // post-expansion monsters.
+    val nq = q.select(col("doc_id")).distinct().count()
     val expanded = nq * Bm25QueryTerms * Bm25MaxPostings
     val parts = math.max(
       corpus.sparkSession.sessionState.conf.numShufflePartitions,
@@ -583,6 +594,13 @@ object TextAnalysis {
           .as("n_distinct_bigrams"))
   }
 
+  /** THE eval-set source convention (t10's): every operator that holds
+    * out an eval slice (t10/t12/t13/t17 here, curation's reference set,
+    * d12-d14's span sources) references this ONE constant — three
+    * independently defined copies could drift and silently decouple
+    * e.g. BM25's decontam auditing from the eval set curation actually
+    * holds out (review-caught).
+    */
   private[ops] val EvalSource = "src0"
   private val MaxContamPostings = 1000
 
@@ -910,10 +928,8 @@ object TextAnalysis {
          |FROM sc""".stripMargin
     },
     "t4_fingerprint" ->
-      """SELECT doc_id,
-        |  substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
-        |    AS fingerprint
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, ${Dedup.normFpSql} AS fingerprint
+         |FROM documents""".stripMargin,
     "t6_tfidf" ->
       s"""WITH terms AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS n_term,

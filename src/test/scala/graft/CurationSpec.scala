@@ -302,4 +302,26 @@ class CurationSpec extends AnyFunSuite {
     assert(v2kept.contains(10L))
     v1.release(); v2.release()
   }
+
+  test("curate2 at minTokens=1: a doc scrubbed down to ONE token (no " +
+    "bigrams, NULL lm_score) is audited as lm_gate, not silently lost") {
+    // Review-caught conservation hole: lm_score is NULL when the
+    // scrubbed text has < 2 tokens, and a NULL failed BOTH the kept
+    // filter and the old `lm_score < min` drop filter — the doc
+    // vanished from chunks AND audit.
+    val docs = Seq(
+      (1L, evA, "en", "eval"),
+      (10L, s"solo $evA", "en", "web"), // scrub leaves exactly "solo"
+      (11L, "w1 w2 w3 w4 w5 w6", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.curate2(docs, evalSource = "eval",
+      langs = Seq("en"), minTokens = 1)
+    val audit = out.audit.as[(Long, String)].collect().toSet
+    val kept = out.chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(audit == Set((10L, "lm_gate")), s"audit was $audit")
+    assert(kept == Set(11L))
+    // Conservation: every candidate is accounted for exactly once.
+    assert(kept ++ audit.map(_._1) == Set(10L, 11L))
+    out.release()
+  }
 }

@@ -177,4 +177,19 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(r(0) == 0.0 && r(1) == -1.0)
   }
+
+  test("withUnitNorm on a zero-norm vector: no NaN — the zero vector " +
+    "stays zero and dots to 0 against everything") {
+    val e = Similarity.withUnitNorm(
+      Seq((1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(3.0, 4.0, 0.0)))
+        .toDF("vec_id", "v"), "v")
+    val rows = e.orderBy("vec_id")
+      .select(col("norm"), col("unit_vec")).as[(Double, Seq[Double])].collect()
+    assert(rows(0)._1 == 0.0 && rows(0)._2 == Seq(0.0, 0.0, 0.0))
+    assert(rows.flatMap(_._2).forall(x => !x.isNaN))
+    val d = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(Functions.dot_product(col("a.unit_vec"), col("b.unit_vec")))
+      .as[Double].head()
+    assert(d == 0.0)
+  }
 }

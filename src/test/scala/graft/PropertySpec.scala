@@ -437,4 +437,41 @@ class PropertySpec extends AnyFunSuite {
       assert(n == raw.count())
     }
   }
+
+  test("connectedComponents: pointer jumping converges a chain far " +
+    "longer than maxIter, and a genuine cap hit throws instead of " +
+    "returning an under-merged refinement") {
+    // A 64-node descending path needs 63 one-hop rounds — review-caught
+    // as silently under-merging at the default cap of 20 before path
+    // compression. With compression the reachable distance ~doubles per
+    // round, so the DEFAULT cap must converge it to one component.
+    val chain = (63L to 1L by -1L).map(i => (i, i - 1)).toDF("a", "b")
+    val labels = graft.ops.Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 64 && labels.values.forall(_ == 0L))
+    // And when the cap genuinely hits, the contract is a LOUD failure:
+    // maxIter=2 covers distance ~4, far short of 63.
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(chain, maxIter = 2)
+        .as[(Long, Long)].collect()
+    }
+    assert(e.getMessage.contains("iteration cap"))
+  }
+
+  test("normalized fingerprint treats the FULL Java whitespace class as " +
+    "whitespace — including vertical tab, where `\\s` is engine-specific") {
+    // Review-caught: Java regex \s includes \x0B, DuckDB's RE2 \s does
+    // not — under '\s+' the two engines fingerprinted a vertical-tab
+    // document differently. The explicit class pins the Java semantics
+    // in BOTH formulations; this asserts the engine half.
+    val tmp = java.nio.file.Files.createTempDirectory("normfp").toString
+    Seq((1L, "a\u000Bb", "en", "web"), (2L, "a  \t b", "en", "web"),
+        (3L, "a c", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val groups = graft.ops.Dedup.d6NormDedup(spark, tmp)
+      .select("keeper_doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    // Docs 1 and 2 normalize to "a b" (one group, keeper 1); doc 3 alone.
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
 }
