@@ -28,7 +28,8 @@ object SparkEntry {
       graft.ops.Sampling.queries ++
       graft.ops.RangeJoin.queries ++
       graft.ops.Curation.queries ++
-      graft.ops.Hybrid.queries
+      graft.ops.Hybrid.queries ++
+      graft.ops.FuzzyJoin.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.ops.Sampling.oracle ++
       graft.ops.RangeJoin.oracle ++
       graft.ops.Curation.oracle ++
-      graft.ops.Hybrid.oracle
+      graft.ops.Hybrid.oracle ++
+      graft.ops.FuzzyJoin.oracle
 }

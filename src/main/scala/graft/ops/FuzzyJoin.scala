@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables.load
+
+/** q62 — fuzzy key join (record linkage): every pair of supplier rows
+  * whose names are within Levenshtein distance 1, EXACTLY — the
+  * string-identity complement to the token/shingle similarity family
+  * (d2/d4/d15 match content; this matches KEYS, the "same entity,
+  * noisy metadata" step of joining scraped corpora to registries).
+  *
+  * Scale shape — FastSS deletion-neighborhood blocking (Bocek, Hunt &
+  * Stiller, Univ. of Zurich TR ifi-2007.02): index each distinct name
+  * under {name} ∪ {name minus one character}. Two strings at distance
+  * <= 1 ALWAYS share a key — substitution pairs share the deletion at
+  * the differing position, insert/delete pairs share the shorter
+  * string itself (hence the identity key) — so candidate generation is
+  * an ordinary shuffle equi-join on the block key (AQE skew-split
+  * applies; no custom operator needed) and the exact `levenshtein`
+  * verify touches only candidates. Brute force is n² distance
+  * computations; blocking is ~(L+1)·n keys with per-block quadratic
+  * cost bounded by the distance-2 neighborhood of the key domain.
+  *
+  * Worst case is EXACT-DUPLICATE keys (every shared name lands in the
+  * same blocks), handled by d15's twin-collapse lesson: group rows by
+  * name first, run blocking + verify over one representative per
+  * distinct name, and expand result pairs back through membership —
+  * within-group pairs are distance 0 by identity (no verify needed),
+  * and the quadratic legs shrink by the square of the duplication
+  * depth. The expansion is output-bound and chunked (explode one
+  * member list per step, d15's rule — no m_a×m_b array in any row).
+  *
+  * Determinism: distances are exact integers in both engines (same DP
+  * recurrence), pairs are canonical (suppkey_a < suppkey_b), no floats
+  * anywhere — the DuckDB oracle brute-forces the same contract.
+  */
+object FuzzyJoin {
+
+  /** FastSS block keys: the string itself + every single-character
+    * deletion, deduplicated (repeated characters collapse to one
+    * deletion). Guarded `sequence`: on an empty string the 0..-1 range
+    * would take Spark's default NEGATIVE step and emit phantom indices
+    * (the q-series "sequence(1, w)" lesson) — an empty name blocks
+    * under its identity key alone.
+    */
+  private[ops] def deletionKeys(name: Column): Column = {
+    val deletions = transform(
+      sequence(lit(0), length(name) - 1),
+      i => concat(name.substr(lit(1), i), name.substr(i + lit(2), length(name))))
+    array_distinct(concat(
+      array(name),
+      when(length(name) > 0, deletions)
+        .otherwise(array().cast("array<string>"))))
+  }
+
+  private val MaxDist = 1
+
+  def q62FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(load(s, dir, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_name").as("name")))
+
+  /** All (k_a, k_b, dist) with dist = levenshtein(name_a, name_b) <= 1
+    * and k_a < k_b, over a (k, name) frame. Null names match nothing
+    * (levenshtein against NULL is NULL ≠ true — the oracle's three-
+    * valued filter drops them; blocking drops them symmetrically).
+    */
+  private[graft] def fuzzyPairs(keyed: DataFrame): DataFrame = {
+    val named = keyed.filter(col("name").isNotNull)
+    // Twin collapse (d15's): one representative per DISTINCT name.
+    // Four consumers below (rep keys, both expansion sides, the
+    // within-group leg) — persist so the groupBy runs once; released
+    // by the caller's clearCache / ContextCleaner like d15's hub.
+    val grp = named.groupBy("name")
+      .agg(sort_array(collect_list(col("k"))).as("members"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vars = grp.select(col("name"), explode(deletionKeys(col("name"))).as("v"))
+    // Candidate pairs: equi-join on the block key. name_a < name_b
+    // both canonicalizes the pair and removes self-joins; distinct
+    // collapses multi-key agreement (two strings can share several
+    // deletion keys) before the verify touches them.
+    val crossRep = vars.select(col("name").as("name_a"), col("v"))
+      .join(vars.select(col("name").as("name_b"), col("v")), "v")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= MaxDist)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+    // Expansion: every (x ∈ A, y ∈ B) inherits the rep pair's exact
+    // distance; least/greatest restores k_a < k_b (group member ids
+    // interleave). Chunked one explode per step.
+    val cross = crossRep
+      .join(grp.select(col("name").as("name_a"), col("members").as("ma")), "name_a")
+      .join(grp.select(col("name").as("name_b"), col("members").as("mb")), "name_b")
+      .select(col("dist"), col("mb"), explode(col("ma")).as("x"))
+      .select(col("dist"), col("x"), explode(col("mb")).as("y"))
+      .select(least(col("x"), col("y")).as("suppkey_a"),
+        greatest(col("x"), col("y")).as("suppkey_b"), col("dist"))
+    // Within-group pairs: identical names, distance 0 by identity.
+    // Members are sorted, so position i < j gives suppkey_a < suppkey_b.
+    val within = grp.filter(size(col("members")) >= 2)
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "x")))
+      .select(col("x").as("suppkey_a"),
+        explode(slice(col("members"), col("i") + lit(2),
+          size(col("members")))).as("suppkey_b"),
+        lit(0L).as("dist"))
+    cross.unionByName(within)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_fuzzy_join" -> q62FuzzyJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q62_fuzzy_join" ->
+      """SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin)
+}
