@@ -37,7 +37,7 @@ class ConcurrencySpec extends AnyFunSuite {
   private val names = Seq(
     "c1_curation", "c5_curation2", "d15_prefix_jaccard",
     "d9_dedup_clusters", "s7_kmeans_assign", "t12_bm25",
-    "q1_agg", "t6_tfidf")
+    "q1_agg", "t6_tfidf", "q62_fuzzy_join")
 
   private def rows(name: String): Map[String, Int] =
     SparkEntry.queries(name)(spark, dir).collect()

@@ -34,7 +34,8 @@ class HostileConfigSpec extends AnyFunSuite {
   private val names = Seq(
     "d2_minhash_lsh", "d9_dedup_clusters", "d11_semantic_dedup",
     "d15_prefix_jaccard", "t12_bm25", "t17_hybrid_rrf",
-    "s7_kmeans_assign", "s3b_ivf_trained", "c5_curation2")
+    "s7_kmeans_assign", "s3b_ivf_trained", "c5_curation2",
+    "q62_fuzzy_join")
 
   // Multiset of row renderings: duplicates preserved, order ignored.
   // Same JVM + operators already pinned order-deterministic (oracle
