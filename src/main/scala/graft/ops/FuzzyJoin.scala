@@ -66,6 +66,14 @@ object FuzzyJoin {
     * and k_a < k_b, over a (k, name) frame. Null names match nothing
     * (levenshtein against NULL is NULL ≠ true — the oracle's three-
     * valued filter drops them; blocking drops them symmetrically).
+    *
+    * PRECONDITION: `k` is unique per row (a primary key, like the
+    * supplier caller's s_suppkey — the same assumption every d-op
+    * makes of doc_id). A duplicated k would break the k_a < k_b
+    * output contract: a repeated (k, name) row emits the self-pair
+    * (k, k, 0) from the within-group leg, and one k under two
+    * distance-1 names emits (k, k, 1) through least/greatest.
+    * Callers with non-keyed rows must dedup/re-key first.
     */
   private[graft] def fuzzyPairs(keyed: DataFrame): DataFrame = {
     val named = keyed.filter(col("name").isNotNull)
@@ -85,9 +93,14 @@ object FuzzyJoin {
       .join(vars.select(col("name").as("name_b"), col("v")), "v")
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b")).distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) <= MaxDist)
+      // Distance computed ONCE, then filtered: Filter and Project are
+      // separate codegen operators with no cross-operator CSE, so a
+      // filter-then-recompute shape would run the O(|a|·|b|) DP twice
+      // per surviving pair — the dominant CPU of the verify leg
+      // (review-caught).
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= MaxDist)
     // Expansion: every (x ∈ A, y ∈ B) inherits the rep pair's exact
     // distance; least/greatest restores k_a < k_b (group member ids
     // interleave). Chunked one explode per step.

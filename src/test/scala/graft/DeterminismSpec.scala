@@ -30,9 +30,13 @@ class DeterminismSpec extends AnyFunSuite {
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name: analyzed plan has no nondeterministic expressions") {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
-      val bad = plan.flatMap(_.expressions.flatMap(_.collect {
-        case e if !e.deterministic => e
-      }))
+      // collectWithSubqueries, not plain flatMap: Expression.collect
+      // does not descend into SubqueryExpression PLANS, so a rand()
+      // inside a scalar/IN/EXISTS subquery would otherwise pass the
+      // gate undetected (review-caught).
+      val bad = plan.collectWithSubqueries { case p =>
+        p.expressions.flatMap(_.collect { case e if !e.deterministic => e })
+      }.flatten
       assert(bad.isEmpty,
         s"$name contains nondeterministic expressions (unsafe under " +
           s"task retry/speculation): ${bad.map(_.sql).distinct.mkString("; ")}")
