@@ -13,13 +13,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * unmeasured AQE broadcasts), so this spec pins the CONTRACT those
   * arguments assume: config moves the plan, never the rows.
   *
-  * Three hostile sessions via `newSession()` (shared SparkContext,
+  * Five hostile sessions via `newSession()` (shared SparkContext,
   * independent SQLConf): 200 shuffle partitions (a default-config
   * cluster, 25× our test session's 8), AQE disabled (static planning
-  * only), and auto-broadcast disabled (threshold -1 — explicit
+  * only), auto-broadcast disabled (threshold -1 — explicit
   * `broadcast()`/hints still apply, but every AQE/stats-driven
-  * broadcast decision flips to a shuffle join). Queries compared
-  * row-for-row (multiset) against the default session's output.
+  * broadcast decision flips to a shuffle join), ANSI mode disabled
+  * (legacy null-on-error evaluation), and a UTC+14 session timezone.
+  * Queries compared row-for-row (multiset) against the default
+  * session's output.
   *
   * Coverage: the queries whose plans actually DEPEND on these knobs —
   * the multi-shuffle dedup/retrieval/training pipelines with sizing
@@ -57,7 +59,18 @@ class HostileConfigSpec extends AnyFunSuite {
       () => hostile("spark.sql.adaptive.enabled" -> "false")),
     ("auto-broadcast disabled",
       () => hostile("spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")))
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")),
+    // Legacy (non-ANSI) evaluation: casts silently null, div-by-zero
+    // yields null instead of erroring — a Spark-3-migration cluster's
+    // common setting. These operators are total functions by design
+    // (no error-reliant paths), so the mode must not move a row.
+    ("ANSI mode disabled",
+      () => hostile("spark.sql.ansi.enabled" -> "false")),
+    // A UTC+14 session zone: these pipelines are epoch-integer / text
+    // end to end (no timestamp formatting), so any divergence here
+    // means a hidden local-time dependence leaked in.
+    ("a UTC+14 session timezone",
+      () => hostile("spark.sql.session.timeZone" -> "Pacific/Kiritimati")))
 
   for (name <- names) {
     // Reference computed lazily once per query, reused by all scenarios.
