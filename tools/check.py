@@ -185,6 +185,30 @@ SELECT
    WHERE doc_a NOT IN (SELECT doc_id FROM documents)
       OR doc_b NOT IN (SELECT doc_id FROM documents)) = 0 AS docs_exist
 """,
+    # q62's brute-force oracle is quadratic in supplier rows (~5 min at
+    # 30k names); at a corpus where it blows the wall cap, these
+    # linear-cost invariants keep the engine's answer from being
+    # asserted by nothing. The distance-value check recomputes
+    # levenshtein only over the OUTPUT pairs — output-bound, not
+    # quadratic — so it is exact evidence, not just structural.
+    "q62_fuzzy_join": """
+WITH r AS (SELECT suppkey_a, suppkey_b, dist FROM result),
+j AS (SELECT r.dist, a.s_name AS na, b.s_name AS nb FROM r
+      JOIN supplier a ON a.s_suppkey = r.suppkey_a
+      JOIN supplier b ON b.s_suppkey = r.suppkey_b)
+SELECT
+  (SELECT count(*) FROM r WHERE suppkey_a >= suppkey_b) = 0
+    AS ordered_pairs,
+  (SELECT count(*) FROM r)
+    = (SELECT count(*) FROM (SELECT DISTINCT suppkey_a, suppkey_b FROM r))
+    AS pairs_distinct,
+  (SELECT count(*) FROM r
+   WHERE suppkey_a NOT IN (SELECT s_suppkey FROM supplier)
+      OR suppkey_b NOT IN (SELECT s_suppkey FROM supplier)) = 0
+    AS keys_exist,
+  (SELECT count(*) FROM j WHERE levenshtein(na, nb) <> dist OR dist > 1) = 0
+    AS distances_exact
+""",
 }
 
 
