@@ -312,16 +312,18 @@ object Dedup {
     val allArrs = sh.groupBy("doc_id")
       .agg(first(col("n")).as("n"),
         sort_array(collect_list(col("shk"))).as("arr"))
-    val grp = allArrs.groupBy("arr", "n")
+    val grp0 = allArrs.groupBy("arr", "n")
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"))
-      // The collapse hub: six consumers (rep keys, postings sizing,
-      // verify arrays, membership, group sizes, within-pairs) would
-      // each replay the tokenize→shingle→md5 pipeline — measured 4×
-      // the operator's wall at sf0.1. One row per DISTINCT document
-      // (key array + members), MEMORY_AND_DISK so corpus scale spills
-      // instead of evicting; released by the caller's clearCache.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The collapse hub: six consumers (rep keys, postings sizing,
+    // verify arrays, membership, group sizes, within-pairs) would
+    // each replay the tokenize→shingle→md5 pipeline — measured 4×
+    // the operator's wall at sf0.1. One row per DISTINCT document
+    // (key array + members), MEMORY_AND_DISK via OpCaches so corpus
+    // scale spills instead of evicting; CacheManager holds the entry
+    // strongly (no GC reclamation), so embedders free it through
+    // OpCaches.release — the harnesses clearCache per query.
+    val grp = OpCaches.persisted(grp0)
     val shR = grp.select(col("rep").as("doc_id"), col("n"),
       explode(col("arr")).as("shk"))
     // Document frequency over REPRESENTATIVES: the global ordering only
@@ -345,13 +347,12 @@ object Dedup {
           expr(s"n - (n * $PTauNum + ${PTauDen - 1}) div $PTauDen + 1")))
           .as("p"))
       .select(col("doc_id"), col("n"), col("p.shk").as("shk"))
-    val postings = pref.groupBy("shk")
+    // Cached like grp (via OpCaches): consumed by the sizing aggregate
+    // AND the candidate explode — capped lists, so the footprint is
+    // bounded by MaxPostings × #prefix-shingles, not by pairs.
+    val postings = OpCaches.persisted(pref.groupBy("shk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("docs"))
-      .filter(size(col("docs")).between(2, MaxPostings))
-      // Cached like grp: consumed by the sizing aggregate AND the
-      // candidate explode — capped lists, so the footprint is bounded
-      // by MaxPostings × #prefix-shingles, not by pairs.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("docs")).between(2, MaxPostings)))
     // Pre-expansion sizing (the round-7 t12/t17 rule, which this
     // operator had NOT applied — found by the sf3 gate, where the
     // whole quadratic pair stream landed on ONE task for 25+ min):

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.Tables.load
 
@@ -79,11 +78,12 @@ object FuzzyJoin {
     val named = keyed.filter(col("name").isNotNull)
     // Twin collapse (d15's): one representative per DISTINCT name.
     // Four consumers below (rep keys, both expansion sides, the
-    // within-group leg) — persist so the groupBy runs once; released
-    // by the caller's clearCache / ContextCleaner like d15's hub.
-    val grp = named.groupBy("name")
-      .agg(sort_array(collect_list(col("k"))).as("members"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // within-group leg) — persist so the groupBy runs once. Registered
+    // with OpCaches: CacheManager holds persisted plans strongly (GC /
+    // ContextCleaner never reclaims them), so embedders release via
+    // OpCaches.release(spark); the per-query harnesses clearCache.
+    val grp = OpCaches.persisted(named.groupBy("name")
+      .agg(sort_array(collect_list(col("k"))).as("members")))
     val vars = grp.select(col("name"), explode(deletionKeys(col("name"))).as("v"))
     // Candidate pairs: equi-join on the block key. name_a < name_b
     // both canonicalizes the pair and removes self-joins; distinct

@@ -18,9 +18,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * cache released mid-flight by another query. The operators here
   * deliberately avoid all three (no temp views; the only query-path
   * conf write is Tables.load's idempotent same-value nanosAsLong set;
-  * per-invocation persists are released by GC/ContextCleaner, not by
-  * a global clearCache inside any operator) — this spec pins that by
-  * racing the stateful-est queries and comparing against serial runs.
+  * no operator calls a global clearCache — per-invocation persists
+  * stay registered in OpCaches until the EMBEDDER releases them, and
+  * unpersist is recompute-safe anyway, so a release racing a reader
+  * degrades to recompute, never to wrong rows) — this spec pins that
+  * by racing the stateful-est queries and comparing against serial
+  * runs, then racing an OpCaches.release against live queries.
   *
   * Query mix: memoized curation (c1/c5 share one `Curated` per
   * (session, dir) through a ConcurrentHashMap — computeIfAbsent under
@@ -55,5 +58,22 @@ class ConcurrencySpec extends AnyFunSuite {
       for ((n, r) <- results)
         assert(r == serial(n), s"$n diverged under concurrent execution")
     } finally pool.shutdown()
+  }
+
+  test("OpCaches.release races live queries without changing results, and empties the registry") {
+    val serial = rows("d15_prefix_jaccard")
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val racing = (1 to 3).map { _ =>
+        Future(rows("d15_prefix_jaccard"))
+      } :+ Future { graft.ops.OpCaches.release(spark); Map.empty[String, Int] }
+      val results = Await.result(Future.sequence(racing), 10.minutes)
+      for (r <- results if r.nonEmpty)
+        assert(r == serial, "d15 diverged when racing OpCaches.release")
+    } finally pool.shutdown()
+    graft.ops.OpCaches.release(spark)
+    assert(graft.ops.OpCaches.registered(spark) == 0,
+      "release must empty the session's registry")
   }
 }

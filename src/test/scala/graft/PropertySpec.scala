@@ -375,11 +375,24 @@ class PropertySpec extends AnyFunSuite {
 
     val dir = java.nio.file.Files.createTempDirectory("d15depth").toFile
     val recs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // The listener is SparkContext-wide; on the shared test session a
+    // concurrently running suite's stages would inflate the counter and
+    // flake the output-bound assertion. Tag this test's jobs with a job
+    // group (thread-local, so only jobs submitted from this thread) and
+    // count shuffle writes ONLY for stages belonging to those jobs.
+    val groupId = "d15-depth-shuffle-probe"
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            groupId == e.properties.getProperty("spark.jobGroup.id"))
+          e.stageIds.foreach(groupStages.add(_))
+      }
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val m = e.stageInfo.taskMetrics
-        if (m != null) {
+        if (m != null && groupStages.contains(e.stageInfo.stageId)) {
           recs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit
         }
       }
@@ -388,8 +401,11 @@ class PropertySpec extends AnyFunSuite {
       docs.toDF("doc_id", "text").repartition(8).write.mode("overwrite")
         .parquet(s"${dir.getPath}/documents.parquet")
       spark.sparkContext.addSparkListener(listener)
+      spark.sparkContext.setJobGroup(groupId, "d15 depth shuffle probe",
+        interruptOnCancel = false)
       val got = graft.ops.Dedup.d15PrefixJaccard(spark, dir.getPath).collect()
         .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      spark.sparkContext.clearJobGroup()
       assert(got.size == expect.size)
       assert(got.keySet == expect.keySet)
       expect.foreach { case (k, v) => assert(math.abs(got(k) - v) <= 5e-7, k) }
@@ -409,6 +425,7 @@ class PropertySpec extends AnyFunSuite {
           s"$bound — a quadratic leg is running at document level")
       assert(recs.get() < quadratic / 4)
     } finally {
+      spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit

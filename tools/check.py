@@ -242,8 +242,17 @@ def selfcheck(name, sf_dir, out_dir, files):
         row = cur.fetchone()
         verdicts = dict(zip(cols, [bool(v) for v in row]))
         return ("ok" if all(verdicts.values()) else "violated", verdicts)
-    except Exception as e:
+    except (duckdb.InterruptException, duckdb.OutOfMemoryException,
+            duckdb.IOException) as e:
+        # Resource ceiling (same class run_oracle treats as infeasible):
+        # genuinely no evidence, not an engine or harness defect.
         return ("error", str(e))
+    except Exception as e:
+        # Anything else (Binder/Catalog/Parser: column typo, dump schema
+        # drift) means the invariant SQL itself is broken — if this read
+        # as "no evidence" the query's only check would be permanently
+        # neutered without failing anything. Surface it as a loud FAIL.
+        return ("broken", f"{type(e).__name__}: {e}")
     finally:
         con.close()
 
@@ -269,6 +278,9 @@ def infeasible(name, sf_dir, out_dir, files, why, n_fail, n_inf, n_inf_sc):
         print(f"INFEASIBLE {name}: {why}; "
               f"selfcheck could not run (no evidence): {payload}")
         return n_fail, n_inf + 1, n_inf_sc
+    if kind == "broken":
+        print(f"FAIL {name}: {why}; selfcheck SQL broken: {payload}")
+        return n_fail + 1, n_inf, n_inf_sc
     if kind == "ok":
         print(f"INFEASIBLE+SELFCHECK {name}: {why}; {verdict_line(payload)}")
         return n_fail, n_inf + 1, n_inf_sc + 1
@@ -302,6 +314,9 @@ def main(sf_dir, out_dir):
                 print(f"weak {name}: no oracle, rows={len(got_df)}; "
                       f"selfcheck could not run (no evidence): {res[1]}")
                 n_weak += 1
+            elif res[0] == "broken":
+                print(f"FAIL {name}: no oracle; selfcheck SQL broken: {res[1]}")
+                n_fail += 1
             elif res[0] == "ok":
                 print(f"weak+selfcheck {name}: rows={len(got_df)}; "
                       f"{verdict_line(res[1])}")
