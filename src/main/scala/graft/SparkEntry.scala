@@ -45,4 +45,14 @@ object SparkEntry {
       graft.ops.Curation.oracle ++
       graft.ops.Hybrid.oracle ++
       graft.ops.FuzzyJoin.oracle
+
+  /** Staged (multi-statement temp-table) replay variants for oracles
+    * whose single composed query exceeds the replay engine's memory at
+    * high scale factors. NOT part of the driver contract — gate-side
+    * tooling only (tools/check.py falls back to these after a composed
+    * oracle dies on a resource ceiling). Results are row-identical to
+    * [[oracleSql]] by construction.
+    */
+  def oracleStaged: Map[String, Seq[String]] =
+    graft.ops.Curation.oracleStaged
 }

@@ -41,6 +41,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Staged replay variants (gate-side OOM fallback — see check.py):
+    // name -> [stage sql, ..., final select].
+    val staged = SparkEntry.oracleStaged
+      .map { case (k, v) => s"${q(k)}: ${v.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_staged.json"), staged)
     spark.stop()
   }
 

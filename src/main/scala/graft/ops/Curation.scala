@@ -463,6 +463,8 @@ object Curation {
     // c4: d9's closure (verbatim formulation) + q39's split rule; the
     // own-label is computed inline in a single-table CTE so a null
     // doc_id row can never be dropped by a label join.
+    // (c5/c6 also have a STAGED replay variant — [[oracleStaged]] —
+    // for gates where the composed form exceeds the replay's memory.)
     "c4_cluster_split" ->
       s"""WITH RECURSIVE
          |cbase AS (SELECT doc_id, (${Sampling.splitCaseSql}) AS own_split
@@ -482,4 +484,100 @@ object Curation {
          |FROM cbase b
          |LEFT JOIN clusters c ON c.doc_id = b.doc_id
          |LEFT JOIN cbase k ON k.doc_id = c.cluster_id""".stripMargin)
+
+  /** STAGED replay of the c5/c6 oracle: the same per-stage
+    * formulations as [[oracle]]'s composed CTE tree, but materialized
+    * one `CREATE TEMP TABLE` at a time so the replay engine can
+    * release (or spill) each stage instead of pinning the whole tree —
+    * a composed run at 30x holds the char-position gram stream plus
+    * every upstream CTE simultaneously and exhausts a 60 GB cap where
+    * the engine under test answers on an 8 GB heap. Stage boundaries
+    * change nothing semantically: every predicate/expression string is
+    * the SAME builder the composed oracle splices (toksSql, normFpSql,
+    * d2PairsSql, scrubSql, lmSql, splitCaseSql, chunkSql), and the one
+    * restructured stage — the span chain — is [[Dedup.stagedContamSpans]],
+    * which is flagged-row-identical to `contamSpansSql` by
+    * construction. The gate uses this ONLY after the composed form
+    * dies on a resource ceiling; the result compare is unchanged
+    * (exact rows/schema/hash).
+    */
+  def oracleStaged: Map[String, Seq[String]] = {
+    val langList = Langs.map(l => s"'$l'").mkString(", ")
+    val front = Seq(
+      s"""CREATE TEMP TABLE tcand AS
+         |SELECT doc_id, text, lang, source FROM documents
+         |WHERE source IS DISTINCT FROM '$EvalSource' AND doc_id IS NOT NULL""".stripMargin,
+      s"""CREATE TEMP TABLE tbadid AS
+         |SELECT doc_id FROM documents
+         |WHERE source IS DISTINCT FROM '$EvalSource' AND doc_id IS NULL""".stripMargin,
+      s"""CREATE TEMP TABLE teval AS
+         |SELECT doc_id, text, lang, source FROM documents
+         |WHERE source IS NOT DISTINCT FROM '$EvalSource'""".stripMargin,
+      s"""CREATE TEMP TABLE tgated AS
+         |SELECT * FROM tcand
+         |WHERE text IS NOT NULL AND lang IN ($langList)
+         |  AND len(${TextAnalysis.toksSql}) >= $MinTokens""".stripMargin,
+      s"""CREATE TEMP TABLE tfp AS
+         |SELECT doc_id, text, lang, source, ${Dedup.normFpSql} AS fp
+         |FROM tgated""".stripMargin,
+      "CREATE TEMP TABLE tkeep AS SELECT fp, min(doc_id) AS keeper FROM tfp GROUP BY fp",
+      """CREATE TEMP TABLE tdup AS
+        |SELECT f.doc_id FROM tfp f JOIN tkeep k ON k.fp = f.fp
+        |WHERE f.doc_id <> k.keeper""".stripMargin,
+      """CREATE TEMP TABLE tdeduped AS
+        |SELECT f.doc_id, f.text, f.lang, f.source
+        |FROM tfp f JOIN tkeep k ON k.fp = f.fp AND f.doc_id = k.keeper""".stripMargin,
+      s"""CREATE TEMP TABLE tpairs AS
+         |SELECT doc_a, doc_b FROM (${Dedup.d2PairsSql("tdeduped")}) p
+         |WHERE est_jaccard >= $MinJaccard""".stripMargin,
+      """CREATE TEMP TABLE tneardup AS
+        |WITH RECURSIVE
+        |cedges AS (SELECT doc_a AS a, doc_b AS b FROM tpairs
+        |           UNION SELECT doc_b AS a, doc_a AS b FROM tpairs),
+        |creach(a, b) AS (
+        |  SELECT a, b FROM cedges
+        |  UNION
+        |  SELECT r.a, e.b FROM creach r JOIN cedges e ON r.b = e.a)
+        |SELECT a AS doc_id FROM creach GROUP BY a
+        |HAVING a <> least(a, min(b))""".stripMargin,
+      """CREATE TEMP TABLE tuniq AS
+        |SELECT d.* FROM tdeduped d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM tneardup)""".stripMargin)
+    val tail = Dedup.stagedContamSpans("teval", "tuniq", "tspans") ++ Seq(
+      s"CREATE TEMP TABLE tscrub AS WITH ${Dedup.scrubSql("tuniq", "tspans")}",
+      """CREATE TEMP TABLE tregate AS
+        |SELECT s.doc_id, s.clean_text AS text, u.source
+        |FROM tscrub s JOIN tuniq u ON u.doc_id = s.doc_id""".stripMargin,
+      s"""CREATE TEMP TABLE tkeeptok AS
+         |SELECT * FROM tregate
+         |WHERE len(${TextAnalysis.toksSql}) >= $MinTokens""".stripMargin,
+      s"""CREATE TEMP TABLE tgutted AS
+         |SELECT doc_id FROM tregate
+         |WHERE len(${TextAnalysis.toksSql}) < $MinTokens""".stripMargin,
+      s"CREATE TEMP TABLE tlm AS WITH ${TextAnalysis.lmSql("tkeeptok")}",
+      s"""CREATE TEMP TABLE tkept AS
+         |SELECT k.* FROM tkeeptok k JOIN tlm l ON l.doc_id = k.doc_id
+         |WHERE l.lm_score >= $MinLmScore""".stripMargin,
+      s"""CREATE TEMP TABLE tlmdrop AS
+         |SELECT doc_id FROM tlm
+         |WHERE lm_score IS NULL OR lm_score < $MinLmScore""".stripMargin,
+      s"""CREATE TEMP TABLE tsplit2 AS
+         |SELECT doc_id, text, source, (${Sampling.splitCaseSql}) AS split
+         |FROM tkept""".stripMargin)
+    val stages = front ++ tail
+    Map(
+      "c5_curation2" -> (stages :+
+        s"""SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_text, source, split
+           |FROM (${TextAnalysis.chunkSql("tsplit2", Seq("source", "split"))}) ch""".stripMargin),
+      "c6_curation2_audit" -> (stages :+
+        """SELECT doc_id, reason FROM (
+          |  SELECT doc_id, 'gate' AS reason FROM tcand
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM tgated)
+          |  UNION ALL SELECT doc_id, 'duplicate' FROM tdup
+          |  UNION ALL SELECT doc_id, 'near_duplicate' FROM tneardup
+          |  UNION ALL SELECT doc_id, 'decontam_gutted' FROM tgutted
+          |  UNION ALL SELECT doc_id, 'lm_gate' FROM tlmdrop
+          |  UNION ALL SELECT doc_id, 'invalid_id' FROM tbadid
+          |) a""".stripMargin))
+  }
 }

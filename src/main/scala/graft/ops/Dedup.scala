@@ -1485,27 +1485,58 @@ object Dedup {
       // cells; within-cell round-6 cosine over the SAME quantized
       // components (q/1e6, exact both engines) gives the pairs; the d9
       // recursive closure collapses them to min-id clusters.
+      //
+      // TWIN COLLAPSE in the replay (the d15-oracle precedent): every
+      // pair predicate is a function of q alone — the cell is decided
+      // by q, and the cosine reads only q/1e6 — so vectors with
+      // identical q are interchangeable, and the quadratic legs (the
+      // within-cell self-join AND the recursive closure) run over one
+      // representative per DISTINCT q, expanded back through group
+      // membership afterwards. Identical result at every duplication
+      // depth: a cross-group member pair exists iff its rep pair
+      // passes the predicate; a multi-member group is internally a
+      // clique iff its (identical) vectors pass the SAME predicate
+      // against themselves (the self-cosine guard below — degenerate
+      // zero-norm vectors stay excluded in both engines); and min-id
+      // component labels survive because each rep IS its group's min
+      // member. Training stays over the FULL corpus (linear, s7's
+      // shape) — only the quadratic stages collapse. Without this the
+      // closure replays every edge at full duplication depth (~900x
+      // the rep edges at 30x) and blows the replay's wall cap where
+      // the engine answers in seconds.
       s"""WITH RECURSIVE
          |${graft.ops.Kmeans.kmeansCtesSql(graft.ops.Kmeans.corpusQCte,
               graft.ops.Kmeans.Dim, sub = false)},
          |${graft.ops.Kmeans.assignCteSql(graft.ops.Kmeans.Iters + 1,
               s"c${graft.ops.Kmeans.Iters}", graft.ops.Kmeans.Dim, sub = false)},
-         |cells AS (SELECT vec_id, cell,
+         |cells AS (SELECT vec_id, cell, q
+         |  FROM a${graft.ops.Kmeans.Iters + 1} WHERE rn = 1),
+         |grp AS (SELECT min(cell) AS cell, min(vec_id) AS rep,
+         |    count(*) AS m, list(vec_id) AS members,
          |    list_transform(q, x -> CAST(x AS DOUBLE)
          |      / CAST(${graft.ops.Kmeans.Scale} AS DOUBLE)) AS v
-         |  FROM a${graft.ops.Kmeans.Iters + 1} WHERE rn = 1),
-         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
-         |      FROM cells a JOIN cells b
-         |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  FROM cells GROUP BY q),
+         |p AS (SELECT a.rep AS va, b.rep AS vb
+         |      FROM grp a JOIN grp b
+         |        ON a.cell = b.cell AND a.rep < b.rep
          |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $SemMinCos),
          |sedges AS (SELECT va AS a, vb AS b FROM p
          |           UNION SELECT vb AS a, va AS b FROM p),
          |sreach(a, b) AS (
          |  SELECT a, b FROM sedges
          |  UNION
-         |  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a)
-         |SELECT a AS vec_id, least(a, min(b)) AS cluster_id
-         |FROM sreach GROUP BY a""".stripMargin,
+         |  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a),
+         |rlbl AS (SELECT a AS rep, least(a, min(b)) AS lbl
+         |         FROM sreach GROUP BY a),
+         |alllbl AS (
+         |  SELECT rep, lbl FROM rlbl
+         |  UNION ALL
+         |  SELECT rep, rep AS lbl FROM grp
+         |  WHERE m >= 2
+         |    AND round(list_cosine_similarity(v, v), 6) >= $SemMinCos
+         |    AND rep NOT IN (SELECT rep FROM rlbl))
+         |SELECT unnest(g.members) AS vec_id, l.lbl AS cluster_id
+         |FROM alllbl l JOIN grp g ON g.rep = l.rep""".stripMargin,
     "d12_substr_spans" ->
       s"""WITH $d12SpansSql
          |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin,
@@ -1540,7 +1571,7 @@ object Dedup {
   /** The one gram-key formulation (60-bit md5 prefix of the K-char
     * window at offset `i`), shared by every span oracle.
     */
-  private def gkSql: String =
+  private[ops] def gkSql: String =
     s"CAST(('0x' || substr(md5(substr(text, i, $SubstrK)), 1, 15)) AS BIGINT)"
 
   /** Islands CTEs: `flagged(doc_id, off, e)` → `spans(doc_id,
@@ -1600,6 +1631,37 @@ object Dedup {
        |flagged AS (SELECT doc_id, off, off + ${SubstrK - 1} AS e
        |  FROM grams WHERE NOT ev AND gk IN (SELECT gk FROM evk)),
        |$islandsSql""".stripMargin
+
+  /** Staged (temp-table) variant of [[contamSpansSql]] for replays that
+    * cannot hold a whole composed CTE tree in memory: the eval-side key
+    * set materializes FIRST (small — distinct window keys of the eval
+    * docs alone), then the corpus side streams its char-position
+    * windows once, probing that table, so only FLAGGED positions and
+    * islands ever materialize — the full gram stream of the composed
+    * form (one row per corpus character, the 30x replay's OOM) never
+    * exists. Same [[gkSql]] keys, same predicates, same [[islandsSql]]
+    * merge: spans are byte-identical to the composed formulation.
+    * `evalRel` and `corpusRel` must be disjoint `(doc_id, text, ...)`
+    * relations (the composed form's `ev` tag encodes exactly that
+    * split). Emits `<out>_evk` and `<out>(doc_id, span_start,
+    * span_end, span_len)`.
+    */
+  private[ops] def stagedContamSpans(evalRel: String, corpusRel: String,
+      out: String): Seq[String] = Seq(
+    s"""CREATE TEMP TABLE ${out}_evk AS
+       |SELECT DISTINCT $gkSql AS gk
+       |FROM $evalRel,
+       |  unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(i)
+       |WHERE length(text) >= $SubstrK""".stripMargin,
+    s"""CREATE TEMP TABLE $out AS
+       |WITH flagged AS (
+       |  SELECT doc_id, i AS off, i + ${SubstrK - 1} AS e
+       |  FROM $corpusRel,
+       |    unnest(generate_series(1, length(text) - ${SubstrK - 1})) AS u(i)
+       |  WHERE length(text) >= $SubstrK
+       |    AND $gkSql IN (SELECT gk FROM ${out}_evk)),
+       |$islandsSql
+       |SELECT doc_id, span_start, span_end, span_len FROM spans""".stripMargin)
 
   /** The scrub oracle over a `(doc_id, text)` relation `rel` and a
     * spans relation `spansRel` (default: the in-scope `spans` CTE) —

@@ -257,6 +257,52 @@ def selfcheck(name, sf_dir, out_dir, files):
         con.close()
 
 
+def run_staged(sf_dir, stages, timeout_s):
+    """Execute a staged oracle (CREATE TEMP TABLE per stage, final
+    SELECT) on a fresh connection at the escalated memory cap. Stage-at-
+    a-time materialization lets DuckDB release/spill each intermediate
+    instead of pinning a whole composed CTE tree — the difference
+    between OOM-at-60GB and finishing (c5/c6 at sf3). One wall timer
+    spans ALL stages, so the staged path gets no more time than the
+    composed oracle would have.
+    """
+    con = connect(sf_dir,
+                  mem=os.environ.get("GRAFT_DUCKDB_MEM_RETRY", "60GB"))
+    try:
+        timer = None
+        if timeout_s:
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
+        try:
+            for s in stages[:-1]:
+                con.execute(s)
+            return con.execute(stages[-1]).df()
+        finally:
+            if timer:
+                timer.cancel()
+    finally:
+        con.close()
+
+
+def try_staged(name, sf_dir, staged, timeout_s, why):
+    """OOM/timeout fallback: ("ok", df) when the staged replay finishes,
+    ("fail", msg) when the staged SQL itself is broken (loud — a bug in
+    the staged formulation must not read as a resource ceiling), None
+    when no staged variant exists or it hit the same resource wall.
+    """
+    if name not in staged:
+        return None
+    print(f"     {name}: {why}; retrying as staged temp-table replay")
+    try:
+        return ("ok", run_staged(sf_dir, staged[name], timeout_s))
+    except (duckdb.InterruptException, duckdb.OutOfMemoryException,
+            duckdb.IOException) as e:
+        print(f"     {name}: staged replay hit a resource ceiling too: {e}")
+        return None
+    except Exception as e:
+        return ("fail", f"staged oracle SQL error: {type(e).__name__}: {e}")
+
+
 def verdict_line(verdicts):
     return (f"{len(verdicts)}/{len(verdicts)} invariants hold "
             f"({', '.join(verdicts)})")
@@ -291,6 +337,8 @@ def infeasible(name, sf_dir, out_dir, files, why, n_fail, n_inf, n_inf_sc):
 
 def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    staged_path = os.path.join(out_dir, "oracle_staged.json")
+    staged = json.load(open(staged_path)) if os.path.exists(staged_path) else {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
@@ -346,22 +394,44 @@ def main(sf_dir, out_dir):
             # sf1 precedent): recorded loudly as its own category, does
             # not fail the gate, and the Spark-side rows remain dumped
             # for inspection. Where a selfcheck exists, the engine's
-            # answer still gets POSITIVE structural evidence.
+            # answer still gets POSITIVE structural evidence. A STAGED
+            # variant, when registered, is tried first — exact parity
+            # beats invariants.
             why = f"oracle exceeded {timeout_s:.0f}s wall cap"
-            n_fail, n_inf, n_inf_sc = infeasible(
-                name, sf_dir, out_dir, files, why, n_fail, n_inf, n_inf_sc)
-            continue
+            got = try_staged(name, sf_dir, staged, timeout_s, why)
+            if got is None:
+                n_fail, n_inf, n_inf_sc = infeasible(
+                    name, sf_dir, out_dir, files, why,
+                    n_fail, n_inf, n_inf_sc)
+                continue
+            if got[0] == "fail":
+                print(f"FAIL {name}: {got[1]}")
+                n_fail += 1
+                continue
+            exp_df = got[1]
+            note = " (staged replay)"
         except (duckdb.OutOfMemoryException, duckdb.IOException) as e:
             # Same category when even the escalated retry exhausts
             # memory or its spill fills the disk (c5/c6 at sf3).
             why = f"oracle resource exhaustion: {e}"
-            n_fail, n_inf, n_inf_sc = infeasible(
-                name, sf_dir, out_dir, files, why, n_fail, n_inf, n_inf_sc)
-            continue
+            got = try_staged(name, sf_dir, staged, timeout_s, why)
+            if got is None:
+                n_fail, n_inf, n_inf_sc = infeasible(
+                    name, sf_dir, out_dir, files, why,
+                    n_fail, n_inf, n_inf_sc)
+                continue
+            if got[0] == "fail":
+                print(f"FAIL {name}: {got[1]}")
+                n_fail += 1
+                continue
+            exp_df = got[1]
+            note = " (staged replay)"
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        else:
+            note = ""
         finally:
             con.close()  # fresh connection per oracle — see connect()
         try:
@@ -381,7 +451,7 @@ def main(sf_dir, out_dir):
                   f"first diffs: {diff} (+{extra} len mismatch)")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(g)} rows")
+            print(f"PASS {name}: {len(g)} rows{note}")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), "
           f"{n_weak_sc} weak+selfcheck (accuracy-bounded), "
