@@ -141,7 +141,27 @@ object StreamBench {
       "latest_fmgws" -> ((df: DataFrame) =>
         MergeState.latestMerged(df.as[MergeState.PartialEvent]).toDF()),
       "latest_tws" -> ((df: DataFrame) =>
-        MergeState.latestMergedTws(df.as[MergeState.PartialEvent]).toDF()))
+        MergeState.latestMergedTws(df.as[MergeState.PartialEvent]).toDF()),
+      // Streaming record linkage (q62's blocking stream-static):
+      // incoming names derived from the event stream — the facility
+      // fleet mapped onto a SPARSE id domain (x7 stride, so numeric
+      // neighbors are mostly distance 2+) with ~1/3 of arrivals
+      // carrying a one-char-appended noisy key (the click events,
+      // whose power_mw is null in the partial-event shape) — linked
+      // against a 500-entity static registry. Stateless per-batch
+      // blocking + exact verify; throughput is source-decode +
+      // explode + broadcast-probe + levenshtein.
+      "fuzzy_link" -> ((df: DataFrame) => {
+        val registry = spark.range(500).select(
+          (col("id") * 7).as("k"),
+          format_string("FAC%05d", col("id") * 7).as("name"))
+        val fid = expr("CAST(substring(facility_id, 2) AS BIGINT) * 7")
+        graft.ops.FuzzyJoin.linkStream(
+          df.select(col("event_ts_ms").as("k"),
+            when(col("power_mw").isNull, format_string("FAC%05dX", fid))
+              .otherwise(format_string("FAC%05d", fid)).as("name")),
+          registry)
+      }))
   }
 
   final case class RunResult(stagedFiles: Int, ops: Seq[(String, OpResult)])

@@ -122,6 +122,53 @@ object FuzzyJoin {
     cross.unionByName(within)
   }
 
+  /** Streaming record linkage — [[fuzzyPairs]]' blocking applied
+    * stream-static (the d10 pattern on fuzzy keys): link a stream of
+    * `(k, name)` records against a static `(k, name)` registry,
+    * emitting `(k, reg_k, dist)` for every registry entity within
+    * Levenshtein distance [[MaxDist]] of the incoming name.
+    *
+    * Per micro-batch the incoming rows explode their FastSS deletion
+    * keys and equi-join the registry's deletion-key index (broadcast by
+    * default — the stream-static dim shape of
+    * [[graft.stream.Ingest]]; pass `broadcastRegistry = false` past
+    * broadcast range and the per-batch join shuffles instead). The
+    * registry frame is re-evaluated per batch, so out-of-band registry
+    * refresh works exactly like the enrichment dims.
+    *
+    * STATELESS by design: multi-key agreement (two names can share
+    * several deletion keys) is collapsed not by a streaming `distinct`
+    * — per-pair state the watermark can't bound — but by the
+    * MIN-SHARED-KEY rule: a candidate row survives only when its block
+    * key equals the lexicographically smallest key the two names
+    * share, so each (arrival, registry entity) match emits EXACTLY
+    * once, deterministically, with zero state rows. At-least-once
+    * re-arrivals re-emit their matches ([[graft.ops.Dedup.incrementalDedupStream]]'s
+    * contract): suppress downstream with `dropDuplicatesWithinWatermark`
+    * keyed `(k, reg_k)` when the sink needs exactly-once pairs.
+    *
+    * Distance is computed ONCE per candidate in a projection (q62's
+    * compute-once verify lesson) and the cheap integer test runs
+    * before the array-intersect dedup predicate.
+    */
+  def linkStream(incoming: DataFrame, registry: DataFrame,
+      broadcastRegistry: Boolean = true): DataFrame = {
+    val regIdx = registry.filter(col("name").isNotNull)
+      .select(col("k").as("reg_k"), col("name").as("reg_name"),
+        explode(deletionKeys(col("name"))).as("v"))
+    val reg = if (broadcastRegistry) broadcast(regIdx) else regIdx
+    incoming.filter(col("name").isNotNull)
+      .select(col("k"), col("name"),
+        explode(deletionKeys(col("name"))).as("v"))
+      .join(reg, "v")
+      .select(col("k"), col("name"), col("reg_k"), col("reg_name"), col("v"),
+        levenshtein(col("name"), col("reg_name")).cast("long").as("dist"))
+      .filter(col("dist") <= MaxDist &&
+        col("v") === array_min(array_intersect(
+          deletionKeys(col("name")), deletionKeys(col("reg_name")))))
+      .select(col("k"), col("reg_k"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_fuzzy_join" -> q62FuzzyJoin)
 

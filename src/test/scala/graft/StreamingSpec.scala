@@ -541,4 +541,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(rejected.forall(_._2 == "reject"))
     }
   }
+
+  test("streaming record linkage: deletion-key blocking against a static " +
+    "registry, exactly one emission per match, stateless (q62 stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    // Registry with known distance structure, including an exact twin
+    // (ids 1 and 6 share "alpha") and multi-shared-key neighbors.
+    val registry = Seq(
+      1L -> "alpha", 2L -> "alpa", 3L -> "beta",
+      4L -> "betta", 5L -> "gamma", 6L -> "alpha").toDF("k", "name")
+    val in = MemoryStream[(Long, String)]
+    val out = graft.ops.FuzzyJoin.linkStream(
+      in.toDF().toDF("k", "name"), registry)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fuzzy_link_t").start()
+    withQuery(q) {
+      in.addData(101L -> "alpha", 102L -> "betta")
+      q.processAllAvailable()
+      in.addData(103L -> "gama", 104L -> "zzzz", 105L -> null)
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_link_t")
+        .as[(Long, Long, Long)].collect().toSeq
+      // Exactly once per (arrival, registry entity): identical names
+      // share EVERY deletion key ("alpha"/"alpha" share 6), so a naive
+      // blocking join would emit each such match 6x — the
+      // min-shared-key rule must collapse them without state.
+      assert(got.size == got.distinct.size,
+        s"duplicate emissions: ${got.groupBy(identity).filter(_._2.size > 1).keys}")
+      val expect = Set(
+        (101L, 1L, 0L), (101L, 6L, 0L), (101L, 2L, 1L), // alpha: twins + 1-del
+        (102L, 4L, 0L), (102L, 3L, 1L),                 // betta: exact + 1-del
+        (103L, 5L, 1L))                                 // gama -> gamma
+      assert(got.toSet == expect, s"got ${got.toSet}")
+      // Stateless: no state operator rows (the dedup is algebraic, not
+      // a streaming distinct — watermark-unbounded pair state is
+      // exactly what this operator exists to avoid).
+      val lastProg = q.recentProgress.reverse.find(_.numInputRows > 0)
+      assert(lastProg.forall(_.stateOperators.forall(_.numRowsTotal == 0)))
+    }
+  }
 }
