@@ -191,6 +191,65 @@ SELECT
     # asserted by nothing. The distance-value check recomputes
     # levenshtein only over the OUTPUT pairs — output-bound, not
     # quadratic — so it is exact evidence, not just structural.
+    # d14/m4: output-bound exact recomputation (the q62 standard) for
+    # scale points where the full oracle replay can't follow. d14: every
+    # emitted fingerprint is re-derived from the document text at its
+    # claimed offset — exact evidence, linear in OUTPUT rows. m4: both
+    # pair ids re-hash (stub phash: 7 md5 hex-byte pairs, twins at
+    # doc_id+1e6 with one flipped bit — the committed oracle's own
+    # formulation) and the hamming distance must be exact and <= 3.
+    "d14_winnow": """
+WITH r AS (SELECT doc_id, off, gk FROM result)
+SELECT
+  (SELECT count(*) FROM r)
+    = (SELECT count(*) FROM (SELECT DISTINCT doc_id, off, gk FROM r))
+    AS rows_distinct,
+  (SELECT count(*) FROM r
+   WHERE doc_id NOT IN (SELECT doc_id FROM documents)) = 0 AS docs_exist,
+  (SELECT count(*) FROM r JOIN documents d USING (doc_id)
+   WHERE off < 1 OR off > length(d.text) - 39) = 0 AS offsets_in_range,
+  (SELECT count(*) FROM r JOIN documents d USING (doc_id)
+   WHERE gk <> CAST(('0x' || substr(md5(substr(d.text,
+       CAST(off AS INTEGER), 40)), 1, 15)) AS BIGINT)) = 0 AS keys_exact
+""",
+    "m4_image_neardup": """
+WITH r AS (SELECT id_a, id_b, hamming FROM result),
+h AS (SELECT doc_id, md5(text) AS h FROM documents),
+base AS (SELECT doc_id,
+  (CAST((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) AS BIGINT) << 0)
+  + (CAST((16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) AS BIGINT) << 8)
+  + (CAST((16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) AS BIGINT) << 16)
+  + (CAST((16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS BIGINT) << 24)
+  + (CAST((16 * (strpos('0123456789abcdef', substr(h, 9, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1)) AS BIGINT) << 32)
+  + (CAST((16 * (strpos('0123456789abcdef', substr(h, 11, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) AS BIGINT) << 40)
+  + (CAST((16 * (strpos('0123456789abcdef', substr(h, 13, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1)) AS BIGINT) << 48)
+  AS phash FROM h),
+all_h AS (SELECT doc_id, phash FROM base
+          UNION ALL
+          SELECT doc_id + 1000000,
+            xor(phash, CAST(1 AS BIGINT) << CAST(doc_id % 56 AS INTEGER))
+          FROM base WHERE doc_id % 10 = 0)
+SELECT
+  (SELECT count(*) FROM r WHERE id_a >= id_b) = 0 AS ordered_pairs,
+  (SELECT count(*) FROM r)
+    = (SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM r))
+    AS pairs_distinct,
+  (SELECT count(*) FROM r WHERE hamming > 3) = 0 AS hamming_bounded,
+  (SELECT count(*) FROM r
+   WHERE id_a NOT IN (SELECT doc_id FROM all_h)
+      OR id_b NOT IN (SELECT doc_id FROM all_h)) = 0 AS ids_exist,
+  (SELECT count(*) FROM r JOIN all_h a ON a.doc_id = r.id_a
+                          JOIN all_h b ON b.doc_id = r.id_b
+   WHERE CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) <> r.hamming) = 0
+    AS hamming_exact
+""",
     "q62_fuzzy_join": """
 WITH r AS (SELECT suppkey_a, suppkey_b, dist FROM result),
 j AS (SELECT r.dist, a.s_name AS na, b.s_name AS nb FROM r
