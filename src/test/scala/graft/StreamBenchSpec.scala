@@ -36,7 +36,7 @@ class StreamBenchSpec extends AnyFunSuite {
       assert(result.stagedFiles == 2)
       val results = result.ops.toMap
       val expected = Set("windowed_agg", "hop_window", "session_window",
-        "dedup", "latest_fmgws", "latest_tws")
+        "dedup", "latest_fmgws", "latest_tws", "fuzzy_link")
       assert(results.keySet == expected)
       results.foreach { case (name, r) =>
         assert(r.rows == totalRows, s"$name consumed ${r.rows} of $totalRows input rows")
@@ -48,7 +48,8 @@ class StreamBenchSpec extends AnyFunSuite {
       // finalize in-run.
       assert(results("dedup").outRows == distinctKeys,
         s"dedup emitted ${results("dedup").outRows}, expected $distinctKeys distinct keys")
-      Seq("latest_fmgws", "latest_tws", "windowed_agg", "hop_window").foreach { n =>
+      Seq("latest_fmgws", "latest_tws", "windowed_agg", "hop_window",
+          "fuzzy_link").foreach { n =>
         assert(results(n).outRows > 0, s"$n emitted nothing")
       }
     } finally prev match {
