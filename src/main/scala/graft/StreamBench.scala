@@ -156,11 +156,16 @@ object StreamBench {
           (col("id") * 7).as("k"),
           format_string("FAC%05d", col("id") * 7).as("name"))
         val fid = expr("CAST(substring(facility_id, 2) AS BIGINT) * 7")
+        // spreadTo: the staged one-file-per-trigger source gives each
+        // micro-batch ONE task, and this stateless pipeline has no
+        // exchange to re-spread it (see linkStream's scaladoc) — spread
+        // to the session's parallelism like a partitioned topic would.
         graft.ops.FuzzyJoin.linkStream(
           df.select(col("event_ts_ms").as("k"),
             when(col("power_mw").isNull, format_string("FAC%05dX", fid))
               .otherwise(format_string("FAC%05d", fid)).as("name")),
-          registry)
+          registry,
+          spreadTo = spark.sparkContext.defaultParallelism)
       }))
   }
 

@@ -40,12 +40,22 @@ object FuzzyJoin {
 
   /** FastSS block keys: the string itself + every single-character
     * deletion, deduplicated (repeated characters collapse to one
-    * deletion). Guarded `sequence`: on an empty string the 0..-1 range
-    * would take Spark's default NEGATIVE step and emit phantom indices
-    * (the q-series "sequence(1, w)" lesson) — an empty name blocks
-    * under its identity key alone.
+    * deletion). Delegates to the native codegen'd
+    * [[graft.functions.DeletionKeys]] — see its scaladoc for why the
+    * composed higher-order-function form is a per-row scale trap under
+    * `InferFiltersFromGenerate` pushdown.
     */
-  private[ops] def deletionKeys(name: Column): Column = {
+  private[ops] def deletionKeys(name: Column): Column =
+    graft.functions.DeletionKeys.deletionKeys(name)
+
+  /** The composed-builtin twin of the native expression, kept ONLY as
+    * the bit-identity spec's reference implementation. Guarded
+    * `sequence`: on an empty string the 0..-1 range would take Spark's
+    * default NEGATIVE step and emit phantom indices (the q-series
+    * "sequence(1, w)" lesson) — an empty name blocks under its identity
+    * key alone.
+    */
+  private[graft] def deletionKeysComposed(name: Column): Column = {
     val deletions = transform(
       sequence(lit(0), length(name) - 1),
       i => concat(name.substr(lit(1), i), name.substr(i + lit(2), length(name))))
@@ -147,26 +157,55 @@ object FuzzyJoin {
     * contract): suppress downstream with `dropDuplicatesWithinWatermark`
     * keyed `(k, reg_k)` when the sink needs exactly-once pairs.
     *
-    * Distance is computed ONCE per candidate in a projection (q62's
-    * compute-once verify lesson) and the cheap integer test runs
-    * before the array-intersect dedup predicate.
+    * Cost shape (sf10-measured, 10M arrivals → ~240M candidate rows →
+    * 23.75M matches). Two layers, in the order they mattered:
+    *
+    * 1. **PARALLELISM, not expressions, was the 20× factor.** This
+    *    pipeline is stateless and its only join is broadcast, so —
+    *    unlike every stateful op, whose aggregation exchange re-spreads
+    *    each micro-batch to `spark.sql.shuffle.partitions` tasks — it
+    *    inherits the SOURCE's partitioning end-to-end. A narrow source
+    *    (one small file per trigger, a single-partition topic) runs the
+    *    whole ×K-explode/×K-candidate blow-up on ONE task: measured
+    *    653 s at sf10 under `maxFilesPerTrigger=1` while the identical
+    *    batch plan needs ~33 s on 32 cores. Pass `spreadTo > 0` to
+    *    repartition each micro-batch BEFORE the explode (d15's elidable
+    *    pre-explode spread; the shuffle is batch-local and tiny relative
+    *    to the blow-up) — sources with real partitioning leave it 0.
+    * 2. Per-candidate expression discipline: both key arrays are
+    *    computed once per row and CARRIED (Filter has no cross-operator
+    *    CSE with the Generate that built them; recomputing
+    *    [[deletionKeys]] per candidate measured 1099 s vs 653 s
+    *    carried), agreement runs as a short-circuit `exists` (no
+    *    per-row intersection array), and the levenshtein verify touches
+    *    each pair ~once, behind an equal-string fast path for the
+    *    exact-duplicate arrivals that dominate linkage streams.
     */
   def linkStream(incoming: DataFrame, registry: DataFrame,
-      broadcastRegistry: Boolean = true): DataFrame = {
+      broadcastRegistry: Boolean = true, spreadTo: Int = 0): DataFrame = {
     val regIdx = registry.filter(col("name").isNotNull)
       .select(col("k").as("reg_k"), col("name").as("reg_name"),
-        explode(deletionKeys(col("name"))).as("v"))
+        deletionKeys(col("name")).as("reg_keys"))
+      .select(col("reg_k"), col("reg_name"), col("reg_keys"),
+        explode(col("reg_keys")).as("v"))
     val reg = if (broadcastRegistry) broadcast(regIdx) else regIdx
-    incoming.filter(col("name").isNotNull)
-      .select(col("k"), col("name"),
-        explode(deletionKeys(col("name"))).as("v"))
+    val arrivals = incoming.filter(col("name").isNotNull)
+    val spread = if (spreadTo > 0) arrivals.repartition(spreadTo) else arrivals
+    spread
+      .select(col("k"), col("name"), deletionKeys(col("name")).as("keys"))
+      .select(col("k"), col("name"), col("keys"), explode(col("keys")).as("v"))
       .join(reg, "v")
-      .select(col("k"), col("name"), col("reg_k"), col("reg_name"), col("v"),
-        levenshtein(col("name"), col("reg_name")).cast("long").as("dist"))
-      .filter(col("dist") <= MaxDist &&
-        col("v") === array_min(array_intersect(
-          deletionKeys(col("name")), deletionKeys(col("reg_name")))))
-      .select(col("k"), col("reg_k"), col("dist"))
+      // MIN-SHARED-KEY agreement: v survives iff no shared key sorts
+      // below it (v itself is shared — it joined), which IS
+      // v = min(keys ∩ reg_keys). Short-circuits on the first smaller
+      // shared key for the ~K-1 duplicate candidates per pair.
+      .filter(!exists(col("keys"),
+        x => x < col("v") && array_contains(col("reg_keys"), x)))
+      .select(col("k"), col("reg_k"),
+        when(col("name") === col("reg_name"), lit(0L))
+          .otherwise(levenshtein(col("name"), col("reg_name")).cast("long"))
+          .as("dist"))
+      .filter(col("dist") <= MaxDist)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -68,4 +68,31 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got == reference(names))
     assert(got.nonEmpty && got.forall { case (a, b, d) => a < b && d == 1L })
   }
+
+  test("native deletion_keys ≡ composed HOF form: values AND order, incl. unicode/repeats/empty") {
+    import org.apache.spark.sql.functions.col
+    val names = Seq(
+      "", "a", "aa", "ab", "aab", "banana", "kitten",
+      "FAC00035", "FAC00035X", "Supplier#000000001",
+      "héllo", "ééé", "日本語テキスト", "a日b", "𝒜𝒷𝒸", // astral-plane codepoints
+      "  spaced  ", "\ttab\n", "ZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZ")
+    val df = names.toDF("name")
+    val native = df.select(graft.functions.DeletionKeys.deletionKeys(col("name")).as("ks"))
+      .as[Seq[String]].collect()
+    val composed = df.select(FuzzyJoin.deletionKeysComposed(col("name")).as("ks"))
+      .as[Seq[String]].collect()
+    // Seq equality pins ORDER too (identity key first, deletions in
+    // character-position order, first-occurrence dedup) — q62's
+    // min-shared-key rule and the sf-gate hashes depend on the values,
+    // the order pin makes any future divergence loud.
+    assert(native.toSeq == composed.toSeq)
+    // Structure: identity key leads, every key is distinct, deletions
+    // are one char shorter (codepoint count, not UTF-16 units).
+    names.zip(native).foreach { case (n, ks) =>
+      assert(ks.head == n)
+      assert(ks.distinct == ks)
+      val cp = n.codePointCount(0, n.length)
+      assert(ks.tail.forall(k => k.codePointCount(0, k.length) == cp - 1))
+    }
+  }
 }
