@@ -724,12 +724,54 @@ object Dedup {
     * transitive clusters; output is every clustered document with its
     * canonical cluster id (= smallest doc_id in the cluster, which is
     * also the keeper d1/d6 would choose).
+    *
+    * Twin collapse (d15's rule applied to the GRAPH, not the pairs):
+    * documents with identical minhash signatures share every band, so
+    * they are pairwise-connected in d2's graph — a duplication-depth-m
+    * twin group is an m-clique contributing C(m,2) edges that say
+    * nothing the signature identity didn't. At sf10 (~100× duplication)
+    * the expanded clique edges are ~hundreds of millions of rows and
+    * OOM'd the default heap inside the CC join; collapsed, the rep
+    * graph is duplication-free and CC cost depends on DISTINCT content
+    * only. Exactness: the signature determines the band keys, so two
+    * docs are d2-adjacent iff their signatures collide on a band iff
+    * their REPS are adjacent — components of the original graph are
+    * exactly the group-expansion of rep-graph components, and min-id
+    * labels survive because each rep is its group's min member (the
+    * c4/pipeline specs and the unchanged brute-force oracle pin this
+    * row-for-row). A multi-member group with no cross edge is a
+    * cluster by itself (its members pair with each other at est 1.0);
+    * a singleton rep with no cross edge is unclustered and excluded,
+    * as before.
     */
-  def d9DedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      d2MinhashLsh(s, dir).select(col("doc_a"), col("doc_b")),
-      "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  def d9DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(
+      graft.Tables.spread(load(s, dir, "documents"))
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 3))
+    val grp = sigs.groupBy("sig")
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+    // Rep-level band collisions — the same banding as minhashPairs,
+    // over one row per distinct signature (est_jaccard is not needed:
+    // d9 consumes adjacency only).
+    val bands = grp.select(col("rep"),
+      posexplode(array((0 until NumBands).map(b =>
+        concat(element_at(col("sig"), 2 * b + 1), element_at(col("sig"), 2 * b + 2))): _*))
+        .as(Seq("band_idx", "band_key")))
+    val repEdges = bands.as("a")
+      .join(bands.as("b").hint("SHUFFLE_HASH"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .distinct()
+    val repLabels = connectedComponents(repEdges, "rep_a", "rep_b")
+    grp.join(repLabels, grp("rep") === repLabels("id"), "left")
+      .filter(col("label").isNotNull || size(col("members")) >= 2)
+      .select(explode(col("members")).as("doc_id"),
+        coalesce(col("label"), col("rep")).as("cluster_id"))
+  }
 
   /** d6 — normalized dedup: the middle rung of the dedup ladder (exact
     * bytes → normalized text → near-dup). Keying on the whitespace/case
