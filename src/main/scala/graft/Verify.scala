@@ -88,18 +88,32 @@ object Verify {
         s"[verify] $name: scrub left debris: ${leftovers.take(5).mkString(", ")}")
       Some(msg)
     } finally {
-      // Drop cached plans between queries (Bench's clearCache rule):
-      // persisted frames from iterative queries (d9/d11/k-means
-      // training) otherwise accumulate across the 114-query dump and
-      // squeeze late heavy queries' heap at 30× scale. clearCache ONLY
-      // — unpersisting `getPersistentRDDs` wholesale looks tempting
-      // but destroys localCheckpoint blocks, whose lineage is
-      // TRUNCATED: the memoized curation run (c1/c2 are two views of
-      // one `curate()`) then dies with CHECKPOINT_RDD_BLOCK_ID_NOT_
-      // FOUND instead of recomputing (measured, round 9). Cached
-      // InMemoryRelations keep their lineage, so clearing them is
-      // always recompute-safe.
+      // Between-query reclamation, so the dump's memory high-water is
+      // the heaviest SINGLE query, not the accumulation:
+      // 1. Release the library's registries — OpCaches (d15/q62 hub
+      //    persists) and the curation memo, whose retained frames pin
+      //    the eager clustering pass's localCheckpoint blocks via
+      //    lineage references. At sf10 that retention starved d11's
+      //    hash aggregation (AGGREGATE_OUT_OF_MEMORY in the shared JVM;
+      //    standalone the same query passes) — dropping the references
+      //    lets the ContextCleaner reclaim the blocks. The next
+      //    c-query recomputes its curate() run: bounded, recompute-safe
+      //    (the memo rebuilds from source, not from dead blocks).
+      // 2. clearCache for cached plans (Bench's clearCache rule) —
+      //    clearCache ONLY; unpersisting `getPersistentRDDs` wholesale
+      //    destroys localCheckpoint blocks still referenced by LIVE
+      //    frames, whose lineage is TRUNCATED: they then die with
+      //    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of recomputing
+      //    (measured, round 9). Dropping the REFERENCES first (step 1)
+      //    is the safe ordering.
+      // 3. System.gc(): ContextCleaner reclamation is weak-ref-driven —
+      //    it runs AFTER a GC notices the dropped references. Without
+      //    the prompt, a heavy next query can OOM before any GC happens
+      //    to run; one explicit collection per dumped query is noise.
+      graft.ops.OpCaches.release(spark)
+      graft.ops.Curation.releaseAll(spark)
       spark.catalog.clearCache()
+      System.gc()
     }
   }
 

@@ -271,6 +271,26 @@ object Curation {
       if (k._1.sparkContext.isStopped) m.remove(k)
     }
 
+  /** Drop THIS session's memo entries and release their caches — the
+    * dump-harness hook (see `graft.Verify`): a 115-query one-JVM dump
+    * at 100× scale otherwise carries every curation run's retained
+    * frames (whose lineage pins the eager clustering pass's
+    * localCheckpoint blocks) into the heaviest later queries' heap —
+    * measured as d11's AGGREGATE_OUT_OF_MEMORY at sf10 in the shared
+    * JVM while the same query passes standalone. After release, the
+    * next c-query recomputes its curate() run from source (bounded,
+    * recompute-safe); c-queries inside ONE caller still share via the
+    * memo until the caller releases.
+    */
+  def releaseAll(s: SparkSession): Unit =
+    Seq(memo, memo2).foreach { m =>
+      m.keySet.forEach { k =>
+        if (k._1 eq s) Option(m.remove(k)).foreach { c =>
+          if (!s.sparkContext.isStopped) c.release()
+        }
+      }
+    }
+
   private val memo = new ConcurrentHashMap[(SparkSession, String), Curated]()
   private def curatedFor(s: SparkSession, dir: String): Curated = {
     purgeStopped(memo)
