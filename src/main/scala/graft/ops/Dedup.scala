@@ -946,32 +946,72 @@ object Dedup {
     * Output mirrors d9: every clustered vector with its canonical
     * (min-id) cluster — `cluster_id` IS the keeper.
     */
-  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(d11Pairs(s, dir), "vec_a", "vec_b")
-      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
-
-  /** d11's pre-component stage: within-cell cosine near-dup pairs.
-    * Factored out (like d2's [[minhashPairs]]) so PlanChecksSpec can pin
-    * the load-bearing plan property — one Lloyd's-assignment pass feeding
-    * BOTH self-join sides via a `ReusedExchange` — which the composed
-    * d11 plan can't show once [[connectedComponents]]' localCheckpoint
-    * truncates lineage.
+  /** d11 — SemDeDup, twin-collapsed like the committed oracle: cell and
+    * cosine are functions of the quantized vector `q` alone, so vectors
+    * are grouped to one representative per distinct q BEFORE any
+    * quadratic stage (the oracle's `GROUP BY q` mirror — VERDICT r10
+    * item 1). A duplication-depth-m twin group is an m-clique of
+    * cosine-1.0 edges in the expanded graph; collapsed, the within-cell
+    * self-join and the component closure run at DISTINCT-vector scale
+    * (the engine previously expanded them at full depth: 798 s
+    * standalone at sf10 and AGGREGATE_OUT_OF_MEMORY in a shared JVM —
+    * this is d9's graph collapse applied to the semantic family).
+    * Exactness: reps are adjacent iff their members are (same cell,
+    * same cosine); min-id labels survive because each rep is its
+    * group's min member; a multi-member group with no cross edge
+    * self-clusters iff its identical vectors pass the same self-cosine
+    * predicate (the oracle's `alllbl` leg, byte-for-byte semantics);
+    * degenerate singletons stay excluded.
     */
-  private[graft] def d11Pairs(s: SparkSession, dir: String): DataFrame = {
-    val cells = graft.ops.Kmeans.assignedWithVec(s, dir)
-      .select(col("id").as("vec_id"), col("cell"),
-        transform(col("q"), x => x.cast("double") / graft.ops.Kmeans.Scale)
-          .as("v"))
-    // SHUFFLE_HASH pin, same reason as d2: both self-join sides must go
-    // through byte-identical exchanges on cell so the Lloyd's
-    // assignment pass (a corpus scan per side otherwise) is planned
-    // once and reused.
-    cells.as("a")
-      .join(cells.as("b").hint("SHUFFLE_HASH"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(Similarity.cosine(col("a.v"), col("b.v")), 6) >= SemMinCos)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    // Persisted: pairs AND the membership expansion both consume grp;
+    // registered with OpCaches (released by harnesses between queries).
+    val grp = OpCaches.persisted(d11Groups(s, dir))
+    val labels = connectedComponents(
+      d11RepPairs(grp), "vec_a", "vec_b")
+    grp.join(labels, grp("rep") === labels("id"), "left")
+      .filter(col("label").isNotNull ||
+        (size(col("members")) >= 2 &&
+          round(Similarity.cosine(col("v"), col("v")), 6) >= SemMinCos))
+      .select(explode(col("members")).as("vec_id"),
+        coalesce(col("label"), col("rep")).as("cluster_id"))
   }
+
+  /** One row per DISTINCT quantized vector: (cell, rep, members, v).
+    * min(cell) mirrors the oracle's grouping — assignment is
+    * q-determined, so every member shares the cell.
+    */
+  private def d11Groups(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Kmeans.assignedWithVec(s, dir)
+      .groupBy(col("q"))
+      .agg(min(col("cell")).as("cell"), min(col("id")).as("rep"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .withColumn("v",
+        transform(col("q"), x => x.cast("double") / graft.ops.Kmeans.Scale))
+
+  /** Rep-level within-cell cosine pairs over a [[d11Groups]] frame.
+    * SHUFFLE_HASH pin, same reason as d2: both self-join sides must go
+    * through byte-identical exchanges on cell so the upstream pass is
+    * planned once and reused.
+    */
+  private def d11RepPairs(grp: DataFrame): DataFrame = {
+    val reps = grp.select(col("rep"), col("cell"), col("v"))
+    reps.as("a")
+      .join(reps.as("b").hint("SHUFFLE_HASH"),
+        col("a.cell") === col("b.cell") && col("a.rep") < col("b.rep"))
+      .filter(round(Similarity.cosine(col("a.v"), col("b.v")), 6) >= SemMinCos)
+      .select(col("a.rep").as("vec_a"), col("b.rep").as("vec_b"))
+  }
+
+  /** The pre-component pairs stage over an UNPERSISTED groups frame —
+    * the PlanChecksSpec surface pinning the load-bearing plan property
+    * (one Lloyd's-assignment pass feeding BOTH self-join sides via a
+    * `ReusedExchange`), which the composed d11 plan can't show once
+    * [[connectedComponents]]' localCheckpoint truncates lineage and
+    * the production path's persist hides the lineage in a cache.
+    */
+  private[graft] def d11Pairs(s: SparkSession, dir: String): DataFrame =
+    d11RepPairs(d11Groups(s, dir))
 
   private val SubstrK = 40
 
