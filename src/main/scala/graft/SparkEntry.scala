@@ -54,5 +54,5 @@ object SparkEntry {
     * [[oracleSql]] by construction.
     */
   def oracleStaged: Map[String, Seq[String]] =
-    graft.ops.Curation.oracleStaged
+    graft.ops.Curation.oracleStaged ++ graft.ops.FuzzyJoin.oracleStaged
 }

@@ -38,23 +38,38 @@ object OpCaches {
 
   /** Persist `df` (MEMORY_AND_DISK — corpus scale spills instead of
     * evicting) and record it for [[release]]. Returns `df`.
+    *
+    * Registration races with a concurrent [[release]]: release removes
+    * the session's queue and drains it, so a frame added to a queue
+    * that was removed in between would stay persisted but untracked
+    * (leaked until a global clearCache). Re-checking membership after
+    * the add closes the window — if the queue is no longer the mapped
+    * one, the release already happened and the contract ("release
+    * unpersists everything registered so far") says this frame should
+    * go with it, so unpersist it directly. A release that starts after
+    * the re-check sees the queue and drains it normally.
     */
   private[graft] def persisted(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    bySession
+    val q = bySession
       .computeIfAbsent(df.sparkSession, _ => new ConcurrentLinkedQueue[DataFrame]())
-      .add(df)
+    q.add(df)
+    if (bySession.get(df.sparkSession) ne q) df.unpersist(false)
     purgeStopped()
     df
   }
 
   /** Unpersist every frame this library persisted on `spark` (blocking
     * = false: blocks drop asynchronously; re-evaluation recomputes from
-    * lineage). Safe to call at any time and more than once.
+    * lineage). Safe to call at any time and more than once. Also purges
+    * queues of stopped sessions, so a long-lived embedder that stops
+    * sessions and only ever calls release (never persisted) does not
+    * pin dead SparkSessions through this registry.
     */
   def release(spark: SparkSession): Unit = {
     val q = bySession.remove(spark)
     if (q != null && !spark.sparkContext.isStopped) q.forEach(_.unpersist(false))
+    purgeStopped()
   }
 
   /** Registered-entry count for `spark` — lets specs pin that release

@@ -2,16 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression checks — the properties that make these
   * queries scale (pushdown, pruning, broadcast, partial aggregation)
   * asserted on the actual Catalyst output, so a refactor that silently
   * loses one fails the build.
+  *
+  * Every pin runs against an UNCACHED session: suites sharing the
+  * session (QueriesSmokeSpec et al.) leave OpCaches-persisted frames
+  * in the CacheManager, which substitutes its InMemoryRelation into any
+  * plan-equal subtree here — erasing the very exchange/scan signatures
+  * these tests assert (d11's ReusedExchange pin, round-11 regression).
+  * The release ordering mirrors Verify's between-query reclamation.
   */
-class PlanChecksSpec extends AnyFunSuite {
+class PlanChecksSpec extends AnyFunSuite with BeforeAndAfterEach {
   lazy val spark: SparkSession = SparkTest.session
   val dir = "/root/testdata/sf0.001"
+
+  override def beforeEach(): Unit = {
+    graft.ops.OpCaches.release(spark)
+    graft.ops.Curation.releaseAll(spark)
+    spark.catalog.clearCache()
+    super.beforeEach()
+  }
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)

@@ -322,8 +322,11 @@ def run_staged(sf_dir, stages, timeout_s):
     a-time materialization lets DuckDB release/spill each intermediate
     instead of pinning a whole composed CTE tree — the difference
     between OOM-at-60GB and finishing (c5/c6 at sf3). One wall timer
-    spans ALL stages, so the staged path gets no more time than the
-    composed oracle would have.
+    spans ALL stages, and it is a FRESH full cap: the staged replay is
+    a restructured computation retried after the composed oracle burned
+    its own budget, so a query that falls back can take up to ~2x
+    GRAFT_ORACLE_TIMEOUT_S end-to-end (deliberate — the retry exists to
+    convert resource-ceiling infeasibility into exact parity).
     """
     con = connect(sf_dir,
                   mem=os.environ.get("GRAFT_DUCKDB_MEM_RETRY", "60GB"))
@@ -510,7 +513,12 @@ def main(sf_dir, out_dir):
                   f"first diffs: {diff} (+{extra} len mismatch)")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(g)} rows{note}")
+            # An empty-vs-empty match is real parity but weak evidence
+            # for the query's output-building tail (c5 at sf3+ correctly
+            # decontaminates everything -> 0 rows both sides); flag it so
+            # gate readers don't over-credit the staged chunk legs.
+            vac = " (0 rows — vacuous)" if len(g) == 0 else ""
+            print(f"PASS {name}: {len(g)} rows{note}{vac}")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), "
           f"{n_weak_sc} weak+selfcheck (accuracy-bounded), "
