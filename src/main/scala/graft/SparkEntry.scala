@@ -54,5 +54,6 @@ object SparkEntry {
     * [[oracleSql]] by construction.
     */
   def oracleStaged: Map[String, Seq[String]] =
-    graft.ops.Curation.oracleStaged ++ graft.ops.FuzzyJoin.oracleStaged
+    graft.ops.Curation.oracleStaged ++ graft.ops.FuzzyJoin.oracleStaged ++
+      graft.ops.Dedup.oracleStaged
 }

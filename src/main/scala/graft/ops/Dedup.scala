@@ -1775,4 +1775,92 @@ object Dedup {
        |FROM $rel d
        |LEFT JOIN cleaned c ON c.doc_id = d.doc_id
        |LEFT JOIN removed r ON r.doc_id = d.doc_id""".stripMargin
+
+  /** STAGED replay of the d11 oracle (the c5/c6 fallback precedent,
+    * tried by check.py only after the composed form dies on a resource
+    * ceiling). The composed oracle twin-collapses the QUADRATIC stages
+    * but still trains Lloyd's over the FULL corpus — four interpreted
+    * assignment passes over every vector, which is the leg that OOMs a
+    * 24 GB cap and then blows the 900 s wall at sf10 (2M vectors ×
+    * K × Dim per pass). This variant collapses to one row per DISTINCT
+    * quantized vector BEFORE training and weights the centroid update
+    * by group multiplicity `w`:
+    *
+    *   - assignment is a function of q alone, so per-distinct-q argmin
+    *     == per-vector argmin (same dist, same `ORDER BY dist, cell`
+    *     tie-break);
+    *   - the mean update over a cell's members is Σ_members q[i] =
+    *     Σ_distinct-q (w × q[i]) and n = Σ w — EXACT integer equality,
+    *     so every round's centroids are bit-identical to the composed
+    *     replay's, and therefore the final cells, pairs, closure and
+    *     expansion are too.
+    *
+    * Verified row-identical to the composed oracle at
+    * sf0.001/0.01/0.1 AND sf3 (where the composed form still finishes —
+    * SF3GATE.log round-12 note); sf10 finishes in well under the wall
+    * where the composed form cannot.
+    */
+  def oracleStaged: Map[String, Seq[String]] = {
+    import graft.ops.Kmeans.{K, Iters, Dim, Scale}
+    val dist = s"list_sum(list_transform(generate_series(1, $Dim), " +
+      "i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i])))"
+    val rounds = (1 to Iters).flatMap { t =>
+      Seq(
+        s"""CREATE TEMP TABLE za$t AS
+           |SELECT q, w, cell, dist,
+           |    row_number() OVER (PARTITION BY q ORDER BY dist ASC, cell ASC) AS rn
+           |FROM (SELECT v.q, v.w, c.cell, $dist AS dist
+           |      FROM zdq v CROSS JOIN zc${t - 1} c)""".stripMargin,
+        s"""CREATE TEMP TABLE zu$t AS
+           |SELECT cell, list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT) ORDER BY i) AS cv
+           |FROM (
+           |  SELECT a.cell, comp.i,
+           |      CAST(sum(a.w * a.q[comp.i]) AS BIGINT) AS s, CAST(sum(a.w) AS BIGINT) AS n
+           |  FROM (SELECT cell, q, w FROM za$t WHERE rn = 1) a
+           |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS i) comp
+           |  GROUP BY a.cell, comp.i)
+           |GROUP BY cell""".stripMargin,
+        s"""CREATE TEMP TABLE zc$t AS
+           |SELECT c.cell, COALESCE(u.cv, c.cv) AS cv
+           |FROM zc${t - 1} c LEFT JOIN zu$t u ON u.cell = c.cell""".stripMargin)
+    }
+    val stages = Seq(
+      s"""CREATE TEMP TABLE zq AS
+         |SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+         |FROM embeddings""".stripMargin,
+      """CREATE TEMP TABLE zdq AS
+        |SELECT q, count(*) AS w, min(vec_id) AS rep, list(vec_id) AS members
+        |FROM zq GROUP BY q""".stripMargin,
+      s"CREATE TEMP TABLE zc0 AS SELECT vec_id AS cell, q AS cv FROM zq WHERE vec_id < $K") ++
+      rounds ++ Seq(
+      s"""CREATE TEMP TABLE zgrp AS
+         |SELECT a.cell, d.rep, d.w AS m, d.members,
+         |    list_transform(d.q, x -> CAST(x AS DOUBLE) / CAST($Scale AS DOUBLE)) AS v
+         |FROM (SELECT q, cell, row_number() OVER (PARTITION BY q ORDER BY dist ASC, cell ASC) AS rn
+         |      FROM (SELECT v.q, c.cell, $dist AS dist FROM zdq v CROSS JOIN zc$Iters c)) a
+         |JOIN zdq d ON d.q = a.q
+         |WHERE a.rn = 1""".stripMargin,
+      s"""CREATE TEMP TABLE zlbl AS
+         |WITH RECURSIVE
+         |p AS (SELECT a.rep AS va, b.rep AS vb
+         |      FROM zgrp a JOIN zgrp b ON a.cell = b.cell AND a.rep < b.rep
+         |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $SemMinCos),
+         |sedges AS (SELECT va AS a, vb AS b FROM p
+         |           UNION SELECT vb AS a, va AS b FROM p),
+         |sreach(a, b) AS (
+         |  SELECT a, b FROM sedges
+         |  UNION
+         |  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a)
+         |SELECT a AS rep, least(a, min(b)) AS lbl FROM sreach GROUP BY a""".stripMargin)
+    Map("d11_semantic_dedup" -> (stages :+
+      s"""SELECT unnest(g.members) AS vec_id, l.lbl AS cluster_id
+         |FROM (
+         |  SELECT rep, lbl FROM zlbl
+         |  UNION ALL
+         |  SELECT rep, rep AS lbl FROM zgrp
+         |  WHERE m >= 2 AND round(list_cosine_similarity(v, v), 6) >= $SemMinCos
+         |    AND rep NOT IN (SELECT rep FROM zlbl)) l
+         |JOIN zgrp g ON g.rep = l.rep""".stripMargin))
+  }
 }

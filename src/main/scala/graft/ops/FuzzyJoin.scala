@@ -189,11 +189,20 @@ object FuzzyJoin {
       .select(col("reg_k"), col("reg_name"), col("reg_keys"),
         explode(col("reg_keys")).as("v"))
     val reg = if (broadcastRegistry) broadcast(regIdx) else regIdx
+    // Arrival payload columns (anything beyond the linkage inputs k +
+    // name) ride through unchanged — a linkage output that dropped the
+    // arrival's event-time column would make the scaladoc's
+    // exactly-once recipe uncomposable (dropDuplicatesWithinWatermark
+    // needs the watermarked column still present downstream).
+    val payload = incoming.columns.filter(c => c != "k" && c != "name")
+      .toIndexedSeq.map(col)
     val arrivals = incoming.filter(col("name").isNotNull)
     val spread = if (spreadTo > 0) arrivals.repartition(spreadTo) else arrivals
     spread
-      .select(col("k"), col("name"), deletionKeys(col("name")).as("keys"))
-      .select(col("k"), col("name"), col("keys"), explode(col("keys")).as("v"))
+      .select(col("k") +: col("name") +:
+        deletionKeys(col("name")).as("keys") +: payload: _*)
+      .select(col("k") +: col("name") +: col("keys") +:
+        explode(col("keys")).as("v") +: payload: _*)
       .join(reg, "v")
       // MIN-SHARED-KEY agreement: v survives iff no shared key sorts
       // below it (v itself is shared — it joined), which IS
@@ -201,10 +210,10 @@ object FuzzyJoin {
       // shared key for the ~K-1 duplicate candidates per pair.
       .filter(!exists(col("keys"),
         x => x < col("v") && array_contains(col("reg_keys"), x)))
-      .select(col("k"), col("reg_k"),
+      .select(col("k") +: col("reg_k") +:
         when(col("name") === col("reg_name"), lit(0L))
           .otherwise(levenshtein(col("name"), col("reg_name")).cast("long"))
-          .as("dist"))
+          .as("dist") +: payload: _*)
       .filter(col("dist") <= MaxDist)
   }
 

@@ -580,4 +580,87 @@ class StreamingSpec extends AnyFunSuite {
       assert(lastProg.forall(_.stateOperators.forall(_.numRowsTotal == 0)))
     }
   }
+
+  test("linkStream registry refresh: a registry row added out-of-band between " +
+    "micro-batches is matched by later batches only (the enrichment-dim contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    // The registry lives in a mutable store (embedded Derby, the J8/S10
+    // test database): the static side's relation re-executes per
+    // micro-batch, so an upsert job's insert is visible to the NEXT
+    // batch without restarting the stream — the claim at the top of
+    // linkStream's scaladoc, previously asserted nowhere.
+    val url = "jdbc:derby:memory:linkreg;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE reg (k BIGINT NOT NULL, name VARCHAR(100), PRIMARY KEY (k))")
+      conn.createStatement().execute("INSERT INTO reg VALUES (1, 'alpha')")
+      val raw = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "reg").load()
+      val registry = raw.toDF(raw.columns.toIndexedSeq.map(_.toLowerCase): _*)
+      val in = MemoryStream[(Long, String)]
+      val out = graft.ops.FuzzyJoin.linkStream(in.toDF().toDF("k", "name"), registry)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("fuzzy_link_refresh_t").start()
+      withQuery(q) {
+        in.addData(101L -> "alpha", 102L -> "betta")
+        q.processAllAvailable()
+        val batch1 = spark.table("fuzzy_link_refresh_t")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(batch1 == Set((101L, 1L, 0L)),
+          s"pre-refresh registry should only know alpha: $batch1")
+        // Out-of-band refresh between micro-batches.
+        conn.createStatement().execute("INSERT INTO reg VALUES (7, 'beta')")
+        in.addData(103L -> "betta", 104L -> "alpha")
+        q.processAllAvailable()
+        val all = spark.table("fuzzy_link_refresh_t")
+          .as[(Long, Long, Long)].collect().toSeq
+        assert(all.size == all.distinct.size, s"duplicate emissions: $all")
+        // 103 sees the refreshed registry; 102's batch-1 miss is NOT
+        // retro-matched (append mode — each batch joins the snapshot
+        // current at ITS trigger).
+        assert(all.toSet == Set(
+          (101L, 1L, 0L), (103L, 7L, 1L), (104L, 1L, 0L)), s"got ${all.toSet}")
+      }
+    } finally conn.close()
+  }
+
+  test("linkStream + dropDuplicatesWithinWatermark(k, reg_k): at-least-once " +
+    "re-arrivals collapse to exactly-once pairs (the scaladoc recipe)") {
+    implicit val sqlCtx = spark.sqlContext
+    val registry = Seq(1L -> "alpha", 2L -> "alpa").toDF("k", "name")
+    // Arrival payload (ts) must survive linkStream for the recipe to
+    // compose — dropDuplicatesWithinWatermark requires the watermarked
+    // event-time column still present on the frame it deduplicates.
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val arrivals = in.toDF().toDF("k", "name", "ts")
+      .withWatermark("ts", "10 minutes")
+    val out = graft.ops.FuzzyJoin.linkStream(arrivals, registry)
+      .dropDuplicatesWithinWatermark("k", "reg_k")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fuzzy_link_once_t").start()
+    withQuery(q) {
+      val t0 = java.sql.Timestamp.valueOf("2025-10-15 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2025-10-15 10:00:05")
+      in.addData((101L, "alpha", t0))
+      q.processAllAvailable()
+      // The same record re-delivered (at-least-once source, retried
+      // batch) inside the watermark horizon: matches re-derive
+      // identically and must be suppressed, not re-emitted.
+      in.addData((101L, "alpha", t1))
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_link_once_t")
+        .select("k", "reg_k", "dist")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.size == got.distinct.size,
+        s"re-arrival re-emitted a pair: $got")
+      assert(got.toSet == Set((101L, 1L, 0L), (101L, 2L, 1L)), s"got ${got.toSet}")
+      // The dedup state is bounded by (k, reg_k) keys under the
+      // watermark TTL — 2 emitted pairs -> 2 state rows, not per-arrival
+      // growth.
+      val lastProg = q.recentProgress.reverse.find(_.numInputRows > 0)
+      assert(lastProg.exists(_.stateOperators.exists(_.numRowsTotal == 2)),
+        s"state rows: ${lastProg.map(_.stateOperators.map(_.numRowsTotal).toSeq)}")
+    }
+  }
 }
