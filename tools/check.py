@@ -365,6 +365,47 @@ def try_staged(name, sf_dir, staged, timeout_s, why):
         return ("fail", f"staged oracle SQL error: {type(e).__name__}: {e}")
 
 
+BIGCOMPARE_ROWS = 50_000_000
+
+
+def big_compare(got_df, exp_df):
+    """Exact multiset compare for results too large for canon()'s
+    pandas/tuple path (~150 B/row x 2 sides plus per-row str sort keys
+    — >100 GB and tens of minutes at q62's 139.95M sf10 rows). Same
+    contract, different engine: sorted-column-name schema check, values
+    exact with float columns rounded to 9 digits (norm()'s rule),
+    multiset equality via EXCEPT ALL in both directions inside DuckDB
+    (hash-based, spills to disk, no Python tuples). EXCEPT ALL uses
+    IS-NOT-DISTINCT semantics, so NULLs and NaNs compare equal — same
+    as canon's (v is None, str(v)) keys. Row-count differences surface
+    as diff rows. Returns (ok, detail)."""
+    gc, ec = sorted(got_df.columns), sorted(exp_df.columns)
+    if gc != ec:
+        return False, f"schema {gc} != {ec}"
+    con = duckdb.connect()
+    con.execute(
+        f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM_RETRY', '60GB')}'")
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+    con.register("bg_got", got_df)
+    con.register("bg_exp", exp_df)
+    cols = ", ".join(
+        f'round("{c}", 9) AS "{c}"'
+        if str(got_df[c].dtype).startswith("float")
+        or str(exp_df[c].dtype).startswith("float")
+        else f'"{c}"' for c in gc)
+    diff = con.execute(
+        f"SELECT count(*) FROM ("
+        f"(SELECT {cols} FROM bg_got EXCEPT ALL SELECT {cols} FROM bg_exp)"
+        f" UNION ALL "
+        f"(SELECT {cols} FROM bg_exp EXCEPT ALL SELECT {cols} FROM bg_got))"
+    ).fetchone()[0]
+    con.close()
+    if diff:
+        return False, (f"multisets differ in {diff} rows "
+                       f"({len(got_df)} got vs {len(exp_df)} oracle)")
+    return True, None
+
+
 def verdict_line(verdicts):
     return (f"{len(verdicts)}/{len(verdicts)} invariants hold "
             f"({', '.join(verdicts)})")
@@ -496,6 +537,15 @@ def main(sf_dir, out_dir):
             note = ""
         finally:
             con.close()  # fresh connection per oracle — see connect()
+        if max(len(got_df), len(exp_df)) >= BIGCOMPARE_ROWS:
+            ok, detail = big_compare(got_df, exp_df)
+            if ok:
+                print(f"PASS {name}: {len(got_df)} rows{note} (multiset compare)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: {detail}")
+                n_fail += 1
+            continue
         try:
             gc, g = canon(got_df)
             ec, e = canon(exp_df)
