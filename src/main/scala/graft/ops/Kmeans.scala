@@ -9,9 +9,13 @@ import graft.Tables.load
   * previously documented "a real deployment feeds k-means centroids in").
   *
   * Scale shape per iteration:
-  *   - ASSIGNMENT is the s3 argmax pattern: corpus × broadcast centroids,
-  *     reduced by a `min_by` partial+final aggregation — one corpus scan,
-  *     one tiny shuffle of 8-byte ids, no sort window.
+  *   - ASSIGNMENT is row-local: centroids are k driver literals, so the
+  *     argmin is `least()` over k codegen'd `struct(dist, cell)` columns —
+  *     a narrow map over the corpus scan. No join, no N×k intermediate,
+  *     and NO shuffle (the earlier crossJoin + min_by-by-id form pushed
+  *     the whole corpus — vector payload included — through an exchange
+  *     per iteration; at 100 TB that is 4 corpus shuffles Lloyd's never
+  *     needed).
   *   - UPDATE is one aggregation to k×(dim+1) numbers (per-cell component
   *     sums + count) with map-side partials; the k resulting rows round-trip
   *     through the driver as the next iteration's broadcast literals. That
@@ -57,23 +61,40 @@ object Kmeans {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
-  /** One assignment pass: every vector to its nearest centroid (squared-L2
-    * asc, cell asc). Centroids arrive as driver-side literals and broadcast;
-    * the argmin is a `min_by` aggregation keyed by the 8-byte id with the
-    * vector riding in the payload (the s3 lesson: never group on the array).
+  /** Row-local argmin against driver-literal centroids: `least()` over k
+    * codegen'd `struct(dist, cell)` expressions. `least`'s struct ordering
+    * compares fields in order — squared-L2 asc, then cell asc — which IS
+    * the deterministic tie-break the oracle replays, and every distance
+    * stays inside whole-stage codegen (sq_dist_long over a literal array).
     */
-  private def assign(e: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
-    val s = e.sparkSession
-    import s.implicits._
-    val cdf = cents.toDF("cell", "cv")
-    e.crossJoin(broadcast(cdf))
-      .select(col("id"), col("q"), col("cell"), sqDist(col("q"), col("cv")).as("dist"))
-      .groupBy("id")
-      .agg(min_by(struct(col("cell"), col("q"), col("dist")),
-        struct(col("dist"), col("cell"))).as("best"))
-      .select(col("id"), col("best.cell").as("cell"), col("best.q").as("q"),
-        col("best.dist").as("dist"))
+  private def bestCell(q: Column, cents: Seq[(Long, Seq[Long])]): Column = {
+    val candidates = cents.map { case (cell, cv) =>
+      struct(sqDist(q, array(cv.map(lit): _*)).as("dist"),
+        lit(cell).as("cell"))
+    }
+    // Empty centroid set (degenerate empty corpus): a non-null dummy —
+    // [[assign]]'s constant-false filter drops every row (the old join
+    // form's semantics), and the dummy keeps the schema's nullability
+    // identical to the normal path (DegenerateCorpusSpec pins degenerate
+    // == sf0.001 schemas exactly). least() needs > 1 children.
+    // (The dummy's dist is the kernel itself — sq_dist(q, q) — so its
+    // nullability matches the normal path's exactly.)
+    if (candidates.isEmpty) struct(sqDist(q, q).as("dist"), lit(0L).as("cell"))
+    else if (candidates.sizeIs == 1) candidates.head
+    else least(candidates: _*)
   }
+
+  /** One assignment pass: every vector to its nearest centroid (squared-L2
+    * asc, cell asc) — a narrow per-row map ([[bestCell]]); the vector
+    * never leaves its input partition. The constant filter only ever
+    * drops rows on an empty centroid set (degenerate corpora), where the
+    * old join form returned zero rows.
+    */
+  private def assign(e: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
+    e.select(col("id"), col("q"), bestCell(col("q"), cents).as("best"))
+      .filter(lit(cents.nonEmpty))
+      .select(col("id"), col("best.cell").as("cell"), col("q"),
+        col("best.dist").as("dist"))
 
   /** Lloyd's: `iters` × (assign → integer-mean update), then a final
     * assignment against the trained centroids. `e` must be
@@ -158,23 +179,24 @@ object Kmeans {
     lloydGrouped(e, initGrouped(e, k), iters, Similarity.PqSubDim)._2
   }
 
-  /** Grouped assignment: like [[assign]] but centroids carry a group id
-    * and vectors join their own group's centroids (broadcast equi-join
-    * on gid instead of a cross join).
+  /** Grouped assignment: like [[assign]] but each row picks the argmin
+    * within its own group's centroids — a CASE chain over gid (groups are
+    * the handful of PQ subspaces), each arm a row-local [[bestCell]].
+    * Still narrow; the inner-join semantics of the old broadcast-join form
+    * (rows whose gid has no centroids vanish) are kept by the null filter.
     */
   private def assignGrouped(e: DataFrame,
       cents: Seq[(Int, Long, Seq[Long])]): DataFrame = {
-    val s = e.sparkSession
-    import s.implicits._
-    val cdf = cents.toDF("gid", "cell", "cv")
-    e.join(broadcast(cdf), "gid")
-      .select(col("gid"), col("id"), col("q"), col("cell"),
-        sqDist(col("q"), col("cv")).as("dist"))
-      .groupBy("gid", "id")
-      .agg(min_by(struct(col("cell"), col("q"), col("dist")),
-        struct(col("dist"), col("cell"))).as("best"))
-      .select(col("gid"), col("id"), col("best.cell").as("cell"),
-        col("best.q").as("q"), col("best.dist").as("dist"))
+    val byGid = cents.groupBy(_._1).view.mapValues(_.map(c => (c._2, c._3)))
+      .toSeq.sortBy(_._1)
+    val best = byGid.foldLeft(lit(null).cast("struct<dist:bigint,cell:bigint>")) {
+      case (acc, (g, cs)) =>
+        when(col("gid") === g, bestCell(col("q"), cs)).otherwise(acc)
+    }
+    e.select(col("gid"), col("id"), col("q"), best.as("best"))
+      .filter(col("best").isNotNull)
+      .select(col("gid"), col("id"), col("best.cell").as("cell"), col("q"),
+        col("best.dist").as("dist"))
   }
 
   /** Grouped Lloyd's: [[lloyd]] with an extra group key on every step —
@@ -260,7 +282,6 @@ object Kmeans {
     * dimension multiplies rows, not SQL.
     */
   def s8PqTrained(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     // Training AND final assignment share one persisted subvector frame
     // (training alone drives ~20 actions over it); the assignment result
     // is localCheckpoint'd — it is output-sized (4 rows of 4 longs per
@@ -268,16 +289,15 @@ object Kmeans {
     // frame stays valid (the d9 retention pattern, bounded by output).
     val subs = quantizedSubvectors(s, dir).persist()
     try {
-      val books = trainPqOn(subs, K, Iters).toDF("sub_idx", "cent_id", "cv")
-      subs
-        .join(broadcast(books), "sub_idx")
-        .select(col("vec_id"), col("sub_idx"), col("cent_id"),
-          sqDist(col("q"), col("cv")).as("dist"))
-        .groupBy("vec_id", "sub_idx")
-        .agg(min_by(struct(col("cent_id"), col("dist")),
-          struct(col("dist"), col("cent_id"))).as("b"))
-        .select(col("vec_id"), col("sub_idx").cast("long").as("sub_idx"),
-          col("b.cent_id").as("code"), col("b.dist").as("dist"))
+      val books = trainPqOn(subs, K, Iters)
+      // Code assignment is the same row-local grouped argmin training
+      // uses — trained books are driver literals, so no join, no argmin
+      // shuffle (tie-break (dist, cent_id) preserved by bestCell).
+      val e = subs.select(col("sub_idx").cast("int").as("gid"),
+        col("vec_id").as("id"), col("q"))
+      assignGrouped(e, books)
+        .select(col("id").as("vec_id"), col("gid").cast("long").as("sub_idx"),
+          col("cell").as("code"), col("dist"))
         .localCheckpoint()
     } finally subs.unpersist()
   }

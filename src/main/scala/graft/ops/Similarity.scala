@@ -308,12 +308,15 @@ object Similarity {
     */
   def s3IvfAnn(s: SparkSession, dir: String): DataFrame = {
     // spread: the corpus×centroid scoring is per-row compute above the
-    // scan; max_by/row_number are comparison-based (order-insensitive),
-    // so the round-robin is hash-safe.
+    // scan; row_number is comparison-based (order-insensitive), so the
+    // round-robin is hash-safe. The centroid collect is k rows — the
+    // same bounded driver hop Kmeans.initFrom already makes.
     val e = graft.Tables.spread(load(s, dir, "embeddings"))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val centroids = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .sortBy(_._1).toSeq
     s3IvfAnnWith(e, centroids)
   }
 
@@ -325,12 +328,10 @@ object Similarity {
     * (plan properties pinned there); only the centroid source differs.
     */
   def s3IvfAnnTrained(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = graft.Tables.spread(load(s, dir, "embeddings"))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val trained = Kmeans.trainCentroids(s, dir)
       .map { case (cell, cv) => (cell, cv.map(_.toDouble / Kmeans.Scale)) }
-      .toDF("cent_id", "cv")
     s3IvfAnnWith(e, trained)
   }
 
@@ -338,31 +339,40 @@ object Similarity {
     * scores the full corpus once (max_by partial+final), probe leg's
     * vec_id range pushes to the scan — see [[s3IvfAnn]]'s plan notes.
     */
-  private def s3IvfAnnWith(e: DataFrame, centroids: DataFrame): DataFrame = {
+  private def s3IvfAnnWith(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
     // Two scored legs, and that is the scale-correct shape (round-3 scan
     // audit verified, then falsified, a recompute here): the assignment
-    // leg scores the FULL corpus exactly once through a max_by
-    // partial+final agg; the probes leg's vec_id range pushes through
-    // the window below the cross join into the scan, so it scores only
-    // the handful of query vectors. A single shared ranked pass was
-    // tried and is worse: the per-consumer partial WindowGroupLimits
-    // (1 vs nprobe) land below the exchanges, making them non-identical
-    // — so nothing is reused anyway. The grouping key is vec_id ALONE,
-    // with the vector riding in the max_by payload: grouping on the
-    // array column would make the agg sort corpus×k vector bytes
-    // instead of 8-byte ids.
-    val scored = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"),
-        col("cent_id"), cosine(col("v"), col("cv")).as("cc"))
-    val assigned = scored
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("v"), col("cent_id")),
-        struct(col("cc"), (-col("cent_id")).as("n"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"), col("best.cent_id").as("cell"))
+    // leg scores the FULL corpus exactly once — ROW-LOCALLY, centroids
+    // being k driver literals: `greatest()` over k struct(cc, -cent_id)
+    // columns is the argmax with the same (cc desc, cent_id asc)
+    // tie-break the old max_by keyed, and the corpus never shuffles for
+    // assignment (the previous crossJoin + max_by-by-id form pushed
+    // every vector through an exchange as agg payload). The probes leg's
+    // vec_id range pushes into the scan, so it scores only the handful
+    // of query vectors; nprobe > 1 keeps it on the window form.
+    val cands = cents.map { case (cid, cv) =>
+      struct(cosine(col("v"), array(cv.map(lit): _*)).as("cc"),
+        lit(-cid).as("n"), lit(cid).as("cell"))
+    }
+    // Degenerate corpora: no centroids → typed null → zero assignments
+    // (the old join form's semantics); one centroid → no greatest().
+    val best =
+      if (cands.isEmpty) lit(null).cast("struct<cc:double,n:bigint,cell:bigint>")
+      else if (cands.sizeIs == 1) cands.head
+      else greatest(cands: _*)
+    val assigned = e.select(col("vec_id"), col("v"),
+      best.getField("cell").as("cell"))
+      .filter(col("cell").isNotNull)
+    val s = e.sparkSession
+    import s.implicits._
+    val centDf = broadcast(cents.toDF("cent_id", "cv"))
     val pw = Window.partitionBy("vec_id")
       .orderBy(col("cc").desc, col("cent_id").asc)
-    val probes = scored
+    val probes = e
       .filter(col("vec_id") >= NCentroids && col("vec_id") < NCentroids + IvfQueries)
+      .crossJoin(centDf)
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        cosine(col("v"), col("cv")).as("cc"))
       .withColumn("probe_rank", row_number().over(pw))
       .filter(col("probe_rank") <= IvfNProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -405,11 +415,17 @@ object Similarity {
         posexplode(array((0 until PqSubspaces).map(b =>
           slice(col("v"), b * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub_idx", "sv")))
 
-  /** Codebook = the first `PqCodes` vectors' subvectors. */
-  private def codebook(subs: DataFrame): DataFrame =
+  /** Codebook = the first `PqCodes` vectors' subvectors, collected —
+    * `PqCodes × PqSubspaces` rows, the bounded driver hop every literal
+    * codebook makes ([[Kmeans]]'s initFrom precedent). Sorted for a
+    * deterministic expression layout.
+    */
+  private def codebook(subs: DataFrame): Seq[(Long, Int, Seq[Double])] =
     subs.filter(col("vec_id") < PqCodes)
-      .select(col("vec_id").as("cent_id"), col("sub_idx").as("c_sub"),
-        col("sv").as("cv"))
+      .select(col("vec_id"), col("sub_idx"), col("sv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._2, t._1)).toSeq
 
   def s4PqCodes(s: SparkSession, dir: String): DataFrame = {
     val subs = subvectors(s, dir)
@@ -417,20 +433,35 @@ object Similarity {
   }
 
   /** The PQ assignment operator proper, codebook pluggable —
-    * `(cent_id, c_sub, cv)` rows, broadcast. The oracled [[s4PqCodes]]
+    * `(cent_id, c_sub, cv)` driver-side rows. The oracled [[s4PqCodes]]
     * feeds the first-`PqCodes` seed codebook; [[s4PqCodesTrained]] feeds
-    * per-subspace k-means centroids through the same shape.
+    * per-subspace k-means centroids through the same shape. The argmin
+    * is row-local — a CASE chain over the subspace id, each arm
+    * `least()` over that subspace's k struct(dist, cent_id) columns —
+    * so the exploded corpus never shuffles and never joins: the old
+    * broadcast-join + min_by-by-(vec_id, sub_idx) form pushed every
+    * subvector row through an aggregation exchange.
     */
-  private[ops] def s4PqCodesWith(subs: DataFrame, cents: DataFrame): DataFrame = {
-    val sqDist = aggregate(
-      zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+  private[ops] def s4PqCodesWith(subs: DataFrame,
+      cents: Seq[(Long, Int, Seq[Double])]): DataFrame = {
+    def sqd(cv: Seq[Double]): Column = aggregate(
+      zip_with(col("sv"), array(cv.map(lit): _*), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
-    subs.join(broadcast(cents), col("sub_idx") === col("c_sub"))
-      .select(col("vec_id"), col("sub_idx"), col("cent_id"), sqDist.as("dist"))
-      .groupBy(col("vec_id"), col("sub_idx"))
-      .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("code"))
+    val bySub = cents.groupBy(_._2).view
+      .mapValues(_.map(c => (c._1, c._3))).toSeq.sortBy(_._1)
+    // Rows whose sub_idx has no codebook vanish, like the old inner join.
+    val best = bySub.foldLeft(lit(null).cast("struct<dist:double,code:bigint>")) {
+      case (acc, (sub, cs)) =>
+        val cands = cs.map { case (cid, cv) =>
+          struct(sqd(cv).as("dist"), lit(cid).as("code"))
+        }
+        when(col("sub_idx") === sub,
+          if (cands.sizeIs == 1) cands.head else least(cands: _*)).otherwise(acc)
+    }
+    subs.select(col("vec_id"), col("sub_idx"), best.as("b"))
+      .filter(col("b").isNotNull)
       .select(col("vec_id"), col("sub_idx").cast("long").as("sub_idx"),
-        col("code").as("code"))
+        col("b.code").as("code"))
   }
 
   /** s4 with per-subspace k-means-trained codebooks
@@ -440,11 +471,9 @@ object Similarity {
     * the seed codebook); the oracled s4 pins the operator itself.
     */
   def s4PqCodesTrained(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val trained = Kmeans.trainPqCodebooks(s, dir)
       .map { case (b, cell, cv) =>
         (cell, b, cv.map(_.toDouble / Kmeans.Scale)) }
-      .toDF("cent_id", "c_sub", "cv")
     s4PqCodesWith(subvectors(s, dir), trained)
   }
 
@@ -466,15 +495,18 @@ object Similarity {
     // calling s4PqCodes here constructed a second, divergent subvectors
     // subtree that ReuseExchange could never collapse).
     val subs = subvectors(s, dir)
-    val cents = codebook(subs)
-    val codes = s4PqCodesWith(subs, cents) // (vec_id, sub_idx, code)
+    val cb = codebook(subs)
+    val codes = s4PqCodesWith(subs, cb) // (vec_id, sub_idx, code)
     val queries = subs
       .filter(col("vec_id") >= PqCodes && col("vec_id") < PqCodes + PqQueries)
       .select(col("vec_id").as("query_id"), col("sub_idx").as("q_sub"), col("sv").as("qv"))
     val sqDist = aggregate(
       zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
-    // Distance tables: queries × subspaces × centroids (tiny — broadcast).
+    // Distance tables: queries × subspaces × centroids (tiny — broadcast;
+    // the codebook side is the collected literal rows, not a subtree).
+    import s.implicits._
+    val cents = cb.toDF("cent_id", "c_sub", "cv")
     val tables = queries.join(broadcast(cents), col("q_sub") === col("c_sub"))
       .select(col("query_id"), col("q_sub").as("sub_idx"),
         col("cent_id").as("code"), sqDist.as("d"))

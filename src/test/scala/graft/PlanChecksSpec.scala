@@ -126,11 +126,11 @@ class PlanChecksSpec extends AnyFunSuite with BeforeAndAfterEach {
   test("d11: one Lloyd's-assignment pass feeds both self-join sides") {
     // The composed d11 plan is truncated by connectedComponents'
     // localCheckpoint, so pin the property on the pre-component pairs
-    // stage: the assignment (a corpus scan + min_by against broadcast
-    // centroids) must be planned once and reused across the within-cell
-    // self-join — otherwise every component round would re-run Lloyd's
-    // assignment twice. AQE decides reuse at runtime; assert on the
-    // final adaptive plan.
+    // stage: the assignment (a corpus scan + row-local argmin against
+    // literal centroids) and the twin-collapse groupBy must be planned
+    // once and reused across the within-cell self-join — otherwise
+    // every component round would re-run them twice. AQE decides reuse
+    // at runtime; assert on the final adaptive plan.
     val df = graft.ops.Dedup.d11Pairs(spark, dir)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
@@ -206,24 +206,23 @@ class PlanChecksSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(p.contains("codegen id"), "no WholeStageCodegen spans in q2")
   }
 
-  test("s7: final assignment runs the native distance kernel inside one " +
-    "partial+final aggregation — no HOF lambdas, one shuffle") {
+  test("s7: final assignment is a narrow row-local argmin — native kernel " +
+    "in codegen, no join, no aggregation, no argmin shuffle") {
     val p = plan("s7_kmeans_assign")
     // The corpus×centroid distance must be the codegen'd expression, not
     // the aggregate(zip_with(…)) lambda chain (HOFs evaluate outside
     // whole-stage codegen — the reason sq_dist_long exists).
     assert(p.contains("sq_dist_long"), s"native kernel missing:\n${p.take(800)}")
     assert(!p.contains("zip_with"), "HOF lambda leaked back into the kernel")
-    // min_by argmin = partial+final aggregation pair over ONE agg
-    // exchange; centroids arrive via broadcast (no join shuffle). The
-    // second exchange is `spread`'s round-robin, which exists only
-    // because the fixture parquet is a single row group.
-    assert("- Exchange".r.findAllIn(p).length <= 2,
-      s"unexpected extra shuffle:\n${p.take(800)}")
-    assert("- SortAggregate".r.findAllIn(p).length == 2 ||
-      "- HashAggregate".r.findAllIn(p).length == 2 ||
-      "- ObjectHashAggregate".r.findAllIn(p).length == 2,
-      s"argmin must be a partial+final pair:\n${p.take(800)}")
+    // Centroids are driver literals, so the argmin is least() over k
+    // struct(dist, cell) columns — a per-row map. The whole corpus never
+    // shuffles: the ONLY exchange allowed is `spread`'s round-robin,
+    // which exists only because the fixture parquet is a single row
+    // group (it self-disables on multi-row-group data).
+    assert("- Exchange".r.findAllIn(p).length <= 1,
+      s"assignment must not shuffle:\n${p.take(800)}")
+    assert(!p.contains("Aggregate"), s"argmin must be row-local:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"centroids must be literals, not a join:\n${p.take(800)}")
   }
 
   test("t10: posting-cap window and shingle aggregation share one exchange " +
