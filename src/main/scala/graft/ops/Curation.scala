@@ -598,6 +598,22 @@ object Curation {
           |  UNION ALL SELECT doc_id, 'decontam_gutted' FROM tgutted
           |  UNION ALL SELECT doc_id, 'lm_gate' FROM tlmdrop
           |  UNION ALL SELECT doc_id, 'invalid_id' FROM tbadid
-          |) a""".stripMargin))
+          |) a""".stripMargin),
+      // c4's composed oracle closes over MEMBER-level d2 edges — at
+      // sf10 every ~100-copy twin group is a C(m,2) clique and the
+      // recursive CTE blows the wall cap. The staged replay is the
+      // rep-collapsed closure ([[Dedup.stagedRepClusterStages]], the
+      // oracle mirror of d9's engine-side twin collapse) with the SAME
+      // final three-way join as the composed form.
+      "c4_cluster_split" -> (Dedup.stagedRepClusterStages("documents", "x") ++ Seq(
+        s"""CREATE TEMP TABLE xbase AS
+           |SELECT doc_id, (${Sampling.splitCaseSql}) AS own_split
+           |FROM documents""".stripMargin,
+        """SELECT b.doc_id,
+          |  coalesce(c.cluster_id, b.doc_id) AS group_id,
+          |  coalesce(k.own_split, b.own_split) AS split
+          |FROM xbase b
+          |LEFT JOIN xclusters c ON c.doc_id = b.doc_id
+          |LEFT JOIN xbase k ON k.doc_id = c.cluster_id""".stripMargin)))
   }
 }

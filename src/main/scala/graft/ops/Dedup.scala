@@ -1800,6 +1800,59 @@ object Dedup {
     * SF3GATE.log round-12 note); sf10 finishes in well under the wall
     * where the composed form cannot.
     */
+  /** Rep-collapsed STAGED replay of the d9 clustering — the oracle-side
+    * mirror of [[d9DedupClusters]]' twin collapse, for gates where the
+    * member-level closure is infeasible (sf10: ~100× duplication turns
+    * every twin group into a C(m,2) clique whose edges say nothing the
+    * signature identity didn't; the composed recursive CTE blows the
+    * wall cap on them). Temp-table stages producing
+    * `${p}clusters(doc_id, cluster_id)` over any (doc_id, text)
+    * relation `from`, exact by the same argument as the engine side:
+    * the signature determines the band keys, so docs are adjacent iff
+    * their reps are; min-id labels survive because each rep is its
+    * group's min member; a ≥2-member twin group with no cross edge is
+    * a cluster by itself. Every expression string (toksSql,
+    * shinglesSql, the minhash/band construction) is byte-identical to
+    * [[d2PairsSql]]'s composed form.
+    */
+  private[ops] def stagedRepClusterStages(from: String, p: String): Seq[String] = {
+    val sigSql = (0 until NumHashes).map(j =>
+      s"list_min(list_transform(sh, x -> substr(md5('0:' || x) || md5('1:' || x), ${8 * j + 1}, 8)))")
+      .mkString("[", ",\n    ", "]")
+    val bandSql = (0 until NumBands).map(b =>
+      s"sig[${2 * b + 1}] || sig[${2 * b + 2}]").mkString("[", ", ", "]")
+    Seq(
+      s"""CREATE TEMP TABLE ${p}sig AS
+         |WITH t AS (SELECT doc_id, $toksSql AS toks FROM $from),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(toks) >= 3)
+         |SELECT doc_id, $sigSql AS sig FROM sh""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}grp AS
+         |SELECT sig, min(doc_id) AS rep, count(*) AS n
+         |FROM ${p}sig GROUP BY sig""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}bands AS
+         |SELECT rep, i - 1 AS band_idx, ($bandSql)[i] AS band_key
+         |FROM ${p}grp, generate_series(1, $NumBands) g(i)""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}redges AS
+         |SELECT DISTINCT a.rep AS doc_a, b.rep AS doc_b
+         |FROM ${p}bands a JOIN ${p}bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         | AND a.rep < b.rep""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}replbl AS
+         |WITH RECURSIVE
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM ${p}redges
+         |          UNION SELECT doc_b AS a, doc_a AS b FROM ${p}redges),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS rep, least(a, min(b)) AS lbl FROM reach GROUP BY a""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}clusters AS
+         |SELECT s.doc_id, coalesce(l.lbl, g.rep) AS cluster_id
+         |FROM ${p}sig s JOIN ${p}grp g ON g.sig = s.sig
+         |LEFT JOIN ${p}replbl l ON l.rep = g.rep
+         |WHERE l.lbl IS NOT NULL OR g.n >= 2""".stripMargin)
+  }
+
   def oracleStaged: Map[String, Seq[String]] = {
     import graft.ops.Kmeans.{K, Iters, Dim, Scale}
     val dist = s"list_sum(list_transform(generate_series(1, $Dim), " +
@@ -1853,14 +1906,17 @@ object Dedup {
          |  UNION
          |  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a)
          |SELECT a AS rep, least(a, min(b)) AS lbl FROM sreach GROUP BY a""".stripMargin)
-    Map("d11_semantic_dedup" -> (stages :+
-      s"""SELECT unnest(g.members) AS vec_id, l.lbl AS cluster_id
-         |FROM (
-         |  SELECT rep, lbl FROM zlbl
-         |  UNION ALL
-         |  SELECT rep, rep AS lbl FROM zgrp
-         |  WHERE m >= 2 AND round(list_cosine_similarity(v, v), 6) >= $SemMinCos
-         |    AND rep NOT IN (SELECT rep FROM zlbl)) l
-         |JOIN zgrp g ON g.rep = l.rep""".stripMargin))
+    Map(
+      "d11_semantic_dedup" -> (stages :+
+        s"""SELECT unnest(g.members) AS vec_id, l.lbl AS cluster_id
+           |FROM (
+           |  SELECT rep, lbl FROM zlbl
+           |  UNION ALL
+           |  SELECT rep, rep AS lbl FROM zgrp
+           |  WHERE m >= 2 AND round(list_cosine_similarity(v, v), 6) >= $SemMinCos
+           |    AND rep NOT IN (SELECT rep FROM zlbl)) l
+           |JOIN zgrp g ON g.rep = l.rep""".stripMargin),
+      "d9_dedup_clusters" -> (stagedRepClusterStages("documents", "x") :+
+        "SELECT doc_id, cluster_id FROM xclusters"))
   }
 }

@@ -979,4 +979,37 @@ object TextAnalysis {
          |SELECT bigram, count(*) AS doc_freq
          |FROM bg GROUP BY bigram
          |ORDER BY doc_freq DESC, bigram ASC LIMIT $TopNgrams""".stripMargin)
+
+  /** STAGED replay of the t15 oracle for gates where the composed form
+    * exhausts the replay's memory (sf10: two window functions over the
+    * full corpus-wide bigram stream — DuckDB pins both windows' sorted
+    * partitions at once and OOMs a 60 GB cap). Stage-at-a-time with the
+    * windows rewritten as grouped-count temp tables joined back:
+    * `count(*) OVER (PARTITION BY k)` ≡ a GROUP BY k count joined on k
+    * — exact integer counts, so every per-position probability and the
+    * pos-ordered sequential double sum (`list_sum(list(p ORDER BY
+    * pos))`, the same summation order) are bit-identical to the
+    * composed form. Expression strings (toksSql, the bigram unnest)
+    * are byte-identical to [[lmSql]]'s.
+    */
+  def oracleStaged: Map[String, Seq[String]] = Map(
+    "t15_lm_score" -> Seq(
+      s"""CREATE TEMP TABLE lbg AS
+         |WITH lmt AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+         |FROM lmt, unnest(generate_series(1, len(toks) - 1)) u(i)
+         |WHERE len(toks) >= 2""".stripMargin,
+      "CREATE TEMP TABLE lc12 AS SELECT w1, w2, count(*) AS n12 FROM lbg GROUP BY 1, 2",
+      "CREATE TEMP TABLE lc1 AS SELECT w1, count(*) AS n1 FROM lbg GROUP BY 1",
+      """CREATE TEMP TABLE lp AS
+        |SELECT b.doc_id, b.pos, CAST(c12.n12 AS DOUBLE) / CAST(c1.n1 AS DOUBLE) AS p
+        |FROM lbg b
+        |JOIN lc12 c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+        |JOIN lc1 c1 ON c1.w1 = b.w1""".stripMargin,
+      """CREATE TEMP TABLE llms AS
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_sum(list(p ORDER BY pos)) / CAST(count(*) AS DOUBLE) AS lm_score
+        |FROM lp GROUP BY doc_id""".stripMargin,
+      """SELECT d.doc_id, coalesce(l.n_bigrams, 0) AS n_bigrams, l.lm_score
+        |FROM documents d LEFT JOIN llms l ON l.doc_id = d.doc_id""".stripMargin))
 }
