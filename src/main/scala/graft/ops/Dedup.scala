@@ -1822,8 +1822,16 @@ object Dedup {
     val bandSql = (0 until NumBands).map(b =>
       s"sig[${2 * b + 1}] || sig[${2 * b + 2}]").mkString("[", ", ", "]")
     Seq(
+      // doc_id IS NOT NULL: the composed form's pair predicate
+      // a.doc_id < b.doc_id and the engine's collect_list(doc_id) both
+      // drop NULL ids, so a {NULL, d} twin group must NOT read as
+      // n=2 here (it would spuriously emit d — and the NULL row — as a
+      // cluster). No current corpus has NULL-id docs, but the curation
+      // contract admits them (c5's tbadid leg), so the staged mirror
+      // must match the composed form's effective exclusion.
       s"""CREATE TEMP TABLE ${p}sig AS
-         |WITH t AS (SELECT doc_id, $toksSql AS toks FROM $from),
+         |WITH t AS (SELECT doc_id, $toksSql AS toks FROM $from
+         |           WHERE doc_id IS NOT NULL),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(toks) >= 3)
          |SELECT doc_id, $sigSql AS sig FROM sh""".stripMargin,
       s"""CREATE TEMP TABLE ${p}grp AS
