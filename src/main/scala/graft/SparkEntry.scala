@@ -55,5 +55,6 @@ object SparkEntry {
     */
   def oracleStaged: Map[String, Seq[String]] =
     graft.ops.Curation.oracleStaged ++ graft.ops.FuzzyJoin.oracleStaged ++
-      graft.ops.Dedup.oracleStaged ++ graft.ops.TextAnalysis.oracleStaged
+      graft.ops.Dedup.oracleStaged ++ graft.ops.TextAnalysis.oracleStaged ++
+      graft.ops.Hybrid.oracleStaged
 }

@@ -159,4 +159,71 @@ object Hybrid {
          |  FROM hf)
          |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf
          |FROM hr WHERE rank <= $TopK""".stripMargin)
+
+  /** STAGED replay of the t17 oracle for gates where the composed form
+    * exhausts the replay's disk (sf10): the lexical leg shares t12's
+    * disease and cure ([[TextAnalysis.stagedBm25Stages]]), and the
+    * vector leg applies the same collapse to QUERY VECTORS — the
+    * top-LegK list (cos_sim to every corpus doc, doc_id tie-break) is
+    * a pure function of the query's vector value, so queries sharing
+    * a vector share their hvec rows, computed once per distinct
+    * vector `vid` (sf10: 10,000 query vecs, 2,000 distinct) in 16
+    * disjoint `vid % 16` buckets (row_number is PARTITION BY the
+    * query key, so partitioning the vid set commutes with the window
+    * and the vec_rank cap) and fanned back out by vector equality
+    * (IS NOT DISTINCT FROM, so a NULL embedding's all-NULL-cos_sim
+    * ranking — composed emits it — survives the collapse). All
+    * expression strings (cosine rounding, rank orderings, the RRF
+    * full-join fold) are the composed oracle's text verbatim.
+    */
+  def oracleStaged: Map[String, Seq[String]] = {
+    val corpusSel =
+      s"SELECT doc_id, text FROM documents WHERE source IS DISTINCT FROM '${TextAnalysis.EvalSource}'"
+    val querySel =
+      s"SELECT doc_id, text FROM documents WHERE source IS NOT DISTINCT FROM '${TextAnalysis.EvalSource}'"
+    val vecBucketSels = (0 until 16).map { b =>
+      s"""SELECT vid, doc_id, vec_rank FROM (
+         |  SELECT vid, doc_id,
+         |      row_number() OVER (PARTITION BY vid
+         |        ORDER BY cos_sim DESC, doc_id ASC) AS vec_rank
+         |  FROM (SELECT q.vid, c.doc_id,
+         |          round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+         |        FROM (SELECT * FROM hxvrep WHERE vid % 16 = $b) q
+         |        CROSS JOIN hxcv c) hvs) hvr
+         |WHERE vec_rank <= $LegK""".stripMargin
+    }
+    Map("t17_hybrid_rrf" ->
+      (TextAnalysis.stagedBm25Stages(corpusSel, querySel, "hx", LegK) ++ Seq(
+        """CREATE TEMP TABLE hxlex AS
+          |SELECT query_id, doc_id, rank AS lex_rank FROM hxqranked""".stripMargin,
+        """CREATE TEMP TABLE hxemb AS
+          |SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings""".stripMargin,
+        s"""CREATE TEMP TABLE hxcv AS
+           |SELECT d.doc_id, e.v
+           |FROM documents d JOIN hxemb e ON e.vec_id = d.doc_id
+           |WHERE d.source IS DISTINCT FROM '${TextAnalysis.EvalSource}'""".stripMargin,
+        s"""CREATE TEMP TABLE hxqv AS
+           |SELECT d.doc_id AS query_id, e.v
+           |FROM documents d JOIN hxemb e ON e.vec_id = d.doc_id
+           |WHERE d.source IS NOT DISTINCT FROM '${TextAnalysis.EvalSource}'""".stripMargin,
+        """CREATE TEMP TABLE hxvrep AS
+          |SELECT v, row_number() OVER (ORDER BY v) AS vid
+          |FROM (SELECT DISTINCT v FROM hxqv) hvd""".stripMargin,
+        s"CREATE TEMP TABLE hxvranked AS\n${vecBucketSels.head}") ++
+        vecBucketSels.tail.map(sel => s"INSERT INTO hxvranked\n$sel") ++ Seq(
+        """CREATE TEMP TABLE hxvec AS
+          |SELECT q.query_id, r.doc_id, r.vec_rank
+          |FROM hxvranked r
+          |JOIN hxvrep g ON g.vid = r.vid
+          |JOIN hxqv q ON q.v IS NOT DISTINCT FROM g.v""".stripMargin) ++ Seq(
+        s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf FROM (
+           |  SELECT query_id, doc_id, rrf,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY rrf DESC, doc_id ASC) AS rank
+           |  FROM (SELECT query_id, doc_id,
+           |      coalesce(CAST(1.0 AS DOUBLE) / ($RrfC + l.lex_rank), CAST(0.0 AS DOUBLE)) +
+           |      coalesce(CAST(1.0 AS DOUBLE) / ($RrfC + v.vec_rank), CAST(0.0 AS DOUBLE)) AS rrf
+           |    FROM hxlex l FULL JOIN hxvec v USING (query_id, doc_id)) hf) hr
+           |WHERE rank <= $TopK""".stripMargin)))
+  }
 }

@@ -729,6 +729,27 @@ object TextAnalysis {
     * for collision-free composition (shared with the t17 hybrid-RRF
     * oracle, so the lexical legs of the two gates cannot diverge).
     */
+  /** The BM25 term-score expression over aliases `q` (bmqkept row:
+    * df), `t` (bmposted row: tf, dlen) and `s` (bmstats row: n_docs,
+    * avgdl) — ONE string shared by the composed [[bm25Ctes]] and the
+    * staged [[stagedBm25Stages]] replay so the two formulations cannot
+    * drift. Literals CAST to DOUBLE (bare 1.2 is DECIMAL in DuckDB).
+    */
+  private val bm25ScoreSql =
+    s"""ln(CAST(1.0 AS DOUBLE) +
+       |        (s.n_docs - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
+       |      (t.tf * CAST(2.2 AS DOUBLE)) /
+       |      (t.tf + CAST(1.2 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * t.dlen / s.avgdl))""".stripMargin
+
+  /** Slot-pinned term-score sum (per-slot max, slots added
+    * left-to-right) — the association-order pin both formulations
+    * share; see the engine-side `pinnedSum` note in [[bm25]].
+    */
+  private val bm25SlotSumSql = (1 to Bm25QueryTerms).map(i =>
+    s"coalesce(max(CASE WHEN qrank = $i THEN sc END), CAST(0 AS DOUBLE))")
+    .mkString(" + ")
+
   private[ops] def bm25Ctes(corpusSel: String, querySel: String): String =
     s"""bmcorpus AS ($corpusSel),
        |bmqdocs AS ($querySel),
@@ -756,24 +777,122 @@ object TextAnalysis {
        |  JOIN (SELECT DISTINCT term FROM bmqkept) bt USING (term)
        |  JOIN bmdlen l ON l.doc_id = t.doc_id),
        |bmscored AS (SELECT q.query_id, t.doc_id, q.qrank,
-       |    ln(CAST(1.0 AS DOUBLE) +
-       |        (s.n_docs - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
-       |      (t.tf * CAST(2.2 AS DOUBLE)) /
-       |      (t.tf + CAST(1.2 AS DOUBLE) *
-       |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * t.dlen / s.avgdl)) AS sc
+       |    $bm25ScoreSql AS sc
        |  FROM bmqkept q
        |  JOIN bmposted t USING (term)
        |  CROSS JOIN bmstats s
        |  WHERE t.prank <= $Bm25MaxPostings),
        |bmagg AS (SELECT query_id, doc_id,
-       |    round(${(1 to Bm25QueryTerms).map(i =>
-                  s"coalesce(max(CASE WHEN qrank = $i THEN sc END), CAST(0 AS DOUBLE))")
-                  .mkString(" + ")}, 6) AS score
+       |    round($bm25SlotSumSql, 6) AS score
        |  FROM bmscored GROUP BY 1, 2),
        |bmranked AS (SELECT query_id, doc_id, score,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id ASC) AS rank
        |  FROM bmagg)""".stripMargin
+
+  /** STAGED replay of [[bm25Ctes]] for gates where the composed form
+    * exhausts the replay's DISK (sf10: bmscored/bmagg materialize
+    * n_queries x QueryTerms x MaxPostings ~ 400M rows — the synthetic
+    * corpus has a ~31-term vocabulary, so every kept query term drags
+    * a full 1000-posting list into the join and the single-statement
+    * pipeline spills >50 GB). Three changes, each exactness-preserving:
+    *
+    *   1. each CTE lands in its own temp table, so the planner never
+    *      holds two heavy pipelines' spill at once (t15's precedent);
+    *   2. queries are COLLAPSED to one representative per distinct
+    *      term SET before the explosion: every downstream step —
+    *      qrank (ORDER BY df, term over the set), the posting join,
+    *      the slot sum, the rank window — is a pure function of the
+    *      query's distinct-term set, so queries sharing a set share
+    *      their entire ranked result, computed once per set id `sid`
+    *      and fanned back out by set equality (`${p}qsig` is never
+    *      keyed by query_id, so duplicate and NULL ids ride through
+    *      unchanged; a NULL token-list set yields zero qkept rows and
+    *      therefore zero output rows, exactly the composed behavior
+    *      for a NULL-text query). At sf10 the ~100x text duplication
+    *      makes this a ~6x collapse (25,000 queries, 3,935 sets);
+    *   3. the (already-collapsed) scored->agg->rank suffix runs in 16
+    *      disjoint `sid % 16` buckets INSERTed one at a time — every
+    *      window and group key in the suffix contains sid, so a
+    *      partition of the set ids commutes with it; peak spill is
+    *      one bucket's.
+    *
+    * The term-score expression, slot-pinned sum, window orderings and
+    * join shapes are the SAME strings as the composed form
+    * ([[bm25ScoreSql]]/[[bm25SlotSumSql]]); `${p}posted` applies the
+    * prank cap at CREATE time (the composed form filters the same rows
+    * one step later in bmscored). Ends with `${p}qranked`
+    * (query_id, doc_id, score, rank) — the staged mirror of bmranked
+    * already capped at rank <= `k` (the composer's candidate depth, so
+    * the fan-out is n_queries x k rows, not n_queries x candidates).
+    *
+    * Precondition (holds for every gate corpus, and is what bmqsel's
+    * per-query_id window assumes too): one documents row per non-NULL
+    * doc_id. Two rows SHARING an id would interleave their qranks in
+    * the composed form but score independently here.
+    */
+  private[ops] def stagedBm25Stages(corpusSel: String, querySel: String,
+      p: String, k: Int): Seq[String] = {
+    val bucketSels = (0 until 16).map { b =>
+      s"""SELECT sid, doc_id, score, rank FROM (
+         |  SELECT sid, doc_id, score,
+         |      row_number() OVER (PARTITION BY sid
+         |        ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM (
+         |    SELECT sid, doc_id,
+         |        round($bm25SlotSumSql, 6) AS score
+         |    FROM (
+         |      SELECT q.sid, t.doc_id, q.qrank,
+         |          $bm25ScoreSql AS sc
+         |      FROM (SELECT * FROM ${p}qkept WHERE sid % 16 = $b) q
+         |      JOIN ${p}posted t USING (term)
+         |      CROSS JOIN ${p}stats s) bsc
+         |    GROUP BY 1, 2) bagg) brk
+         |WHERE rank <= $k""".stripMargin
+    }
+    Seq(
+      s"""CREATE TEMP TABLE ${p}tf AS
+         |SELECT doc_id, term, count(*) AS tf
+         |FROM (SELECT doc_id, unnest($toksSql) AS term FROM ($corpusSel) bmc) t
+         |GROUP BY 1, 2""".stripMargin,
+      s"CREATE TEMP TABLE ${p}dfreq AS SELECT term, count(*) AS df FROM ${p}tf GROUP BY 1",
+      s"""CREATE TEMP TABLE ${p}dlen AS
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dlen FROM ${p}tf GROUP BY 1""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}stats AS
+         |SELECT count(*) AS n_docs,
+         |    CAST(sum(dlen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |FROM ${p}dlen""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}qsig AS
+         |SELECT doc_id AS query_id, list_sort(list_distinct($toksSql)) AS qsig
+         |FROM ($querySel) bmq""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}qrep AS
+         |SELECT qsig, row_number() OVER (ORDER BY qsig) AS sid
+         |FROM (SELECT DISTINCT qsig FROM ${p}qsig) bqd""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}qkept AS
+         |SELECT sid, term, df, qrank FROM (
+         |  SELECT sid, term, df,
+         |      row_number() OVER (PARTITION BY sid
+         |        ORDER BY df ASC, term ASC) AS qrank
+         |  FROM (SELECT sid, unnest(qsig) AS term FROM ${p}qrep) bqt
+         |  JOIN ${p}dfreq USING (term)) bqs
+         |WHERE qrank <= $Bm25QueryTerms""".stripMargin,
+      s"""CREATE TEMP TABLE ${p}posted AS
+         |SELECT term, doc_id, tf, dlen, prank FROM (
+         |  SELECT t.term, t.doc_id, t.tf, l.dlen,
+         |      row_number() OVER (PARTITION BY t.term
+         |        ORDER BY t.tf DESC, l.dlen ASC, t.doc_id ASC) AS prank
+         |  FROM ${p}tf t
+         |  JOIN (SELECT DISTINCT term FROM ${p}qkept) bt USING (term)
+         |  JOIN ${p}dlen l ON l.doc_id = t.doc_id) bp
+         |WHERE prank <= $Bm25MaxPostings""".stripMargin,
+      s"CREATE TEMP TABLE ${p}ranked AS\n${bucketSels.head}") ++
+      bucketSels.tail.map(sel => s"INSERT INTO ${p}ranked\n$sel") :+
+      s"""CREATE TEMP TABLE ${p}qranked AS
+         |SELECT s.query_id, r.doc_id, r.score, r.rank
+         |FROM ${p}ranked r
+         |JOIN ${p}qrep g ON g.sid = r.sid
+         |JOIN ${p}qsig s ON s.qsig IS NOT DISTINCT FROM g.qsig""".stripMargin
+  }
 
   private val stopSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -993,6 +1112,15 @@ object TextAnalysis {
     * are byte-identical to [[lmSql]]'s.
     */
   def oracleStaged: Map[String, Seq[String]] = Map(
+    // t12's composed replay fills >50 GB of spill at sf10 (the
+    // scored/agg explosion — see [[stagedBm25Stages]]); the staged
+    // form replays it temp-table-at-a-time, query-bucket-at-a-time.
+    "t12_bm25" -> (stagedBm25Stages(
+      s"SELECT doc_id, text FROM documents WHERE source IS DISTINCT FROM '$EvalSource'",
+      s"SELECT doc_id, text FROM documents WHERE source IS NOT DISTINCT FROM '$EvalSource'",
+      "bx", Bm25TopK) :+
+      s"""SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+         |FROM bxqranked""".stripMargin),
     "t15_lm_score" -> Seq(
       s"""CREATE TEMP TABLE lbg AS
          |WITH lmt AS (SELECT doc_id, $toksSql AS toks FROM documents)

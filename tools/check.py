@@ -12,6 +12,7 @@ import glob
 import json
 import math
 import os
+import shutil
 import sys
 import threading
 
@@ -69,6 +70,19 @@ def connect(sf_dir, mem=None):
         # Per-process spill dir: concurrent replays sharing one dir
         # remove each other's temp files mid-query (fatal IOException).
         con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+        # Spill ceiling: a composed oracle whose spill would exhaust the
+        # DISK (t12/t17's 400M-row scored stage at sf10, >50 GB) must
+        # fail with a clean resource error — which routes it to the
+        # staged fallback — instead of driving the filesystem to ENOSPC
+        # under every other process. GRAFT_DUCKDB_SPILL overrides;
+        # "auto" (default) caps at 80% of the spill volume's current
+        # free space; "0" disables.
+        spill = os.environ.get("GRAFT_DUCKDB_SPILL", "auto")
+        if spill == "auto":
+            free = shutil.disk_usage("/tmp").free
+            spill = f"{int(free * 0.8 / 1e9)}GB"
+        if spill and spill != "0":
+            con.execute(f"SET max_temp_directory_size='{spill}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -386,6 +400,13 @@ def big_compare(got_df, exp_df):
     con.execute(
         f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM_RETRY', '60GB')}'")
     con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+    # Same spill ceiling as connect(): fail the compare cleanly rather
+    # than drive the disk to ENOSPC.
+    spill = os.environ.get("GRAFT_DUCKDB_SPILL", "auto")
+    if spill == "auto":
+        spill = f"{int(shutil.disk_usage('/tmp').free * 0.8 / 1e9)}GB"
+    if spill and spill != "0":
+        con.execute(f"SET max_temp_directory_size='{spill}'")
     con.register("bg_got", got_df)
     con.register("bg_exp", exp_df)
     cols = ", ".join(
