@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra JVM flags for the forked run/test JVMs (GC logging, GCLocker
+  // tuning experiments) without editing the build: space-separated in
+  // GRAFT_JAVA_OPTS. Works with `sbt -batch`; `sbt --client` ignores
+  // client env (see .claude/skills/verify).
+  sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

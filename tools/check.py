@@ -11,6 +11,7 @@ all columns, and compares values exactly. Usage:
 import glob
 import json
 import math
+import multiprocessing as mp
 import os
 import shutil
 import sys
@@ -432,31 +433,207 @@ def verdict_line(verdicts):
             f"({', '.join(verdicts)})")
 
 
-def infeasible(name, sf_dir, out_dir, files, why, n_fail, n_inf, n_inf_sc):
+def infeasible(name, sf_dir, out_dir, files, why):
     """Classify one oracle-infeasible query: run its selfcheck (if any)
-    and fold the verdict into the counters. A VIOLATED invariant is an
-    engine defect — it FAILS the gate even though the oracle never ran;
-    a selfcheck that cannot run (same resource ceiling that killed the
-    oracle) stays infeasible, loudly, with no evidence claimed.
+    and return the category. A VIOLATED invariant is an engine defect —
+    it FAILS the gate even though the oracle never ran; a selfcheck
+    that cannot run (same resource ceiling that killed the oracle)
+    stays infeasible, loudly, with no evidence claimed.
     """
     res = selfcheck(name, sf_dir, out_dir, files)
     if res is None:
         print(f"INFEASIBLE {name}: {why}")
-        return n_fail, n_inf + 1, n_inf_sc
+        return "inf"
     kind, payload = res
     if kind == "error":
         print(f"INFEASIBLE {name}: {why}; "
               f"selfcheck could not run (no evidence): {payload}")
-        return n_fail, n_inf + 1, n_inf_sc
+        return "inf"
     if kind == "broken":
         print(f"FAIL {name}: {why}; selfcheck SQL broken: {payload}")
-        return n_fail + 1, n_inf, n_inf_sc
+        return "fail"
     if kind == "ok":
         print(f"INFEASIBLE+SELFCHECK {name}: {why}; {verdict_line(payload)}")
-        return n_fail, n_inf + 1, n_inf_sc + 1
+        return "inf_sc"
     bad = [k for k, v in payload.items() if not v]
     print(f"FAIL {name}: {why}; selfcheck VIOLATED: {bad}")
-    return n_fail + 1, n_inf, n_inf_sc
+    return "fail"
+
+
+def compare_dfs(name, got_df, exp_df, note):
+    """Exact-compare the Spark dump against the oracle result and print
+    the verdict line. Returns "pass" | "fail"."""
+    if max(len(got_df), len(exp_df)) >= BIGCOMPARE_ROWS:
+        ok, detail = big_compare(got_df, exp_df)
+        if ok:
+            print(f"PASS {name}: {len(got_df)} rows{note} (multiset compare)")
+            return "pass"
+        print(f"FAIL {name}: {detail}")
+        return "fail"
+    try:
+        gc, g = canon(got_df)
+        ec, e = canon(exp_df)
+    except Exception as e:
+        print(f"FAIL {name}: pandas compare error (driver would too): {e}")
+        return "fail"
+    if gc != ec:
+        print(f"FAIL {name}: schema {gc} != {ec}")
+        return "fail"
+    if g != e:
+        diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+        extra = abs(len(g) - len(e))
+        print(f"FAIL {name}: rows {len(g)} vs {len(e)}; "
+              f"first diffs: {diff} (+{extra} len mismatch)")
+        return "fail"
+    # An empty-vs-empty match is real parity but weak evidence
+    # for the query's output-building tail (c5 at sf3+ correctly
+    # decontaminates everything -> 0 rows both sides); flag it so
+    # gate readers don't over-credit the staged chunk legs.
+    vac = " (0 rows — vacuous)" if len(g) == 0 else ""
+    print(f"PASS {name}: {len(g)} rows{note}{vac}")
+    return "pass"
+
+
+def adjudicate(name, sf_dir, out_dir, oracle, staged, timeout_s,
+               skip_composed=False):
+    """Fully adjudicate ONE query (read the Spark dump, run the oracle
+    with escalation/staged/selfcheck fallbacks, compare) and print its
+    verdict lines. Returns the category: "pass" | "fail" | "weak" |
+    "weak_sc" | "inf" | "inf_sc". With skip_composed=True the composed
+    oracle is not attempted (the caller knows it just killed a replay
+    process) — straight to the staged/selfcheck ladder.
+    """
+    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    con = connect(sf_dir)
+    got_df = con.execute(
+        f"SELECT * FROM read_parquet({files!r})").df()
+    if name not in oracle:
+        con.close()
+        res = selfcheck(name, sf_dir, out_dir, files)
+        if res is None:
+            print(f"weak {name}: no oracle, rows={len(got_df)}")
+            return "weak"
+        if res[0] == "error":
+            print(f"weak {name}: no oracle, rows={len(got_df)}; "
+                  f"selfcheck could not run (no evidence): {res[1]}")
+            return "weak"
+        if res[0] == "broken":
+            print(f"FAIL {name}: no oracle; selfcheck SQL broken: {res[1]}")
+            return "fail"
+        if res[0] == "ok":
+            print(f"weak+selfcheck {name}: rows={len(got_df)}; "
+                  f"{verdict_line(res[1])}")
+            return "weak_sc"
+        bad = [k for k, v in res[1].items() if not v]
+        print(f"FAIL {name}: no oracle; selfcheck VIOLATED: {bad}")
+        return "fail"
+    if skip_composed:
+        con.close()
+        why = "composed replay crashed its process"
+        got = try_staged(name, sf_dir, staged, timeout_s, why)
+        if got is None:
+            return infeasible(name, sf_dir, out_dir, files, why)
+        if got[0] == "fail":
+            print(f"FAIL {name}: {got[1]}")
+            return "fail"
+        return compare_dfs(name, got_df, got[1], " (staged replay)")
+    try:
+        try:
+            exp_df = run_oracle(con, oracle[name], timeout_s)
+        except duckdb.OutOfMemoryException:
+            # Escalate once: a few sf1+ oracles (c5/c6 end-to-end
+            # curation) hold non-spillable working sets past the
+            # default cap but pass with more room (c5: 90 s at
+            # 60GB). Sequential replay means the bigger budget is
+            # still exclusive to this one query.
+            con.close()
+            retry = os.environ.get("GRAFT_DUCKDB_MEM_RETRY", "60GB")
+            print(f"     {name}: oracle over memory cap, retrying at {retry}")
+            con = connect(sf_dir, mem=retry)
+            exp_df = run_oracle(con, oracle[name], timeout_s)
+    except duckdb.InterruptException:
+        # Oracle exceeded the wall cap — a DuckDB-replay resource
+        # ceiling, not a verdict on the engine's output (the d15-at-
+        # sf1 precedent): recorded loudly as its own category, does
+        # not fail the gate, and the Spark-side rows remain dumped
+        # for inspection. Where a selfcheck exists, the engine's
+        # answer still gets POSITIVE structural evidence. A STAGED
+        # variant, when registered, is tried first — exact parity
+        # beats invariants.
+        why = f"oracle exceeded {timeout_s:.0f}s wall cap"
+        got = try_staged(name, sf_dir, staged, timeout_s, why)
+        if got is None:
+            return infeasible(name, sf_dir, out_dir, files, why)
+        if got[0] == "fail":
+            print(f"FAIL {name}: {got[1]}")
+            return "fail"
+        return compare_dfs(name, got_df, got[1], " (staged replay)")
+    except (duckdb.OutOfMemoryException, duckdb.IOException) as e:
+        # Same category when even the escalated retry exhausts
+        # memory or its spill fills the disk (c5/c6 at sf3).
+        why = f"oracle resource exhaustion: {e}"
+        got = try_staged(name, sf_dir, staged, timeout_s, why)
+        if got is None:
+            return infeasible(name, sf_dir, out_dir, files, why)
+        if got[0] == "fail":
+            print(f"FAIL {name}: {got[1]}")
+            return "fail"
+        return compare_dfs(name, got_df, got[1], " (staged replay)")
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}")
+        return "fail"
+    finally:
+        con.close()  # fresh connection per oracle — see connect()
+    return compare_dfs(name, got_df, exp_df, "")
+
+
+def _adjudicate_child(conn, kwargs):
+    """Child-process wrapper: send the category back over the pipe.
+    A native crash (segfault) or hard allocator death never sends —
+    the parent reads EOF and salvages."""
+    try:
+        cat = adjudicate(**kwargs)
+    except Exception as e:
+        print(f"FAIL {kwargs['name']}: harness error in replay child: "
+              f"{type(e).__name__}: {e}")
+        cat = "fail"
+    finally:
+        sys.stdout.flush()
+        sys.stderr.flush()
+    conn.send(cat)
+    conn.close()
+
+
+def adjudicate_isolated(**kwargs):
+    """Run adjudicate() in a forked child so a replay-engine death
+    (native segfault, allocator poisoned by a failed 60GB composed
+    attempt) kills only that query's process, not the gate run. The
+    round-12 sf10 main pass lost 11 queries to exactly this: t15's
+    composed oracle died of bad_alloc at the 60GB retry and the
+    SHARED process segfaulted on the next query. On child death the
+    query is re-adjudicated in a second fresh child with the composed
+    attempt skipped (straight to staged/selfcheck); if that child dies
+    too, the query FAILS loudly.
+    """
+    name = kwargs["name"]
+    for attempt in (dict(kwargs), dict(kwargs, skip_composed=True)):
+        parent_c, child_c = mp.Pipe(duplex=False)
+        p = mp.Process(target=_adjudicate_child, args=(child_c, attempt))
+        p.start()
+        child_c.close()
+        try:
+            cat = parent_c.recv()
+        except EOFError:
+            cat = None
+        p.join()
+        if cat is not None:
+            return cat
+        if not attempt.get("skip_composed"):
+            print(f"     {name}: replay process died (exit {p.exitcode}) "
+                  f"— salvaging in a fresh process without the composed "
+                  f"attempt")
+    print(f"FAIL {name}: salvage replay process died too (exit {p.exitcode})")
+    return "fail"
 
 
 def main(sf_dir, out_dir):
@@ -466,6 +643,9 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
+    # Per-query process isolation is the default; GRAFT_NO_ISOLATION=1
+    # runs in-process (debugger-friendly).
+    isolate = not os.environ.get("GRAFT_NO_ISOLATION")
     n_pass = n_fail = n_weak = n_weak_sc = n_inf = n_inf_sc = 0
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
@@ -473,124 +653,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
             continue
-        con = connect(sf_dir)
-        got_df = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").df()
-        if name not in oracle:
-            con.close()
-            res = selfcheck(name, sf_dir, out_dir, files)
-            if res is None:
-                print(f"weak {name}: no oracle, rows={len(got_df)}")
-                n_weak += 1
-            elif res[0] == "error":
-                print(f"weak {name}: no oracle, rows={len(got_df)}; "
-                      f"selfcheck could not run (no evidence): {res[1]}")
-                n_weak += 1
-            elif res[0] == "broken":
-                print(f"FAIL {name}: no oracle; selfcheck SQL broken: {res[1]}")
-                n_fail += 1
-            elif res[0] == "ok":
-                print(f"weak+selfcheck {name}: rows={len(got_df)}; "
-                      f"{verdict_line(res[1])}")
-                n_weak_sc += 1
-            else:
-                bad = [k for k, v in res[1].items() if not v]
-                print(f"FAIL {name}: no oracle; selfcheck VIOLATED: {bad}")
-                n_fail += 1
-            continue
-        try:
-            try:
-                exp_df = run_oracle(con, oracle[name], timeout_s)
-            except duckdb.OutOfMemoryException:
-                # Escalate once: a few sf1+ oracles (c5/c6 end-to-end
-                # curation) hold non-spillable working sets past the
-                # default cap but pass with more room (c5: 90 s at
-                # 60GB). Sequential replay means the bigger budget is
-                # still exclusive to this one query.
-                con.close()
-                retry = os.environ.get("GRAFT_DUCKDB_MEM_RETRY", "60GB")
-                print(f"     {name}: oracle over memory cap, retrying at {retry}")
-                con = connect(sf_dir, mem=retry)
-                exp_df = run_oracle(con, oracle[name], timeout_s)
-        except duckdb.InterruptException:
-            # Oracle exceeded the wall cap — a DuckDB-replay resource
-            # ceiling, not a verdict on the engine's output (the d15-at-
-            # sf1 precedent): recorded loudly as its own category, does
-            # not fail the gate, and the Spark-side rows remain dumped
-            # for inspection. Where a selfcheck exists, the engine's
-            # answer still gets POSITIVE structural evidence. A STAGED
-            # variant, when registered, is tried first — exact parity
-            # beats invariants.
-            why = f"oracle exceeded {timeout_s:.0f}s wall cap"
-            got = try_staged(name, sf_dir, staged, timeout_s, why)
-            if got is None:
-                n_fail, n_inf, n_inf_sc = infeasible(
-                    name, sf_dir, out_dir, files, why,
-                    n_fail, n_inf, n_inf_sc)
-                continue
-            if got[0] == "fail":
-                print(f"FAIL {name}: {got[1]}")
-                n_fail += 1
-                continue
-            exp_df = got[1]
-            note = " (staged replay)"
-        except (duckdb.OutOfMemoryException, duckdb.IOException) as e:
-            # Same category when even the escalated retry exhausts
-            # memory or its spill fills the disk (c5/c6 at sf3).
-            why = f"oracle resource exhaustion: {e}"
-            got = try_staged(name, sf_dir, staged, timeout_s, why)
-            if got is None:
-                n_fail, n_inf, n_inf_sc = infeasible(
-                    name, sf_dir, out_dir, files, why,
-                    n_fail, n_inf, n_inf_sc)
-                continue
-            if got[0] == "fail":
-                print(f"FAIL {name}: {got[1]}")
-                n_fail += 1
-                continue
-            exp_df = got[1]
-            note = " (staged replay)"
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
-        else:
-            note = ""
-        finally:
-            con.close()  # fresh connection per oracle — see connect()
-        if max(len(got_df), len(exp_df)) >= BIGCOMPARE_ROWS:
-            ok, detail = big_compare(got_df, exp_df)
-            if ok:
-                print(f"PASS {name}: {len(got_df)} rows{note} (multiset compare)")
-                n_pass += 1
-            else:
-                print(f"FAIL {name}: {detail}")
-                n_fail += 1
-            continue
-        try:
-            gc, g = canon(got_df)
-            ec, e = canon(exp_df)
-        except Exception as e:
-            print(f"FAIL {name}: pandas compare error (driver would too): {e}")
-            n_fail += 1
-            continue
-        if gc != ec:
-            print(f"FAIL {name}: schema {gc} != {ec}")
-            n_fail += 1
-        elif g != e:
-            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
-            extra = abs(len(g) - len(e))
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}; "
-                  f"first diffs: {diff} (+{extra} len mismatch)")
-            n_fail += 1
-        else:
-            # An empty-vs-empty match is real parity but weak evidence
-            # for the query's output-building tail (c5 at sf3+ correctly
-            # decontaminates everything -> 0 rows both sides); flag it so
-            # gate readers don't over-credit the staged chunk legs.
-            vac = " (0 rows — vacuous)" if len(g) == 0 else ""
-            print(f"PASS {name}: {len(g)} rows{note}{vac}")
+        kwargs = dict(name=name, sf_dir=sf_dir, out_dir=out_dir,
+                      oracle=oracle, staged=staged, timeout_s=timeout_s)
+        cat = adjudicate_isolated(**kwargs) if isolate else adjudicate(**kwargs)
+        if cat == "pass":
             n_pass += 1
+        elif cat == "fail":
+            n_fail += 1
+        elif cat == "weak":
+            n_weak += 1
+        elif cat == "weak_sc":
+            n_weak_sc += 1
+        elif cat == "inf":
+            n_inf += 1
+        else:  # inf_sc
+            n_inf += 1
+            n_inf_sc += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only), "
           f"{n_weak_sc} weak+selfcheck (accuracy-bounded), "
           f"{n_inf} oracle-infeasible ({n_inf_sc} with positive selfcheck)")
