@@ -27,6 +27,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1 GCLocker allocation-failure guard: a JNI critical section
+  // (parquet/snappy native I/O) holding the GC locker while a task
+  // thread asks for a HUMONGOUS allocation (Tungsten pages are 8-128MB
+  // vs 4MB G1 regions) throws OutOfMemoryError after only 2 retries by
+  // default — with ~100MB actually live on an 8GB heap. This killed a
+  // 115-query sf10 dump mid-d12 (round 12); a GC-logged rerun showed
+  // flat ~100MB retention at every query boundary and reproduced the
+  // "Retried waiting for GCLocker too often" signature. More retries
+  // make the allocation wait out the locker instead of dying. (The
+  // flag is diagnostic on JDK 17, hence the unlock.)
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 ) ++
   // Extra JVM flags for the forked run/test JVMs (GC logging, GCLocker
   // tuning experiments) without editing the build: space-separated in
