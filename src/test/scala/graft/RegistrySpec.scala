@@ -31,4 +31,29 @@ class RegistrySpec extends AnyFunSuite {
     assert(extra.isEmpty,
       s"queries not in registry_queries.txt (add them deliberately): ${extra.toSeq.sorted}")
   }
+
+  test("oracleSql and oracleStaged key into the registry") {
+    val qs = SparkEntry.queries.keySet
+    val osql = SparkEntry.oracleSql.keySet
+    assert((osql -- qs).isEmpty,
+      s"oracleSql entries with no query (dead oracle): ${(osql -- qs).toSeq.sorted}")
+    val staged = SparkEntry.oracleStaged
+    assert((staged.keySet -- qs).isEmpty,
+      s"oracleStaged entries with no query: ${(staged.keySet -- qs).toSeq.sorted}")
+    // A staged replay is a fallback FOR a composed oracle — a staged
+    // entry without a composed one would never be tried by check.py.
+    assert((staged.keySet -- osql).isEmpty,
+      s"oracleStaged entries with no composed oracle: ${(staged.keySet -- osql).toSeq.sorted}")
+    staged.foreach { case (name, stages) =>
+      assert(stages.nonEmpty, s"$name: empty staged replay")
+      stages.init.foreach { st =>
+        val head = st.trim.takeWhile(_ != ' ').toUpperCase
+        assert(head == "CREATE" || head == "INSERT",
+          s"$name: non-final staged stage must CREATE/INSERT, got: ${st.take(60)}")
+      }
+      assert(stages.last.trim.toUpperCase.startsWith("SELECT"),
+        s"$name: final staged stage must be the SELECT check.py compares: " +
+          stages.last.take(60))
+    }
+  }
 }
