@@ -495,13 +495,19 @@ def compare_dfs(name, got_df, exp_df, note):
 
 
 def adjudicate(name, sf_dir, out_dir, oracle, staged, timeout_s,
-               skip_composed=False):
+               skip_composed=False, skip_reason=None, staged_inline=True):
     """Fully adjudicate ONE query (read the Spark dump, run the oracle
     with escalation/staged/selfcheck fallbacks, compare) and print its
     verdict lines. Returns the category: "pass" | "fail" | "weak" |
-    "weak_sc" | "inf" | "inf_sc". With skip_composed=True the composed
-    oracle is not attempted (the caller knows it just killed a replay
-    process) — straight to the staged/selfcheck ladder.
+    "weak_sc" | "inf" | "inf_sc" — or, with staged_inline=False, the
+    tuple ("need_staged", why) when the composed oracle hit a resource
+    ceiling: a 60GB composed attempt that dies of bad_alloc can poison
+    the process allocator (observed: the staged retry then fails to
+    allocate KILOBYTES), so under isolation the staged ladder must run
+    in a FRESH process, not in this one. With skip_composed=True the
+    composed oracle is not attempted (the caller knows it crashed or
+    poisoned a prior process) — straight to the staged/selfcheck
+    ladder, recorded under `skip_reason`.
     """
     files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
     con = connect(sf_dir)
@@ -529,7 +535,7 @@ def adjudicate(name, sf_dir, out_dir, oracle, staged, timeout_s,
         return "fail"
     if skip_composed:
         con.close()
-        why = "composed replay crashed its process"
+        why = skip_reason or "composed replay crashed its process"
         got = try_staged(name, sf_dir, staged, timeout_s, why)
         if got is None:
             return infeasible(name, sf_dir, out_dir, files, why)
@@ -561,6 +567,8 @@ def adjudicate(name, sf_dir, out_dir, oracle, staged, timeout_s,
         # variant, when registered, is tried first — exact parity
         # beats invariants.
         why = f"oracle exceeded {timeout_s:.0f}s wall cap"
+        if not staged_inline:
+            return ("need_staged", why)
         got = try_staged(name, sf_dir, staged, timeout_s, why)
         if got is None:
             return infeasible(name, sf_dir, out_dir, files, why)
@@ -572,6 +580,8 @@ def adjudicate(name, sf_dir, out_dir, oracle, staged, timeout_s,
         # Same category when even the escalated retry exhausts
         # memory or its spill fills the disk (c5/c6 at sf3).
         why = f"oracle resource exhaustion: {e}"
+        if not staged_inline:
+            return ("need_staged", why)
         got = try_staged(name, sf_dir, staged, timeout_s, why)
         if got is None:
             return infeasible(name, sf_dir, out_dir, files, why)
@@ -604,35 +614,55 @@ def _adjudicate_child(conn, kwargs):
     conn.close()
 
 
+def _run_child(kwargs):
+    """Fork one adjudication child; returns its category (or
+    ("need_staged", why) tuple), or None if the child died without
+    reporting (native crash / hard OOM kill)."""
+    parent_c, child_c = mp.Pipe(duplex=False)
+    p = mp.Process(target=_adjudicate_child, args=(child_c, kwargs))
+    p.start()
+    child_c.close()
+    try:
+        cat = parent_c.recv()
+    except EOFError:
+        cat = None
+    p.join()
+    return cat, p.exitcode
+
+
 def adjudicate_isolated(**kwargs):
-    """Run adjudicate() in a forked child so a replay-engine death
+    """Run adjudicate() in forked children so a replay-engine death
     (native segfault, allocator poisoned by a failed 60GB composed
-    attempt) kills only that query's process, not the gate run. The
+    attempt) kills only that attempt's process, not the gate run. The
     round-12 sf10 main pass lost 11 queries to exactly this: t15's
     composed oracle died of bad_alloc at the 60GB retry and the
-    SHARED process segfaulted on the next query. On child death the
-    query is re-adjudicated in a second fresh child with the composed
-    attempt skipped (straight to staged/selfcheck); if that child dies
-    too, the query FAILS loudly.
+    SHARED process segfaulted on the next query. Two-child ladder:
+
+      child 1: composed oracle only (staged_inline=False) — on a
+               resource ceiling it REPORTS ("need_staged", why) and
+               exits rather than running the staged replay inside its
+               own possibly-poisoned allocator (observed: after a 60GB
+               bad_alloc the same process fails KILOBYTE allocations);
+      child 2: fresh process, staged/selfcheck ladder only.
+
+    A child that dies without reporting is treated as a resource
+    ceiling of the composed attempt (→ child 2); if the staged child
+    dies too, the query FAILS loudly.
     """
     name = kwargs["name"]
-    for attempt in (dict(kwargs), dict(kwargs, skip_composed=True)):
-        parent_c, child_c = mp.Pipe(duplex=False)
-        p = mp.Process(target=_adjudicate_child, args=(child_c, attempt))
-        p.start()
-        child_c.close()
-        try:
-            cat = parent_c.recv()
-        except EOFError:
-            cat = None
-        p.join()
-        if cat is not None:
-            return cat
-        if not attempt.get("skip_composed"):
-            print(f"     {name}: replay process died (exit {p.exitcode}) "
-                  f"— salvaging in a fresh process without the composed "
-                  f"attempt")
-    print(f"FAIL {name}: salvage replay process died too (exit {p.exitcode})")
+    cat, exitcode = _run_child(dict(kwargs, staged_inline=False))
+    if isinstance(cat, str):
+        return cat
+    if cat is None:
+        why = f"composed replay process died (exit {exitcode})"
+        print(f"     {name}: {why}")
+    else:
+        why = cat[1]  # ("need_staged", why)
+    cat, exitcode = _run_child(
+        dict(kwargs, skip_composed=True, skip_reason=why))
+    if isinstance(cat, str):
+        return cat
+    print(f"FAIL {name}: staged replay process died too (exit {exitcode})")
     return "fail"
 
 
