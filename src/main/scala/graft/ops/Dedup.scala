@@ -1963,6 +1963,42 @@ object Dedup {
            |    AND rep NOT IN (SELECT rep FROM zlbl)) l
            |JOIN zgrp g ON g.rep = l.rep""".stripMargin),
       "d9_dedup_clusters" -> (stagedRepClusterStages("documents", "x") :+
-        "SELECT doc_id, cluster_id FROM xclusters"))
+        "SELECT doc_id, cluster_id FROM xclusters"),
+      // STAGED replay of the d5 oracle — the SQL mirror of
+      // d5EmbeddingNearDup's twin collapse. The composed self-join
+      // evaluates the round-6 cosine once per MEMBER pair (quadratic in
+      // duplicates: >900 s at sf10's ~100x duplication); both the label
+      // join and the cosine are functions of (label, v) alone, so the
+      // quadratic leg runs over one representative per DISTINCT
+      // (label, v) group (2,000 of 200,000 rows at sf10 — sub-second)
+      // and member pairs are expanded back afterwards. Cross-group
+      // pairs inherit the group pair's cosine of the SAME double
+      // arrays; a multi-member group self-pairs iff its identical
+      // vectors pass the same predicate (label non-NULL — the composed
+      // join never matches NULL labels); least/greatest restores the
+      // composed vec_a < vec_b orientation (member sets are disjoint,
+      // so each unordered pair appears exactly once). Row-identical to
+      // the composed form at sf0.001/0.01/0.1.
+      "d5_embedding_neardup" -> Seq(
+        """CREATE TEMP TABLE d5g AS
+          |SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+          |    min(vec_id) AS rep, list_sort(list(vec_id)) AS members
+          |FROM embeddings
+          |GROUP BY label, CAST(embedding AS DOUBLE[])""".stripMargin,
+        """CREATE TEMP TABLE d5x AS
+          |SELECT a.members AS ma, b.members AS mb,
+          |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+          |FROM d5g a JOIN d5g b ON a.label = b.label AND a.rep < b.rep
+          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3""".stripMargin,
+        """SELECT least(x, y) AS vec_a, greatest(x, y) AS vec_b, cos_sim
+          |FROM d5x, unnest(ma) AS ua(x), unnest(mb) AS ub(y)
+          |UNION ALL
+          |SELECT x AS vec_a, y AS vec_b, cos_sim
+          |FROM (SELECT members, round(list_cosine_similarity(v, v), 6) AS cos_sim
+          |      FROM d5g
+          |      WHERE label IS NOT NULL AND len(members) >= 2
+          |        AND round(list_cosine_similarity(v, v), 6) >= 0.3) w,
+          |  unnest(members) AS ua(x), unnest(members) AS ub(y)
+          |WHERE x < y""".stripMargin))
   }
 }
