@@ -7,6 +7,13 @@ views over the sf-dir parquet tables, sorts columns by name and rows by
 all columns, and compares values exactly. Usage:
 
     python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+
+`--staged-both` instead asserts staged ≡ composed row-identity for
+every entry in <outDir>/oracle_staged.json at this SF (no Spark dump
+involved) — the routine guard that keeps the sf10 fallback oracles
+from drifting from their composed twins between 100x gates:
+
+    python3 tools/check.py --staged-both /root/testdata/sf0.01 /tmp/verify_out
 """
 import glob
 import json
@@ -666,6 +673,62 @@ def adjudicate_isolated(**kwargs):
     return "fail"
 
 
+def staged_both(sf_dir, out_dir):
+    """`--staged-both`: assert staged ≡ composed for EVERY registered
+    staged oracle at a small SF (VERDICT r13 item 4). The staged
+    replays normally run only as sf10 resource-ceiling fallbacks, so
+    an edit that breaks one (the ADVICE-r12 NULL-doc_id class) would
+    otherwise surface only at the next 100x gate. Here both forms run
+    to completion at sf0.01-feasible cost and must be row-identical —
+    a drifted staged formulation is a loud FAIL today, not a latent
+    sf10 landmine. Uses the dumped oracle_sql.json/oracle_staged.json
+    from a prior graft.Verify run (any dump dir works: only the two
+    JSON manifests are read, never the parquet results)."""
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    staged_path = os.path.join(out_dir, "oracle_staged.json")
+    staged = json.load(open(staged_path)) if os.path.exists(staged_path) else {}
+    if not staged:
+        print("staged-both: no oracle_staged.json entries — nothing to check")
+        return 0
+    timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
+    n_pass = n_fail = 0
+    for name in sorted(staged):
+        if name not in oracle:
+            # RegistrySpec pins staged keys to registered queries, but a
+            # staged entry without a composed twin has nothing to agree
+            # with — that is a registry defect, not a skip.
+            print(f"FAIL {name}: staged oracle has no composed counterpart")
+            n_fail += 1
+            continue
+        con = connect(sf_dir)
+        try:
+            composed_df = run_oracle(con, oracle[name], timeout_s)
+        except Exception as e:
+            print(f"FAIL {name}: composed oracle error at this SF: "
+                  f"{type(e).__name__}: {e}")
+            n_fail += 1
+            con.close()
+            continue
+        finally:
+            con.close()
+        try:
+            staged_df = run_staged(sf_dir, staged[name], timeout_s)
+        except Exception as e:
+            print(f"FAIL {name}: staged oracle error at this SF: "
+                  f"{type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        cat = compare_dfs(name, staged_df, composed_df,
+                          " (staged == composed)")
+        if cat == "pass":
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== staged-both: {n_pass} identical, {n_fail} divergent/error "
+          f"of {len(staged)} staged oracles")
+    return 1 if n_fail else 0
+
+
 def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     staged_path = os.path.join(out_dir, "oracle_staged.json")
@@ -724,4 +787,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:] if a != "--staged-both"]
+    if "--staged-both" in sys.argv[1:]:
+        sys.exit(staged_both(argv[0], argv[1]))
+    sys.exit(main(argv[0], argv[1]))

@@ -13,6 +13,28 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Bench-contamination guard (VERDICT r13 item 5): three of the last
+# four round-boundary benches measured a loaded machine. graft.Bench
+# writes /tmp/graft_bench.running (its pid) while measuring; a gate
+# starting mid-bench would be exactly that contamination, so refuse —
+# GRAFT_GATE_FORCE=1 overrides. Stale markers (dead pid) are ignored.
+BENCH_MARK=/tmp/graft_bench.running
+if [ -f "$BENCH_MARK" ] && [ "${GRAFT_GATE_FORCE:-}" != "1" ]; then
+  BPID=$(cat "$BENCH_MARK" 2>/dev/null || echo "")
+  if [ -n "$BPID" ] && kill -0 "$BPID" 2>/dev/null; then
+    echo "REFUSED: graft.Bench (pid $BPID) is measuring — a concurrent" >&2
+    echo "gate would contaminate BENCH_r*.json. Wait for it or set" >&2
+    echo "GRAFT_GATE_FORCE=1." >&2
+    exit 3
+  fi
+  rm -f "$BENCH_MARK"   # stale: pid is gone
+fi
+# Symmetric marker so graft.Bench can RECORD a gate overlap (the driver
+# starts benches on its own schedule; Bench can't refuse, but it can
+# put gate_overlap:true into the artifact).
+echo $$ > /tmp/graft_gate.running
+trap 'rm -f /tmp/graft_gate.running' EXIT
+
 SF_DIR=${1:-.scale/sf1}
 COPIES=${2:-10}
 OUT=${3:-/tmp/verify_$(basename "$SF_DIR")}
