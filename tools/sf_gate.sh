@@ -48,5 +48,14 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 echo "== dumping ${#} queries via graft.Verify ($SF_DIR -> $OUT, cpus=$SPARK_GRAFT_CPUS, heap=${SPARK_DRIVER_MEM:-8g default})"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 
+# Staged-oracle drift guard (VERDICT r13 item 4): before leaning on a
+# staged form as the sf10 fallback, prove each one is row-identical to
+# its composed twin at sf0.01 (cheap, ~2 min). A staged-SQL edit that
+# diverges fails HERE, not a full round later at the next 100x gate.
+if [ -d /root/testdata/sf0.01 ]; then
+  echo "== staged == composed identity check (sf0.01)"
+  python3 tools/check.py --staged-both /root/testdata/sf0.01 "$OUT"
+fi
+
 echo "== sequential memory-capped DuckDB oracle replay"
 python3 tools/check.py "$SF_DIR" "$OUT"
