@@ -50,13 +50,28 @@ object Bench {
     */
   private val marker = java.nio.file.Paths.get("/tmp/graft_bench.running")
 
+  /** A gate/replay marker counts as an overlap only while its writer is
+    * ALIVE — a gate SIGKILLed mid-run leaves its file behind (the EXIT
+    * trap never fires), and without the liveness check every later
+    * bench on a quiet machine would be falsely discredited as
+    * gate-contaminated, recreating the manual re-run cost this record
+    * exists to eliminate.
+    */
+  private def gateLive: Boolean = try {
+    val p = java.nio.file.Paths.get("/tmp/graft_gate.running")
+    if (!java.nio.file.Files.exists(p)) false
+    else {
+      val pid = java.nio.file.Files.readString(p).trim.toLong
+      ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+    }
+  } catch { case scala.util.control.NonFatal(_) => false }
+
   def main(args: Array[String]): Unit = {
     // Quietness snapshot FIRST — before this JVM's own session build /
     // warm-up contributes to the load figures.
     val (l1b, l5b, l15b) = loadavg
     val workersBefore = otherWorkers
-    val gateOverlap =
-      java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/graft_gate.running"))
+    val gateBefore = gateLive
     try java.nio.file.Files.writeString(
       marker, ProcessHandle.current().pid.toString)
     catch { case scala.util.control.NonFatal(_) => () }
@@ -149,11 +164,22 @@ object Bench {
     val (results, resultsV2) =
       try (measure(headline), measure(headlineV2))
       finally {
-        try java.nio.file.Files.deleteIfExists(marker)
-        catch { case scala.util.control.NonFatal(_) => () }
+        // Delete only OUR marker: a second concurrent bench (not a
+        // supported configuration, but possible) must not have its
+        // liveness signal destroyed by the first finisher.
+        try {
+          val mine = java.nio.file.Files.exists(marker) &&
+            java.nio.file.Files.readString(marker).trim ==
+              ProcessHandle.current().pid.toString
+          if (mine) java.nio.file.Files.delete(marker)
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     val (l1a, _, _) = loadavg
     val workersAfter = otherWorkers
+    // Re-sample AFTER the run: a gate that starts mid-measurement (the
+    // GRAFT_GATE_FORCE path, or the check-then-write race) is exactly
+    // the contamination this field exists to capture.
+    val gateOverlap = gateBefore || gateLive
     val total = results.map(_._3).filter(_ >= 0).sum
     val totalV2 = resultsV2.map(_._3).filter(_ >= 0).sum
     // "value"/"queries"/"times" stay v1-only (the frozen cross-round

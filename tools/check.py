@@ -691,7 +691,7 @@ def staged_both(sf_dir, out_dir):
         print("staged-both: no oracle_staged.json entries — nothing to check")
         return 0
     timeout_s = float(os.environ.get("GRAFT_ORACLE_TIMEOUT_S", "0") or 0)
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_vac = 0
     for name in sorted(staged):
         if name not in oracle:
             # RegistrySpec pins staged keys to registered queries, but a
@@ -707,7 +707,6 @@ def staged_both(sf_dir, out_dir):
             print(f"FAIL {name}: composed oracle error at this SF: "
                   f"{type(e).__name__}: {e}")
             n_fail += 1
-            con.close()
             continue
         finally:
             con.close()
@@ -722,11 +721,53 @@ def staged_both(sf_dir, out_dir):
                           " (staged == composed)")
         if cat == "pass":
             n_pass += 1
+            # 0-vs-0 is agreement but verifies nothing about the output-
+            # building tail — a drifted staged form whose divergence only
+            # shows on non-empty output would stay green. Track it so an
+            # all-vacuous guard run can't read as verification.
+            if len(composed_df) == 0:
+                n_vac += 1
         else:
             n_fail += 1
-    print(f"== staged-both: {n_pass} identical, {n_fail} divergent/error "
-          f"of {len(staged)} staged oracles")
-    return 1 if n_fail else 0
+    print(f"== staged-both: {n_pass} identical ({n_vac} vacuous 0-row), "
+          f"{n_fail} divergent/error of {len(staged)} staged oracles")
+    if n_fail:
+        return 1
+    if staged and n_pass == n_vac:
+        print("VACUOUS: every staged==composed agreement was 0-rows-vs-"
+              "0-rows — this SF exercises none of the staged outputs; "
+              "run at an SF where the queries produce rows")
+        return 2
+    return 0
+
+
+def _mark_replay():
+    """A heavy DuckDB replay contaminates a concurrent bench exactly
+    like a gate does, and check.py is often invoked DIRECTLY (the
+    documented sf0.01 flow), not via sf_gate.sh — so the replay marks
+    itself. Write /tmp/graft_gate.running only when no live writer
+    already owns it (sf_gate.sh's marker must survive us); return a
+    cleanup fn that removes the file only if we wrote it."""
+    path = "/tmp/graft_gate.running"
+    try:
+        pid = int(open(path).read().strip())
+        os.kill(pid, 0)  # raises if dead
+        return lambda: None  # live owner: not ours to touch
+    except Exception:
+        pass
+    try:
+        with open(path, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        return lambda: None
+
+    def cleanup():
+        try:
+            if open(path).read().strip() == str(os.getpid()):
+                os.remove(path)
+        except OSError:
+            pass
+    return cleanup
 
 
 def main(sf_dir, out_dir):
@@ -788,6 +829,12 @@ def main(sf_dir, out_dir):
 
 if __name__ == "__main__":
     argv = [a for a in sys.argv[1:] if a != "--staged-both"]
-    if "--staged-both" in sys.argv[1:]:
-        sys.exit(staged_both(argv[0], argv[1]))
-    sys.exit(main(argv[0], argv[1]))
+    _unmark = _mark_replay()
+    try:
+        if "--staged-both" in sys.argv[1:]:
+            rc = staged_both(argv[0], argv[1])
+        else:
+            rc = main(argv[0], argv[1])
+    finally:
+        _unmark()
+    sys.exit(rc)

@@ -31,9 +31,22 @@ if [ -f "$BENCH_MARK" ] && [ "${GRAFT_GATE_FORCE:-}" != "1" ]; then
 fi
 # Symmetric marker so graft.Bench can RECORD a gate overlap (the driver
 # starts benches on its own schedule; Bench can't refuse, but it can
-# put gate_overlap:true into the artifact).
-echo $$ > /tmp/graft_gate.running
-trap 'rm -f /tmp/graft_gate.running' EXIT
+# put gate_overlap:true into the artifact). Two LIVE gates clobbering
+# one marker would also delete each other's liveness signal mid-run —
+# refuse gate-vs-gate too (same stale-pid handling, same override).
+GATE_MARK=/tmp/graft_gate.running
+if [ -f "$GATE_MARK" ] && [ "${GRAFT_GATE_FORCE:-}" != "1" ]; then
+  GPID=$(cat "$GATE_MARK" 2>/dev/null || echo "")
+  if [ -n "$GPID" ] && [ "$GPID" != "$$" ] && kill -0 "$GPID" 2>/dev/null; then
+    echo "REFUSED: another gate/replay (pid $GPID) is running — two" >&2
+    echo "concurrent replays contaminate each other's walls. Wait or" >&2
+    echo "set GRAFT_GATE_FORCE=1." >&2
+    exit 3
+  fi
+fi
+echo $$ > "$GATE_MARK"
+# Remove only OUR marker (a forced concurrent gate may own it by then).
+trap '{ [ "$(cat "$GATE_MARK" 2>/dev/null)" = "$$" ] && rm -f "$GATE_MARK"; } || true' EXIT
 
 SF_DIR=${1:-.scale/sf1}
 COPIES=${2:-10}
@@ -45,7 +58,7 @@ if [ ! -f "$SF_DIR/documents.parquet" ]; then
 fi
 
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
-echo "== dumping ${#} queries via graft.Verify ($SF_DIR -> $OUT, cpus=$SPARK_GRAFT_CPUS, heap=${SPARK_DRIVER_MEM:-8g default})"
+echo "== dumping the full registry via graft.Verify ($SF_DIR -> $OUT, cpus=$SPARK_GRAFT_CPUS, heap=${SPARK_DRIVER_MEM:-8g default})"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 
 # Staged-oracle drift guard (VERDICT r13 item 4): before leaning on a
