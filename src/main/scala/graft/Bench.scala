@@ -27,54 +27,88 @@ object Bench {
       finally f.close()
     } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0, -1.0) }
 
-  /** Count of java/duckdb/python processes OUTSIDE this bench's own
-    * process ancestry (the sbt server chain is ours; a concurrent gate
-    * replay or second sbt is not).
+  /** Non-ancestor java/duckdb/python processes (the sbt server chain
+    * is ours; a concurrent gate replay or second sbt is not) — count
+    * plus their cmdline prefixes. The cmdlines matter because the
+    * orchestrator's own python is a PERMANENT non-ancestor sibling
+    * (ADVICE r14: `other_workers=1` is the practical floor), so the
+    * bare count can't distinguish benign-1 from contaminated-1; the
+    * recorded cmdlines make that readable from the artifact.
     */
-  private def otherWorkers: Long = try {
+  private def otherWorkers: (Long, Seq[String]) = try {
     import scala.jdk.CollectionConverters._
     val ancestors = Iterator.iterate(Option(ProcessHandle.current())) {
       _.flatMap(p => if (p.parent().isPresent) Some(p.parent().get) else None)
     }.takeWhile(_.isDefined).flatten.map(_.pid).toSet
-    ProcessHandle.allProcesses().iterator().asScala.count { p =>
+    val offenders = ProcessHandle.allProcesses().iterator().asScala.flatMap { p =>
       val cmd = p.info().command().orElse("")
-      (cmd.contains("java") || cmd.contains("duckdb") || cmd.contains("python")) &&
-        !ancestors.contains(p.pid)
-    }
-  } catch { case scala.util.control.NonFatal(_) => -1L }
+      if ((cmd.contains("java") || cmd.contains("duckdb") || cmd.contains("python")) &&
+          !ancestors.contains(p.pid)) {
+        val line = p.info().commandLine().orElse(cmd)
+        Some(line.take(80))
+      } else None
+    }.toVector
+    (offenders.size.toLong, offenders.take(5))
+  } catch { case scala.util.control.NonFatal(_) => (-1L, Nil) }
 
-  /** Liveness marker so tools/sf_gate.sh refuses to start a gate while
+  /** Liveness markers so tools/sf_gate.sh refuses to start a gate while
     * a bench is measuring (the other half of item 5 — the gate is the
-    * contaminator we can control in-repo). Stale markers are detected
-    * by pid liveness on the gate side.
+    * contaminator we can control in-repo). Both sides carry
+    * `pid:starttime` tokens (see [[Markers]]) since round 15: raw pid
+    * liveness had a recycling false positive, observed live in round
+    * 14 (a quiet bench recorded gate_overlap:true against a dead
+    * gate's recycled pid).
     */
   private val marker = java.nio.file.Paths.get("/tmp/graft_bench.running")
 
-  /** A gate/replay marker counts as an overlap only while its writer is
-    * ALIVE — a gate SIGKILLed mid-run leaves its file behind (the EXIT
-    * trap never fires), and without the liveness check every later
-    * bench on a quiet machine would be falsely discredited as
+  /** A gate/replay marker counts as an overlap only while its WRITER is
+    * alive — a gate SIGKILLed mid-run leaves its file behind (the EXIT
+    * trap never fires), and without the writer-identity check every
+    * later bench on a quiet machine would be falsely discredited as
     * gate-contaminated, recreating the manual re-run cost this record
     * exists to eliminate.
     */
-  private def gateLive: Boolean = try {
-    val p = java.nio.file.Paths.get("/tmp/graft_gate.running")
-    if (!java.nio.file.Files.exists(p)) false
-    else {
-      val pid = java.nio.file.Files.readString(p).trim.toLong
-      ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-    }
-  } catch { case scala.util.control.NonFatal(_) => false }
+  private def gateLive: Boolean =
+    Markers.readLive(java.nio.file.Paths.get("/tmp/graft_gate.running"))._1
 
   def main(args: Array[String]): Unit = {
-    // Quietness snapshot FIRST — before this JVM's own session build /
+    // Quiet-wait (VERDICT r14 item 3): four of five round-boundary
+    // benches measured a loaded machine. When load1 is above threshold
+    // or a gate/replay is live, sleep-and-resample before measuring —
+    // a bounded wait (default 20x30 s) beats a contaminated artifact
+    // plus a manual adjudication re-run. The wait itself is recorded.
+    val waitThreshold =
+      sys.env.getOrElse("GRAFT_BENCH_QUIET_LOAD", "2.0").toDouble
+    val maxWaits = sys.env.getOrElse("GRAFT_BENCH_QUIET_TRIES", "20").toInt
+    var waits = 0
+    while (waits < maxWaits && (loadavg._1 > waitThreshold || gateLive)) {
+      System.err.println(
+        f"[bench] machine busy (load1=${loadavg._1}%.2f, gate=$gateLive) — " +
+          s"waiting 30 s (${waits + 1}/$maxWaits)")
+      Thread.sleep(30000)
+      waits += 1
+    }
+    val quietWaitS = waits * 30
+    val quietGaveUp = waits >= maxWaits && (loadavg._1 > waitThreshold || gateLive)
+    // Quietness snapshot next — before this JVM's own session build /
     // warm-up contributes to the load figures.
     val (l1b, l5b, l15b) = loadavg
-    val workersBefore = otherWorkers
+    val (workersBefore, workerCmdsBefore) = otherWorkers
     val gateBefore = gateLive
-    try java.nio.file.Files.writeString(
-      marker, ProcessHandle.current().pid.toString)
-    catch { case scala.util.control.NonFatal(_) => () }
+    val ownMarker = Markers.claim(marker)
+    // EVERYTHING after the claim runs under one finally (ADVICE r14:
+    // Bench runs inside the long-lived sbt server, so an early throw —
+    // bad sfDir, session-build failure — must not leave a marker
+    // holding the server's live pid, or every later gate refuses).
+    try runBench(args, l1b, l5b, l15b, workersBefore,
+      workerCmdsBefore, gateBefore, quietWaitS, quietGaveUp)
+    finally { if (ownMarker) Markers.release(marker) }
+  }
+
+  private def runBench(args: Array[String],
+      l1b: Double, l5b: Double, l15b: Double, workersBefore: Long,
+      workerCmdsBefore: Seq[String], gateBefore: Boolean,
+      quietWaitS: Int, quietGaveUp: Boolean): Unit = {
     val sfDir = args.headOption
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -161,21 +195,11 @@ object Bench {
         "\"" + k + "\":" + times.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
 
-    val (results, resultsV2) =
-      try (measure(headline), measure(headlineV2))
-      finally {
-        // Delete only OUR marker: a second concurrent bench (not a
-        // supported configuration, but possible) must not have its
-        // liveness signal destroyed by the first finisher.
-        try {
-          val mine = java.nio.file.Files.exists(marker) &&
-            java.nio.file.Files.readString(marker).trim ==
-              ProcessHandle.current().pid.toString
-          if (mine) java.nio.file.Files.delete(marker)
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }
+    // Marker release happens in main's finally (which also covers an
+    // early crash before this point — the round-14 leak path).
+    val (results, resultsV2) = (measure(headline), measure(headlineV2))
     val (l1a, _, _) = loadavg
-    val workersAfter = otherWorkers
+    val (workersAfter, workerCmdsAfter) = otherWorkers
     // Re-sample AFTER the run: a gate that starts mid-measurement (the
     // GRAFT_GATE_FORCE path, or the check-then-write race) is exactly
     // the contamination this field exists to capture.
@@ -188,7 +212,10 @@ object Bench {
     // JVM's own warm-up inflates load5/load15), other_workers counts
     // non-ancestor java/duckdb/python processes, gate_overlap flags a
     // concurrent tools/sf_gate.sh run.
-    val env = f"""{"load1_before":$l1b%.2f,"load5_before":$l5b%.2f,"load15_before":$l15b%.2f,"load1_after":$l1a%.2f,"other_workers_before":$workersBefore,"other_workers_after":$workersAfter,"gate_overlap":$gateOverlap}"""
+    def cmdsJson(cmds: Seq[String]): String =
+      cmds.map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+    val env = f"""{"load1_before":$l1b%.2f,"load5_before":$l5b%.2f,"load15_before":$l15b%.2f,"load1_after":$l1a%.2f,"other_workers_before":$workersBefore,"other_workers_after":$workersAfter,"other_worker_cmds_before":${cmdsJson(workerCmdsBefore)},"other_worker_cmds_after":${cmdsJson(workerCmdsAfter)},"gate_overlap":$gateOverlap,"quiet_wait_s":$quietWaitS,"quiet_gave_up":$quietGaveUp}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${minsJson(results)},"times":${timesJson(results)},"value_v2":$totalV2%.3f,"queries_v2":${minsJson(resultsV2)},"times_v2":${timesJson(resultsV2)},"sf":"$sfDir","env":$env}""")
     spark.stop()
   }

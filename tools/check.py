@@ -741,6 +741,58 @@ def staged_both(sf_dir, out_dir):
     return 0
 
 
+def _starttime(pid):
+    """Start tick of `pid` (field 22 of /proc/<pid>/stat, unique per
+    boot), or None when the process is gone / /proc is unavailable.
+    comm (field 2) may contain spaces/parens — count from the LAST ')'.
+    Readable for OTHER USERS' processes too (unlike os.kill, which
+    raises PermissionError on a live foreign pid — ADVICE r14)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            stat = f.read()
+        return int(stat[stat.rindex(")") + 1:].split()[19])
+    except FileNotFoundError:
+        return None
+    except Exception:
+        return None
+
+
+def _self_token():
+    return f"{os.getpid()}:{_starttime(os.getpid()) or 0}"
+
+
+def _writer_live(token):
+    """True only when the token's writer is still alive. Tokens are
+    'pid:starttime' since round 15 (raw pids recycle — pid_max is 32768
+    on the target box, and round 14 observed a dead gate's marker pid
+    recycled into a false gate_overlap). Legacy bare-pid tokens are
+    stale by definition: every current writer emits the new format.
+    Format shared verbatim with graft.Markers and tools/sf_gate.sh."""
+    parts = token.strip().split(":")
+    if len(parts) != 2:
+        return False
+    try:
+        pid, st = int(parts[0]), int(parts[1])
+    except ValueError:
+        return False
+    now = _starttime(pid)
+    if now is not None:
+        return now == st
+    # /proc entry gone: dead on Linux. st==0 marks a non-Linux writer —
+    # degrade to signal-0 liveness there; a PermissionError means a
+    # LIVE process owned by another user (ADVICE r14: must not read as
+    # dead, or we'd clobber a live gate's marker).
+    if st != 0:
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except PermissionError:
+        return True
+    except (ProcessLookupError, ValueError, OverflowError):
+        return False
+
+
 def _mark_replay():
     """A heavy DuckDB replay contaminates a concurrent bench exactly
     like a gate does, and check.py is often invoked DIRECTLY (the
@@ -750,20 +802,20 @@ def _mark_replay():
     cleanup fn that removes the file only if we wrote it."""
     path = "/tmp/graft_gate.running"
     try:
-        pid = int(open(path).read().strip())
-        os.kill(pid, 0)  # raises if dead
-        return lambda: None  # live owner: not ours to touch
-    except Exception:
+        if _writer_live(open(path).read()):
+            return lambda: None  # live owner: not ours to touch
+    except OSError:
         pass
+    tok = _self_token()
     try:
         with open(path, "w") as f:
-            f.write(str(os.getpid()))
+            f.write(tok)
     except OSError:
         return lambda: None
 
     def cleanup():
         try:
-            if open(path).read().strip() == str(os.getpid()):
+            if open(path).read().strip() == tok:
                 os.remove(path)
         except OSError:
             pass

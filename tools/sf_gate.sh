@@ -13,40 +13,80 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-# Bench-contamination guard (VERDICT r13 item 5): three of the last
-# four round-boundary benches measured a loaded machine. graft.Bench
-# writes /tmp/graft_bench.running (its pid) while measuring; a gate
-# starting mid-bench would be exactly that contamination, so refuse —
-# GRAFT_GATE_FORCE=1 overrides. Stale markers (dead pid) are ignored.
+# Marker tokens are "pid:starttime" since round 15 (field 22 of
+# /proc/<pid>/stat, unique per boot): raw pid liveness had a recycling
+# false positive, observed live in round 14 — a dead gate's stale
+# marker pid got re-issued and a quiet bench recorded
+# gate_overlap:true / a gate would have refused with exit 3 against a
+# process that wasn't a gate at all. Token format is shared verbatim
+# with graft.Markers (Scala) and tools/check.py.
+stat_starttime() { # $1 = pid; prints starttime, rc=1 when /proc entry gone
+  local stat
+  stat=$(cat "/proc/$1/stat" 2>/dev/null) || return 1
+  # comm (field 2) may contain spaces/parens — count from the LAST ')'
+  echo "${stat##*) }" | awk '{print $20}'
+}
+writer_live() { # $1 = marker token; rc=0 only when its writer is alive
+  local tok=$1 pid st now
+  case "$tok" in
+    *:*) pid=${tok%%:*}; st=${tok##*:} ;;
+    *) return 1 ;;  # legacy bare-pid token: stale by definition
+  esac
+  [ -n "$pid" ] && [ -n "$st" ] || return 1
+  if now=$(stat_starttime "$pid"); then
+    [ "$now" = "$st" ]
+  else
+    # /proc entry gone: dead on Linux. st==0 marks a non-Linux writer
+    # (no /proc there) — degrade to plain pid liveness for that case.
+    [ "$st" = "0" ] && kill -0 "$pid" 2>/dev/null
+  fi
+}
+
+# Bench-contamination guard (VERDICT r13 item 5): four of five
+# round-boundary benches measured a loaded machine. graft.Bench
+# writes /tmp/graft_bench.running while measuring; a gate starting
+# mid-bench would be exactly that contamination, so refuse —
+# GRAFT_GATE_FORCE=1 overrides. Stale markers (writer gone) are
+# DELETED, not just ignored (VERDICT r14 item 1).
 BENCH_MARK=/tmp/graft_bench.running
-if [ -f "$BENCH_MARK" ] && [ "${GRAFT_GATE_FORCE:-}" != "1" ]; then
-  BPID=$(cat "$BENCH_MARK" 2>/dev/null || echo "")
-  if [ -n "$BPID" ] && kill -0 "$BPID" 2>/dev/null; then
-    echo "REFUSED: graft.Bench (pid $BPID) is measuring — a concurrent" >&2
+if [ -f "$BENCH_MARK" ]; then
+  BTOK=$(cat "$BENCH_MARK" 2>/dev/null || echo "")
+  if writer_live "$BTOK" && [ "${GRAFT_GATE_FORCE:-}" != "1" ]; then
+    echo "REFUSED: graft.Bench ($BTOK) is measuring — a concurrent" >&2
     echo "gate would contaminate BENCH_r*.json. Wait for it or set" >&2
     echo "GRAFT_GATE_FORCE=1." >&2
     exit 3
   fi
-  rm -f "$BENCH_MARK"   # stale: pid is gone
+  writer_live "$BTOK" || rm -f "$BENCH_MARK"   # stale: writer is gone
 fi
 # Symmetric marker so graft.Bench can RECORD a gate overlap (the driver
 # starts benches on its own schedule; Bench can't refuse, but it can
 # put gate_overlap:true into the artifact). Two LIVE gates clobbering
 # one marker would also delete each other's liveness signal mid-run —
-# refuse gate-vs-gate too (same stale-pid handling, same override).
+# refuse gate-vs-gate too (same stale handling, same override).
 GATE_MARK=/tmp/graft_gate.running
-if [ -f "$GATE_MARK" ] && [ "${GRAFT_GATE_FORCE:-}" != "1" ]; then
-  GPID=$(cat "$GATE_MARK" 2>/dev/null || echo "")
-  if [ -n "$GPID" ] && [ "$GPID" != "$$" ] && kill -0 "$GPID" 2>/dev/null; then
-    echo "REFUSED: another gate/replay (pid $GPID) is running — two" >&2
+OWN_TOK="$$:$(stat_starttime $$ || echo 0)"
+if [ -f "$GATE_MARK" ]; then
+  GTOK=$(cat "$GATE_MARK" 2>/dev/null || echo "")
+  if writer_live "$GTOK" && [ "$GTOK" != "$OWN_TOK" ] \
+     && [ "${GRAFT_GATE_FORCE:-}" != "1" ]; then
+    echo "REFUSED: another gate/replay ($GTOK) is running — two" >&2
     echo "concurrent replays contaminate each other's walls. Wait or" >&2
     echo "set GRAFT_GATE_FORCE=1." >&2
     exit 3
   fi
+  writer_live "$GTOK" || rm -f "$GATE_MARK"    # stale: writer is gone
 fi
-echo $$ > "$GATE_MARK"
+echo "$OWN_TOK" > "$GATE_MARK"
 # Remove only OUR marker (a forced concurrent gate may own it by then).
-trap '{ [ "$(cat "$GATE_MARK" 2>/dev/null)" = "$$" ] && rm -f "$GATE_MARK"; } || true' EXIT
+trap '{ [ "$(cat "$GATE_MARK" 2>/dev/null)" = "$OWN_TOK" ] && rm -f "$GATE_MARK"; } || true' EXIT
+
+# Guard-only mode for tools/marker_check.sh — exercises exactly the
+# refusal/stale-cleanup logic above without running a gate.
+if [ "${1:-}" = "--check-markers" ]; then
+  echo "markers ok (own token $OWN_TOK)"
+  exit 0
+fi
 
 SF_DIR=${1:-.scale/sf1}
 COPIES=${2:-10}
