@@ -179,7 +179,11 @@ SELECT
   (SELECT count(*) FROM result r JOIN e USING (l_returnflag)
    WHERE abs(r.approx_parts - e.ep) > 0.02 * e.ep
       OR abs(r.approx_orders - e.eo) > 0.02 * e.eo) = 0
-    AS estimates_within_2pct
+    AS estimates_within_2pct,
+  (SELECT max(abs(r.approx_parts - e.ep) / e.ep)
+   FROM result r JOIN e USING (l_returnflag)) AS m_rel_err_parts,
+  (SELECT max(abs(r.approx_orders - e.eo) / e.eo)
+   FROM result r JOIN e USING (l_returnflag)) AS m_rel_err_orders
 """,
     "q35_approx_percentile": """
 WITH e AS (SELECT l_returnflag,
@@ -192,7 +196,11 @@ SELECT
   (SELECT count(*) FROM result r JOIN e USING (l_returnflag)
    WHERE abs(r.ap50 - e.e50) > 0.01 * e.e50
       OR abs(r.ap95 - e.e95) > 0.01 * e.e95) = 0
-    AS sketches_within_1pct
+    AS sketches_within_1pct,
+  (SELECT max(abs(r.ap50 - e.e50) / e.e50)
+   FROM result r JOIN e USING (l_returnflag)) AS m_rel_err_p50,
+  (SELECT max(abs(r.ap95 - e.e95) / e.e95)
+   FROM result r JOIN e USING (l_returnflag)) AS m_rel_err_p95
 """,
     "d15_prefix_jaccard": """
 WITH r AS (SELECT doc_a, doc_b, jaccard FROM result)
@@ -321,8 +329,20 @@ def selfcheck(name, sf_dir, out_dir, files):
         cur = con.execute(SELFCHECKS[name].format(out=out_dir))
         cols = [d[0] for d in cur.description]
         row = cur.fetchone()
-        verdicts = dict(zip(cols, [bool(v) for v in row]))
-        return ("ok" if all(verdicts.values()) else "violated", verdicts)
+        # Columns prefixed m_ are MEASURED METRICS (e.g. the sketch
+        # queries' observed relative error — VERDICT r14 item 8: the
+        # weak-by-design entries should carry a number, not just a
+        # boolean), reported in the verdict line but excluded from the
+        # pass/fail conjunction: a 0.0 metric is a perfect score, not
+        # a failed invariant.
+        verdicts = {}
+        for c, v in zip(cols, row):
+            if c.startswith("m_"):
+                verdicts[c] = None if v is None else float(v)
+            else:
+                verdicts[c] = bool(v)
+        ok = all(v for c, v in verdicts.items() if not c.startswith("m_"))
+        return ("ok" if ok else "violated", verdicts)
     except (duckdb.InterruptException, duckdb.OutOfMemoryException,
             duckdb.IOException) as e:
         # Resource ceiling (same class run_oracle treats as infeasible):
@@ -436,8 +456,15 @@ def big_compare(got_df, exp_df):
 
 
 def verdict_line(verdicts):
-    return (f"{len(verdicts)}/{len(verdicts)} invariants hold "
-            f"({', '.join(verdicts)})")
+    checks = [k for k in verdicts if not k.startswith("m_")]
+    metrics = {k: v for k, v in verdicts.items() if k.startswith("m_")}
+    line = (f"{len(checks)}/{len(checks)} invariants hold "
+            f"({', '.join(checks)})")
+    if metrics:
+        line += "; " + ", ".join(
+            "%s=%s" % (k, "null" if v is None else f"{v:.6f}")
+            for k, v in metrics.items())
+    return line
 
 
 def infeasible(name, sf_dir, out_dir, files, why):
@@ -462,7 +489,8 @@ def infeasible(name, sf_dir, out_dir, files, why):
     if kind == "ok":
         print(f"INFEASIBLE+SELFCHECK {name}: {why}; {verdict_line(payload)}")
         return "inf_sc"
-    bad = [k for k, v in payload.items() if not v]
+    bad = [k for k, v in payload.items()
+           if not k.startswith("m_") and not v]
     print(f"FAIL {name}: {why}; selfcheck VIOLATED: {bad}")
     return "fail"
 
@@ -537,7 +565,8 @@ def adjudicate(name, sf_dir, out_dir, oracle, staged, timeout_s,
             print(f"weak+selfcheck {name}: rows={len(got_df)}; "
                   f"{verdict_line(res[1])}")
             return "weak_sc"
-        bad = [k for k, v in res[1].items() if not v]
+        bad = [k for k, v in res[1].items()
+               if not k.startswith("m_") and not v]
         print(f"FAIL {name}: no oracle; selfcheck VIOLATED: {bad}")
         return "fail"
     if skip_composed:
