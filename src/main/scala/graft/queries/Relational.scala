@@ -341,19 +341,34 @@ object Relational {
     * not a production query: at 100 TB you run q30 alone; exact-vs-
     * approx verification is a sampled audit job by construction.
     */
-  def q30bDistinctAccuracy(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
+  def q30bDistinctAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    // Exact and approx MUST be separate aggregations joined on the
+    // 3-row group key, NOT one combined agg: Catalyst rewrites a mixed
+    // distinct/non-distinct aggregate through Expand, which makes the
+    // first partial aggregate key on (flag, partkey|orderkey, gid) and
+    // allocate the approx functions' HLL buffers (~12 KB each at
+    // rsd 0.01, x2 functions) PER DISTINCT KEY TUPLE — millions of
+    // sketch buffers at sf10 OOM'd the default 8 GB heap (task-thread
+    // OOM -> SparkUncaughtExceptionHandler System.exit, observed at
+    // the round-15 100x gate). Split, each side aggregates sanely:
+    // exact dedupes map-side through Expand with plain long keys;
+    // approx keeps 3 groups x 2 sketches total.
+    val exact = li.groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    val approx = li.groupBy("l_returnflag")
+      .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    exact.join(broadcast(approx), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
         (abs(col("ap") - col("exact_parts")) <=
           col("exact_parts").cast("double") * 0.02).as("parts_within_2pct"),
         (abs(col("ao") - col("exact_orders")) <=
           col("exact_orders").cast("double") * 0.02).as("orders_within_2pct"))
+  }
 
   /** q31 — P9 date arithmetic on real timestamps: orders in the trailing
     * 30 days of the data (ref extractor.py:145-146 fetch-window math),
