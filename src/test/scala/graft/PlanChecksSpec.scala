@@ -292,4 +292,20 @@ class PlanChecksSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(missing.isEmpty,
       s"queries with no EXPLAINS section: ${missing.toSeq.sorted.mkString(", ")}")
   }
+
+  test("q30b: exact and approx distinct aggregate SEPARATELY, joined by broadcast " +
+    "(a combined agg routes approx through the Expand rewrite and allocates " +
+    "one ~12KB HLL buffer per distinct key tuple — OOM'd sf10, round 15)") {
+    val p = plan("q30b_distinct_accuracy")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q30b lost the two-aggregation broadcast-join shape:\n${p.take(800)}")
+    // The Expand (exact count-distinct rewrite) must carry NO approx
+    // sketch functions: every approx_count_distinct partial has to sit
+    // in the 3-group leg, never keyed per (flag, key, gid) tuple.
+    val expandToJoin = p.linesIterator
+      .dropWhile(!_.contains("Expand")).takeWhile(!_.contains("BroadcastExchange"))
+      .mkString("\n")
+    assert(!expandToJoin.contains("approx_count_distinct"),
+      s"approx sketches keyed under the Expand rewrite (per-tuple HLL buffers):\n$expandToJoin")
+  }
 }
