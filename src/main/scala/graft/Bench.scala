@@ -77,8 +77,13 @@ object Bench {
     // or a gate/replay is live, sleep-and-resample before measuring —
     // a bounded wait (default 20x30 s) beats a contaminated artifact
     // plus a manual adjudication re-run. The wait itself is recorded.
+    // Threshold 1.0, not 2.0: the round-15 refresh measured that
+    // load1_before in the 1.5-2.0 band still inflates the v2 total
+    // ~5-10% (lingering decay from a prior heavy phase) — the judge's
+    // quiet band (v1 4.0-4.5 / v2 16-17 s) is only reproducible from
+    // load1 < ~1.
     val waitThreshold =
-      sys.env.getOrElse("GRAFT_BENCH_QUIET_LOAD", "2.0").toDouble
+      sys.env.getOrElse("GRAFT_BENCH_QUIET_LOAD", "1.0").toDouble
     val maxWaits = sys.env.getOrElse("GRAFT_BENCH_QUIET_TRIES", "20").toInt
     var waits = 0
     while (waits < maxWaits && (loadavg._1 > waitThreshold || gateLive)) {
@@ -215,7 +220,13 @@ object Bench {
     def cmdsJson(cmds: Seq[String]): String =
       cmds.map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
         .mkString("[", ",", "]")
-    val env = f"""{"load1_before":$l1b%.2f,"load5_before":$l5b%.2f,"load15_before":$l15b%.2f,"load1_after":$l1a%.2f,"other_workers_before":$workersBefore,"other_workers_after":$workersAfter,"other_worker_cmds_before":${cmdsJson(workerCmdsBefore)},"other_worker_cmds_after":${cmdsJson(workerCmdsAfter)},"gate_overlap":$gateOverlap,"quiet_wait_s":$quietWaitS,"quiet_gave_up":$quietGaveUp}"""
+    // jvm_uptime_s distinguishes a warm sbt-server run from a fresh
+    // forked JVM in the artifact itself: the v2 set (driver-loop-heavy
+    // Lloyd's training) is JIT-sensitive, and the round-15 adjudication
+    // needed that fact out-of-band. ~60-200 s = fresh fork; hours = warm.
+    val jvmUptimeS =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000
+    val env = f"""{"load1_before":$l1b%.2f,"load5_before":$l5b%.2f,"load15_before":$l15b%.2f,"load1_after":$l1a%.2f,"other_workers_before":$workersBefore,"other_workers_after":$workersAfter,"other_worker_cmds_before":${cmdsJson(workerCmdsBefore)},"other_worker_cmds_after":${cmdsJson(workerCmdsAfter)},"gate_overlap":$gateOverlap,"quiet_wait_s":$quietWaitS,"quiet_gave_up":$quietGaveUp,"jvm_uptime_s":$jvmUptimeS}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${minsJson(results)},"times":${timesJson(results)},"value_v2":$totalV2%.3f,"queries_v2":${minsJson(resultsV2)},"times_v2":${timesJson(resultsV2)},"sf":"$sfDir","env":$env}""")
     spark.stop()
   }
