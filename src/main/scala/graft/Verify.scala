@@ -28,7 +28,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        dumpOne(spark, sfDir, outDir, name, fn).foreach(failures(name) = _)
+        // A task-thread OOM makes SparkUncaughtExceptionHandler call
+        // System.exit; the shutdown hook stops the context while THIS
+        // (main) thread keeps iterating — every later query then fails
+        // with a confusing "stopped SparkContext" that buries the root
+        // cause (observed at the round-15 sf10 gate). Detect it, point
+        // at the first real failure, and stop burning the loop.
+        if (spark.sparkContext.isStopped) {
+          if (!failures.contains(name))
+            failures(name) = "SKIPPED: SparkContext stopped by an " +
+              s"earlier failure — root cause is the FIRST entry: " +
+              failures.headOption.map(_._1).getOrElse("unknown (external stop)")
+        } else dumpOne(spark, sfDir, outDir, name, fn).foreach(failures(name) = _)
       }
     // Failure manifest — written even when empty so its presence proves
     // the mechanism ran. Round-5 lesson: a throwing query that only logs
@@ -47,6 +58,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${v.map(q).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_staged.json"), staged)
+    // A context stopped mid-dump means the JVM is already exiting via
+    // Spark's fatal-error handler — make the sbt wall read FAILED too
+    // (the manifests above are already written, so the driver's compare
+    // still gets its loud per-query rows). Without this, a mid-dump OOM
+    // exit printed "[success]" while 100+ queries were empty dirs.
+    if (spark.sparkContext.isStopped)
+      throw new IllegalStateException(
+        "SparkContext stopped mid-dump (fatal task error — see the " +
+          "first entry of _failures.json); dump is INCOMPLETE")
     spark.stop()
   }
 
