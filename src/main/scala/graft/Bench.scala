@@ -84,17 +84,29 @@ object Bench {
     // load1 < ~1.
     val waitThreshold =
       sys.env.getOrElse("GRAFT_BENCH_QUIET_LOAD", "1.0").toDouble
+    // load5 gate too (VERDICT r15 item 2): the r15 judge's own bench ran
+    // at load1 0.72 but load5/load15 still 1.51/2.26 — decay from the
+    // just-finished 9.5-min test suite — and read v2 ~18% above the
+    // committed quiet band. load1 alone lets a post-heavy-phase bench
+    // self-certify as quiet while the page cache / CPU thermals are
+    // still settling; load5 < 1.5 is the observed boundary of the band.
+    val waitThreshold5 =
+      sys.env.getOrElse("GRAFT_BENCH_QUIET_LOAD5", "1.5").toDouble
     val maxWaits = sys.env.getOrElse("GRAFT_BENCH_QUIET_TRIES", "20").toInt
+    def busy: Boolean = {
+      val (l1, l5, _) = loadavg
+      l1 > waitThreshold || l5 > waitThreshold5 || gateLive
+    }
     var waits = 0
-    while (waits < maxWaits && (loadavg._1 > waitThreshold || gateLive)) {
+    while (waits < maxWaits && busy) {
       System.err.println(
-        f"[bench] machine busy (load1=${loadavg._1}%.2f, gate=$gateLive) — " +
+        f"[bench] machine busy (load1=${loadavg._1}%.2f, load5=${loadavg._2}%.2f, gate=$gateLive) — " +
           s"waiting 30 s (${waits + 1}/$maxWaits)")
       Thread.sleep(30000)
       waits += 1
     }
     val quietWaitS = waits * 30
-    val quietGaveUp = waits >= maxWaits && (loadavg._1 > waitThreshold || gateLive)
+    val quietGaveUp = waits >= maxWaits && busy
     // Quietness snapshot next — before this JVM's own session build /
     // warm-up contributes to the load figures.
     val (l1b, l5b, l15b) = loadavg
@@ -217,17 +229,44 @@ object Bench {
     // JVM's own warm-up inflates load5/load15), other_workers counts
     // non-ancestor java/duckdb/python processes, gate_overlap flags a
     // concurrent tools/sf_gate.sh run.
+    // Jsons.str, not a local escaper (ADVICE r15): a control char in a
+    // captured commandLine (e.g. a newline inside a `python -c` argument
+    // — the orchestrator's python is exactly what this field captures)
+    // must not emit a literal control char inside a JSON string and make
+    // the whole BENCH_r*.json line unparseable. Verify.q exists because
+    // of this failure class (round-5 lesson).
     def cmdsJson(cmds: Seq[String]): String =
-      cmds.map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]")
+      cmds.map(Jsons.str).mkString("[", ",", "]")
+    // Benign-sibling classifier (VERDICT r15 item 6): the sbt server's
+    // own java process is a permanent non-ancestor sibling when Bench
+    // runs as a forked `sbt -batch` JVM, so the bare other_workers count
+    // has a practical floor of 1 and can't distinguish benign-1 from
+    // contaminated-1. A cmdline matching the benign pattern (sbt server
+    // / launcher; override via GRAFT_BENCH_BENIGN_RE) counts as benign;
+    // everything else is real. A clean run now reads real=0 in the
+    // artifact itself instead of needing the cmdline list adjudicated
+    // by hand each round.
+    val benignRe = sys.env.getOrElse("GRAFT_BENCH_BENIGN_RE",
+      "sbt\\.script|sbt-launch|xsbt\\.boot").r
+    def realWorkers(cmds: Seq[String]): Int =
+      cmds.count(c => benignRe.findFirstIn(c).isEmpty)
     // jvm_uptime_s distinguishes a warm sbt-server run from a fresh
     // forked JVM in the artifact itself: the v2 set (driver-loop-heavy
     // Lloyd's training) is JIT-sensitive, and the round-15 adjudication
     // needed that fact out-of-band. ~60-200 s = fresh fork; hours = warm.
     val jvmUptimeS =
       java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000
-    val env = f"""{"load1_before":$l1b%.2f,"load5_before":$l5b%.2f,"load15_before":$l15b%.2f,"load1_after":$l1a%.2f,"other_workers_before":$workersBefore,"other_workers_after":$workersAfter,"other_worker_cmds_before":${cmdsJson(workerCmdsBefore)},"other_worker_cmds_after":${cmdsJson(workerCmdsAfter)},"gate_overlap":$gateOverlap,"quiet_wait_s":$quietWaitS,"quiet_gave_up":$quietGaveUp,"jvm_uptime_s":$jvmUptimeS}"""
+    val env = f"""{"load1_before":$l1b%.2f,"load5_before":$l5b%.2f,"load15_before":$l15b%.2f,"load1_after":$l1a%.2f,"other_workers_before":$workersBefore,"other_workers_after":$workersAfter,"other_workers_real_before":${realWorkers(workerCmdsBefore)},"other_workers_real_after":${realWorkers(workerCmdsAfter)},"other_worker_cmds_before":${cmdsJson(workerCmdsBefore)},"other_worker_cmds_after":${cmdsJson(workerCmdsAfter)},"gate_overlap":$gateOverlap,"quiet_wait_s":$quietWaitS,"quiet_gave_up":$quietGaveUp,"jvm_uptime_s":$jvmUptimeS}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${minsJson(results)},"times":${timesJson(results)},"value_v2":$totalV2%.3f,"queries_v2":${minsJson(resultsV2)},"times_v2":${timesJson(resultsV2)},"sf":"$sfDir","env":$env}""")
+    // Short summary trailer (VERDICT r15 item 1): the big line above
+    // puts the per-query times arrays first and buries the headline
+    // values mid-line, so the driver's BOUNDED tail-capture truncated
+    // the v1 `value` clean out of BENCH_r15.json (parsed:null). This
+    // second line is short enough that ANY tail window preserves a
+    // parseable headline (v1+v2+env). Consumers that take the last
+    // JSON line of stdout get the summary; the full per-query record
+    // stays on the line above.
+    println(f"""{"metric":"total_summary","value":$total%.3f,"value_v2":$totalV2%.3f,"unit":"sec","sf":"$sfDir","env":$env}""")
     spark.stop()
   }
 }

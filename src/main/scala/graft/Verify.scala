@@ -25,6 +25,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query dump wall seconds (VERDICT r15 item 5): the bench tracks
+    // 31 of 117 queries; the other 86 had plan-regression coverage
+    // (EXPLAINS diff) but no wall-clock trend. Verify already runs every
+    // query at every gate — recording the walls here gives a free
+    // full-registry trend with zero extra runs. Dump walls, not bench
+    // walls (they include the repartition(1) parquet write and the
+    // between-query reclamation GC), so they trend round-over-round
+    // against themselves, never against BENCH numbers.
+    val walls = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -34,12 +43,22 @@ object Verify {
         // with a confusing "stopped SparkContext" that buries the root
         // cause (observed at the round-15 sf10 gate). Detect it, point
         // at the first real failure, and stop burning the loop.
+        // Root-cause pointer = the LAST failure recorded before the stop
+        // was detected, not the first (ADVICE r15): an unrelated NonFatal
+        // failure early in the dump would otherwise hijack the pointer
+        // from the query whose task-thread OOM actually killed the
+        // context — the misdirection this message exists to prevent.
         if (spark.sparkContext.isStopped) {
           if (!failures.contains(name))
             failures(name) = "SKIPPED: SparkContext stopped by an " +
-              s"earlier failure — root cause is the FIRST entry: " +
-              failures.headOption.map(_._1).getOrElse("unknown (external stop)")
-        } else dumpOne(spark, sfDir, outDir, name, fn).foreach(failures(name) = _)
+              s"earlier failure — root cause is the LAST pre-stop entry: " +
+              failures.lastOption.map(_._1).getOrElse("unknown (external stop)")
+        } else {
+          val t0 = System.nanoTime()
+          val err = dumpOne(spark, sfDir, outDir, name, fn)
+          walls(name) = (System.nanoTime() - t0) / 1e9
+          err.foreach(failures(name) = _)
+        }
       }
     // Failure manifest — written even when empty so its presence proves
     // the mechanism ran. Round-5 lesson: a throwing query that only logs
@@ -49,6 +68,9 @@ object Verify {
     val fjson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failures.json"), fjson)
+    val wjson = walls.map { case (k, v) => s"${q(k)}: " + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_walls.json"), wjson)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -143,18 +165,11 @@ object Verify {
       System.err.println(s"[verify] WARNING: could not delete ${f.getPath}")
   }
 
-  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    * — a tab or CR in builder-authored SQL (or an exception message)
-    * would otherwise make the driver's json.load fail and silently zero
-    * the round's correctness.
+  /** JSON string escape — a tab or CR in builder-authored SQL (or an
+    * exception message) would otherwise make the driver's json.load fail
+    * and silently zero the round's correctness. Shared with Bench via
+    * [[Jsons]] (ADVICE r15: Bench's second ad-hoc escaper missed
+    * control chars).
     */
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def q(s: String): String = Jsons.str(s)
 }

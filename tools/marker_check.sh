@@ -16,15 +16,29 @@ starttime() { local s; s=$(cat "/proc/$1/stat"); echo "${s##*) }" | awk '{print 
 
 fail() { echo "MARKER CHECK FAIL: $*" >&2; exit 1; }
 
-# Never disturb a real live gate.
-if [ -f "$GATE_MARK" ]; then
-  TOK=$(cat "$GATE_MARK")
-  case "$TOK" in
-    *:*) P=${TOK%%:*}; S=${TOK##*:}
-         if [ -d "/proc/$P" ] && [ "$(starttime "$P")" = "$S" ]; then
-           fail "a live gate owns $GATE_MARK ($TOK) — run later"
-         fi ;;
+# writer_live <marker>: 0 iff the marker holds a pid:starttime token
+# whose writer is currently alive (legacy bare-pid = stale by design).
+writer_live() {
+  [ -f "$1" ] || return 1
+  local tok p s
+  tok=$(cat "$1" 2>/dev/null) || return 1
+  case "$tok" in
+    *:*) p=${tok%%:*}; s=${tok##*:}
+         [ -d "/proc/$p" ] && [ "$(starttime "$p" 2>/dev/null)" = "$s" ] ;;
+    *) return 1 ;;
   esac
+}
+
+# Never disturb a real live writer — EITHER side (ADVICE r15: deleting a
+# live bench's marker destroys its liveness signal mid-measure, so a
+# subsequent real gate would no longer refuse and the contamination this
+# marker system exists to prevent/record becomes invisible). Only stale
+# markers are cleaned.
+if writer_live "$GATE_MARK"; then
+  fail "a live gate owns $GATE_MARK ($(cat "$GATE_MARK")) — run later"
+fi
+if writer_live "$BENCH_MARK"; then
+  fail "a live bench owns $BENCH_MARK ($(cat "$BENCH_MARK")) — run later"
 fi
 rm -f "$GATE_MARK" "$BENCH_MARK"
 
@@ -78,5 +92,8 @@ assert not check._writer_live(tok), "dead child token must be stale"
 print("check.py _writer_live: all cases agree")
 EOF
 
-rm -f "$GATE_MARK" "$BENCH_MARK"
+# Final cleanup removes only OUR test debris — a real writer that
+# started mid-check keeps its marker (same live-writer rule as above).
+writer_live "$GATE_MARK"  || rm -f "$GATE_MARK"
+writer_live "$BENCH_MARK" || rm -f "$BENCH_MARK"
 echo "MARKER CHECK PASS"
