@@ -61,34 +61,85 @@ object Hybrid {
     val lex = TextAnalysis.bm25(corpus, queries, legK)
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
 
-    // Vector leg: s1's broadcast brute-force shape over the embedded
-    // subset of each side. Norms computed once in the scan; the
-    // per-pair kernel is only the native dot product.
+    // Vector leg: s1's brute-force cosine shape, with an EXACT two-sided
+    // distinct-vector twin collapse (the d15/q62 twin-collapse pattern;
+    // the t17 staged ORACLE already collapses the query side — this
+    // mirrors it engine-side and extends it to the corpus side).
+    // Rationale at 100×: round-16 walls measured the uncollapsed leg at
+    // 284 s of the 1,487 s sf10 dump — 10,000 query × 190,000 corpus
+    // embeddings = 1.9B dot products over only 2,000 × 2,000 DISTINCT
+    // vector values. Real corpora duplicate heavily too (that's why the
+    // dedup family exists); computing per distinct PAIR and fanning the
+    // bounded winner lists back out does ~475× less kernel work there
+    // and is a no-op-with-tiny-overhead where vectors are unique (sf0.1
+    // fixtures). Exactness: cos_sim is a pure function of the two
+    // vector VALUES, so queries sharing a vector share their whole
+    // ranked list, and a corpus twin group shares one cos_sim per
+    // query — the original (cos_sim DESC, doc_id ASC) row_number is
+    // reproduced by ranking the EXPLODED docs of every tie-group that
+    // can still reach the top-legK (strictly-better doc count < legK;
+    // an excluded group has ≥ legK docs ranked strictly above it, so
+    // none of its docs can appear). Ties ACROSS distinct vectors with
+    // equal round-6 cos_sim interleave by doc_id exactly as before,
+    // because the final row_number orders the exploded docs the same.
     val e = emb
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("n2", sqNorm(col("v")))
-    // Explicit partition count: cvec is a SMALL frame (embedded corpus
-    // subset) that the cross join below expands by |queries| — AQE's
-    // byte-based coalesce sees only the pre-expansion bytes and folds
-    // it to ~1 partition, serializing every dot product and the leg's
-    // local sort onto one core (measured at sf1: 41.7 s single-task vs
-    // sub-second parallel). Same pre-expansion rule as bm25's posting
-    // spread; the explicit number keeps AQE's hands off.
-    val vparts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val cvec = corpus.select(col("doc_id"))
+    // Corpus side collapsed to distinct vector values; cgid = min doc_id
+    // (deterministic group key), docs = the group's members (re-ranked
+    // after explode, so list order is immaterial).
+    val cg = corpus.select(col("doc_id"))
       .join(e, col("doc_id") === col("vec_id")).drop("vec_id")
-      .repartition(vparts, col("doc_id"))
-    val qvec = queries.select(col("doc_id").as("query_id"))
+      .groupBy(col("v"), col("n2"))
+      .agg(min(col("doc_id")).as("cgid"),
+        collect_list(col("doc_id")).as("docs"),
+        count(lit(1)).as("gsize"))
+    // Query side collapsed the same way; qids fans results back out.
+    val qg = queries.select(col("doc_id").as("query_id"))
       .join(e, col("query_id") === col("vec_id"))
-      .select(col("query_id"), col("v").as("qv"), col("n2").as("qn2"))
-    val vw = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("doc_id").asc)
-    val vec = cvec.crossJoin(broadcast(qvec))
-      .select(col("query_id"), col("doc_id"),
+      .groupBy(col("v"), col("n2"))
+      .agg(min(col("query_id")).as("qgid"),
+        collect_list(col("query_id")).as("qids"))
+    // Explicit partition count for the kernel input: cgSlim is a SMALL
+    // frame (distinct corpus vectors) that the cross join expands by
+    // |distinct query vectors| — AQE's byte-based coalesce sees only
+    // the pre-expansion bytes and folds it to ~1 partition, serializing
+    // every dot product onto one core (measured at sf1 on the
+    // uncollapsed leg: 41.7 s single-task vs sub-second parallel). Same
+    // pre-expansion rule as bm25's posting spread. The docs lists stay
+    // OUT of the cross join (joined back below, post-filter) so the
+    // expanded rows carry only the two vectors and two scalars.
+    val vparts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val cgSlim = cg.select(col("cgid"), col("v"), col("n2"), col("gsize"))
+      .repartition(vparts, col("cgid"))
+    val qgSlim = qg.select(col("qgid"), col("v").as("qv"), col("n2").as("qn2"))
+    val pair = cgSlim.crossJoin(broadcast(qgSlim))
+      .select(col("qgid"), col("cgid"), col("gsize"),
         round(graft.functions.Functions.dot_product(col("qv"), col("v")) /
           sqrt(col("qn2") * col("n2")), 6).as("cos_sim"))
+    // Per (query-group, cos_sim value): docs strictly better = cumulative
+    // group sizes of rows with cos_sim strictly greater. Grouping by the
+    // cos_sim VALUE first makes rowsBetween(…, -1) exactly "strictly
+    // greater" (desc NULLS LAST, matching the original window's ordering
+    // of null/NaN cosines).
+    val tie = pair.groupBy(col("qgid"), col("cos_sim"))
+      .agg(sum(col("gsize")).as("tsize"), collect_list(col("cgid")).as("cgids"))
+    val bw = Window.partitionBy("qgid").orderBy(col("cos_sim").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cand = tie
+      .withColumn("better", coalesce(sum(col("tsize")).over(bw), lit(0L)))
+      .filter(col("better") < legK)
+      .select(col("qgid"), col("cos_sim"), explode(col("cgids")).as("cgid"))
+      // cand is ≤ ~legK+ties rows per query group — AQE broadcasts it
+      // into this join; cg's docs never shuffle through the kernel.
+      .join(cg.select(col("cgid"), col("docs")), "cgid")
+      .select(col("qgid"), col("cos_sim"), explode(col("docs")).as("doc_id"))
+    val vw = Window.partitionBy("qgid")
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    val vec = cand
       .withColumn("vec_rank", row_number().over(vw))
       .filter(col("vec_rank") <= legK)
+      .join(qg.select(col("qgid"), explode(col("qids")).as("query_id")), "qgid")
       .select(col("query_id"), col("doc_id"), col("vec_rank"))
 
     // RRF fusion over the union of the two bounded candidate lists.
