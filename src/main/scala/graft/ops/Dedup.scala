@@ -160,8 +160,67 @@ object Dedup {
     * re-derived it with a separate aggregation joined back on each pair
     * leg, scanning the documents 3× (PlanChecksSpec pins the
     * single-scan plan).
+    *
+    * EXACT-TWIN COLLAPSE, SEMANTICS-PRESERVING (round 16): duplicated
+    * corpora make posting lists proportionally deeper and the pair
+    * emission quadratically so — at the 100× gate (5 identical copies
+    * per source block) the per-doc formulation emitted 685M pair
+    * structs into the pair aggregation to produce 1.1M result rows
+    * (measured: 117 s of a 132 s wall). As in d15, documents of one
+    * block with identical (key set, n) are bit-interchangeable in every
+    * downstream expression, so the index and pair legs run over one
+    * REPRESENTATIVE per (source, arr, n) group — 685M → 27M emitted
+    * pairs at the gate — and result pairs expand back through group
+    * membership at the end (output-bound).
+    *
+    * Unlike d15, the cap keeps its ORIGINAL per-document meaning, which
+    * is what makes the collapse exact rather than a semantics trade:
+    * each posting carries its groups' member counts, the [2,
+    * [[MaxPostings]]] gate tests sum(m) (the true document depth), and a
+    * single-rep posting with m ≥ 2 is KEPT — it emits no cross pairs
+    * but contributes to its group's within-pair intersection count.
+    * Within-group pairs share one J value computed from ni_w = the
+    * number of the group's shingles surviving the cap (identical twins
+    * score below 1.0 exactly when the per-doc formulation would, e.g.
+    * when a shared boilerplate shingle blows past MaxPostings); cross-
+    * group pairs inherit their rep pair's J. Output is row-identical to
+    * the per-document formulation at every duplication depth (proved
+    * bit-identical at sf0.01 and the 100× corpus, pinned by
+    * PropertySpec's brute-force twin test), so the oracle SQL is
+    * UNCHANGED — DuckDB still runs the direct form.
+    *
+    * STAT-GATED (d15's strategy rule): on a twin-free corpus the
+    * collapse buys nothing and costs two extra shuffles + two cache
+    * fills (measured ~+0.6 s on the sf0.1 bench fixture, where d4
+    * otherwise beats DuckDB), so the public entry probes the exact-copy
+    * depth with one bounded driver action — approx_count_distinct over
+    * xxhash64(source, text), a single narrow codegen'd scan, rsd 5% is
+    * ample for a 1.2× threshold, engine-side only so the hash choice
+    * never touches the oracle — and runs the per-document form below
+    * that depth. Both paths are row-identical by construction, so a
+    * probe misread can only cost time, never correctness. The verdict
+    * is memoized per corpus directory (a JVM-lifetime property of the
+    * data, not of the query): repeated calls — the bench's min-of-3,
+    * an embedder's loop — pay the probe scan once, and a stale entry
+    * after an in-place corpus rewrite can only mis-pick the STRATEGY,
+    * never the rows.
     */
+  private val d4Gate = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val collapse = d4Gate.computeIfAbsent(dir, _ => {
+      val st = graft.Tables.spread(load(s, dir, "documents"))
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(xxhash64(col("source"), col("text"))).as("nd"))
+        .head
+      // collapse iff avg copies per distinct (source, text) >= 1.2
+      st.getLong(0) * 10L >= st.getLong(1) * 12L
+    })
+    d4NgramJaccardImpl(s, dir, collapse)
+  }
+
+  private[graft] def d4NgramJaccardImpl(s: SparkSession, dir: String,
+      collapse: Boolean): DataFrame = {
     val sh = graft.Tables.spread(load(s, dir, "documents"))
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
@@ -186,21 +245,109 @@ object Dedup {
       // transform would re-run per reference (4× measured on d2).
       .select(col("doc_id"), col("source"), col("n_sh"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shk"))
-    val postings = sh.groupBy(col("source"), col("shk"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
-      .filter(size(col("docs")).between(2, MaxPostings))
-    postings
-      .select(explode(flatten(transform(col("docs"), a =>
-        transform(filter(col("docs"), b => b.getField("doc_id") > a.getField("doc_id")),
-          b => struct(a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("n_a"),
-            b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("n_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    if (!collapse) {
+      // Per-document form (twin-free corpora): the round-2..15 pipeline,
+      // one index shuffle + one pair aggregation, no collapse overhead.
+      val postings = sh.groupBy(col("source"), col("shk"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
+        .filter(size(col("docs")).between(2, MaxPostings))
+      return postings
+        .select(explode(flatten(transform(col("docs"), a =>
+          transform(filter(col("docs"), b => b.getField("doc_id") > a.getField("doc_id")),
+            b => struct(a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("n_a"),
+              b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("n_b")))))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"),
+          max(col("p.n_a")).as("n_a"), max(col("p.n_b")).as("n_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+    }
+    // Twin collapse hub (one row per DISTINCT document per source):
+    // sorted key array + sorted member list. Persisted via OpCaches —
+    // three consumers (postings, cross expansion ×2 legs, within
+    // expansion) would each replay tokenize→shingle→md5 plus two
+    // shuffles; MEMORY_AND_DISK so corpus scale spills, released by the
+    // harnesses per query. n_sh is part of the group key for the same
+    // reason as d15: an intra-doc 60-bit collision (n_sh > |arr|) must
+    // not merge docs whose true shingle counts differ.
+    val grp = OpCaches.persisted(sh.groupBy("doc_id")
+      .agg(first(col("source")).as("source"), first(col("n_sh")).as("n_sh"),
+        sort_array(collect_list(col("shk"))).as("arr"))
+      .groupBy("source", "arr", "n_sh")
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members")))
+    // Persisted like grp: the cross-pair and within-pair legs both
+    // consume it; capped lists bound the footprint (d15's postings
+    // rule).
+    val postings = OpCaches.persisted(grp
+      .select(col("source"), col("rep"), col("n_sh"),
+        size(col("members")).as("m"), explode(col("arr")).as("shk"))
+      .groupBy(col("source"), col("shk"))
+      .agg(sort_array(collect_list(struct(col("rep"), col("n_sh"), col("m")))).as("reps"),
+        sum(col("m")).as("n_docs"))
+      .filter(col("n_docs").between(2, MaxPostings)))
+    // Cross-group rep pairs: same emission/aggregation as the per-doc
+    // form, over representatives.
+    val repPairs = postings
+      .select(explode(flatten(transform(col("reps"), a =>
+        transform(filter(col("reps"), b => b.getField("rep") > a.getField("rep")),
+          b => struct(a.getField("rep").as("rep_a"), a.getField("n_sh").as("n_a"),
+            b.getField("rep").as("rep_b"), b.getField("n_sh").as("n_b")))))).as("p"))
+      .groupBy(col("p.rep_a").as("rep_a"), col("p.rep_b").as("rep_b"))
       .agg(count(lit(1)).as("n_inter"),
         max(col("p.n_a")).as("n_a"), max(col("p.n_b")).as("n_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("rep_a"), col("rep_b"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
+    // Cross expansion: every (member of A) × (member of B) pair carries
+    // the rep pair's J. Groups are disjoint doc sets, so no overlap with
+    // the within leg; one side exploded at a time (a row never holds the
+    // m_a × m_b product). least/greatest because member ids interleave
+    // across groups.
+    val crossOut = repPairs
+      .join(grp.select(col("rep").as("rep_a"), col("members").as("ms_a")), Seq("rep_a"))
+      .join(grp.select(col("rep").as("rep_b"), col("members").as("ms_b")), Seq("rep_b"))
+      .select(col("jaccard"), col("ms_b"), explode(col("ms_a")).as("x"))
+      .select(col("jaccard"), col("x"), explode(col("ms_b")).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+    // Within-group pairs: ni_w = how many of the group's shingles
+    // survive the doc-depth cap (count of kept postings containing the
+    // rep — including single-rep postings, whose n_docs = m ≥ 2). All
+    // member pairs of the group share J = ni_w / (2n − ni_w); sorted
+    // members + posexplode/slice keep doc_a < doc_b without a pair
+    // product ever materializing in one row.
+    val withinOut = postings
+      .select(explode(col("reps")).as("r"))
+      .filter(col("r.m") >= 2)
+      .groupBy(col("r.rep").as("rep"))
+      .agg(count(lit(1)).as("ni_w"), first(col("r.n_sh")).as("n_sh"))
+      .select(col("rep"),
+        round(col("ni_w").cast("double") /
+          (col("n_sh") * 2 - col("ni_w")).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .join(grp.select(col("rep"), col("members")), Seq("rep"))
+      .select(col("jaccard"), col("members"),
+        posexplode(col("members")).as(Seq("i", "x")))
+      .select(col("x").as("doc_a"),
+        explode(slice(col("members"), col("i") + lit(2),
+          size(col("members")))).as("doc_b"),
+        col("jaccard"))
+    // Schema parity with the direct path: the expansion's least/greatest
+    // and explode outputs are non-nullable, but the per-document form's
+    // grouping keys are nullable — a caller switching corpora (and
+    // therefore strategies) must see ONE schema (DegenerateCorpusSpec
+    // pins it). `when(isNotNull, …)` widens nullability at ANALYSIS
+    // time (where Dataset.schema is read); the optimizer's
+    // NullPropagation folds it away before execution, so the widener is
+    // schema-only. (Dataset.to was tried first: nullability RELAXATION
+    // is a no-op upcast there and leaves the schema non-nullable.)
+    def widen(c: String) = when(col(c).isNotNull, col(c)).as(c)
+    crossOut.unionByName(withinOut.select("doc_a", "doc_b", "jaccard"))
+      .select(widen("doc_a"), widen("doc_b"), col("jaccard"))
   }
 
   /** d15's Jaccard threshold as an exact rational (3/10, d4's bar):

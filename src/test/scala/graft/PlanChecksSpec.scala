@@ -139,10 +139,44 @@ class PlanChecksSpec extends AnyFunSuite with BeforeAndAfterEach {
       s"embeddings scanned more than once:\n$fin")
   }
 
-  test("d4: one documents scan feeds both postings and sizes") {
+  test("d4 direct path (twin-free fixture): one documents scan feeds both postings and sizes") {
+    // The stat gate must pick the per-document form here (driver
+    // fixtures are duplicate-free) — the collapse's extra shuffles are
+    // pure overhead on such corpora (measured ~+0.6 s at sf0.1).
     val p = SparkEntry.queries("d4_ngram_jaccard")(spark, dir)
       .queryExecution.sparkPlan.toString
+    assert(!p.contains("InMemoryTableScan"),
+      "stat gate chose the collapse on a twin-free corpus")
     assert("FileScan parquet".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("d4 collapse path: all legs read the twin-collapse hub caches; documents scanned once, inside them") {
+    // The r16 collapse shape: every consumer (cross-pair aggregation,
+    // two expansion joins, within leg) is an InMemoryRelation over the
+    // grp/postings hubs — no leg re-derives the tokenize→shingle→md5
+    // pipeline, and the documents FileScan lives in exactly one cached
+    // lineage. A regression that drops the persist (or builds a bypass
+    // scan) re-runs the heavy pipeline per consumer (measured 4× on
+    // d15's identical hub pattern).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lp = graft.ops.Dedup.d4NgramJaccardImpl(spark, dir, collapse = true)
+      .queryExecution.optimizedPlan
+    val uncachedScans = lp.collect { case r: LogicalRelation => r }
+    assert(uncachedScans.isEmpty,
+      s"a leg scans parquet outside the collapse hub: $uncachedScans")
+    val caches = lp.collect { case r: InMemoryRelation => r.cacheBuilder }.distinct
+    assert(caches.size == 2, s"expected the grp+postings hubs, got ${caches.size}")
+    // Exactly one BASE hub scans parquet (grp, once); the other reads
+    // the base through its InMemoryTableScan (whose print NESTS the
+    // cached lineage — so count scans only in cache plans that read no
+    // other cache).
+    val prints = caches.map(_.cachedPlan.toString)
+    val (derived, base) = prints.partition(_.contains("InMemoryTableScan"))
+    assert(base.size == 1 && derived.size == 1,
+      s"expected one base + one derived hub, got base=${base.size}")
+    assert("FileScan parquet".r.findAllIn(base.head).length == 1,
+      s"base hub must scan documents exactly once:\n${base.head.take(1500)}")
   }
 
   test("s2b: multiband self-join reuses one exchange — one embeddings scan, cap via window") {

@@ -282,6 +282,63 @@ class PropertySpec extends AnyFunSuite {
     expect.foreach { case (k, v) => assert(math.abs(got(k) - v) <= 5e-7) }
   }
 
+  test("d4NgramJaccard on a DUPLICATED corpus: collapse path ≡ direct path " +
+    "≡ brute force, and cross-source twins never pair") {
+    // 5 base texts × 4 copies, copies split across TWO sources — so the
+    // (source, text) groups have 2 members each and the collapse's
+    // within-group (J=1.0 twins), cross-group expansion, AND the source
+    // blocking key all fire. The driver fixtures are twin-free, so
+    // without this corpus the collapse legs would only ever run at the
+    // 100× gate.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tomorrow",
+      "partition pruning keeps a hundred terabyte scan honest at the metadata layer",
+      "partition pruning keeps a hundred terabyte scan honest at the storage layer",
+      "watermarks bound streaming state by event time not by row count")
+    val docs = for {
+      (t, ti) <- base.zipWithIndex
+      c <- 0 until 4
+    } yield ((ti * 10 + c).toLong, s"src${c % 2}", t)
+    val dir = java.nio.file.Files.createTempDirectory("d4twins").toFile
+    try {
+      docs.toDF("doc_id", "source", "text").write.mode("overwrite")
+        .parquet(s"${dir.getPath}/documents.parquet")
+      // Brute force in raw shingle strings: same-source pairs only; on
+      // this corpus every shared shingle's posting is within [2, 1000],
+      // so n_inter is the plain set intersection.
+      val sets = docs.map { case (id, src, text) =>
+        (id, src, text.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet)
+      }
+      val expect = (for {
+        i <- sets.indices
+        j <- i + 1 until sets.length
+        if sets(i)._2 == sets(j)._2
+        lo = if (sets(i)._1 < sets(j)._1) sets(i) else sets(j)
+        hi = if (sets(i)._1 < sets(j)._1) sets(j) else sets(i)
+        ni = lo._3.intersect(hi._3).size
+        j6 = math.rint(ni.toDouble / (lo._3.size + hi._3.size - ni) * 1e6) / 1e6
+        if j6 >= 0.3
+      } yield ((lo._1, hi._1), j6)).toMap
+      assert(expect.nonEmpty && expect.exists(_._2 == 1.0) && expect.exists(_._2 < 1.0))
+      def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // Public entry: the stat probe must read depth 2.0 and collapse.
+      val got = run(graft.ops.Dedup.d4NgramJaccard(spark, dir.getPath))
+      assert(got.keySet == expect.keySet)
+      expect.foreach { case (k, v) => assert(math.abs(got(k) - v) <= 5e-7, k) }
+      // Forced per-document path: row-identical on the same corpus.
+      val direct = run(graft.ops.Dedup.d4NgramJaccardImpl(spark, dir.getPath,
+        collapse = false))
+      assert(direct == got)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("d15PrefixJaccard on a DUPLICATED corpus ≡ brute force — the " +
     "exact-twin collapse changes the plan, never the output") {
     // Purpose-built corpus: each of 5 base texts duplicated 4× (so the
