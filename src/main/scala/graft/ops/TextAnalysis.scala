@@ -315,16 +315,48 @@ object TextAnalysis {
     * of docs with at least one token).
     */
   def bm25(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // EXACT QUERY-SET COLLAPSE (round 16): every step downstream of
+    // tokenization — the rarest-M budget (ORDER BY (df, term) over the
+    // term set), the capped-posting join, the slot-pinned score fold,
+    // and the (score DESC, doc_id ASC) ranking over CORPUS doc_ids —
+    // is a pure function of the query's distinct-term SET, never of
+    // its id, so queries sharing a set share their entire ranked list.
+    // Group queries by the sorted distinct token array, run the
+    // pipeline once per set under the representative min(doc_id), and
+    // fan the ≤ k result rows back out through group membership at the
+    // end. This is the engine-side mirror of the staged sf10 oracle's
+    // qsig collapse ([[stagedBm25Stages]] change 2, same key, same
+    // purity argument) — the two formulations now collapse or not in
+    // lockstep. Measured: the 100× gate's source rotation leaves the
+    // eval side 6.4× duplicated (25,000 queries, 3,935 sets) and the
+    // scored stage is |sets| × M × cap; where queries are unique the
+    // extra groupBy touches only the small-by-contract query frame and
+    // the fan-out join only the ≤ |queries| × k result rows — cheap
+    // enough to skip d4's stat gate. Precondition shared with the
+    // staged oracle: one query row per non-NULL doc_id (two rows
+    // sharing an id would interleave their qranks in the uncollapsed
+    // form but score independently here; NULL-id rows follow the
+    // uncollapsed form's null-equality merge only within one group).
+    //
     // The query side is small by contract (it broadcasts twice below)
-    // but may arrive as an arbitrarily expensive pipeline, and it is
-    // consumed THREE times: the partition-sizing count and two
-    // broadcast builds (qdf's join build and posted's semi-join
-    // build). localCheckpoint materializes the slim projection once so
-    // each consumer reads blocks instead of re-running the caller's
-    // pipeline (review-caught: the sizing count alone re-scanned the
-    // documents table per t12 invocation). Blocks are reclaimed by the
-    // ContextCleaner when the returned frame is dropped.
-    val q = queries.select(col("doc_id"), col("text")).localCheckpoint()
+    // but may arrive as an arbitrarily expensive pipeline, and the
+    // grouped frame is consumed FOUR times: the partition-sizing
+    // count, two broadcast builds (qdf's join build and posted's
+    // semi-join build) and the final fan-out. localCheckpoint
+    // materializes the collapsed slim frame once so each consumer
+    // reads blocks instead of re-running the caller's pipeline
+    // (review-caught: the sizing count alone re-scanned the documents
+    // table per t12 invocation). Blocks are reclaimed by the
+    // ContextCleaner when the returned frame is dropped. The struct
+    // wrap in qids keeps NULL member ids (collect_list drops bare
+    // NULLs); array_distinct collapses byte-equal duplicate rows once.
+    val qg = queries.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("qsig"))
+      .groupBy(col("qsig"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        array_distinct(collect_list(struct(col("doc_id").as("qid")))).as("qids"))
+      .localCheckpoint()
+    val q = qg.select(col("doc_id"), col("qsig"))
     // ONE tokenize pass: tf's (doc_id, term) exchange feeds everything.
     // Document length rides tf as a window sum (t6's shape — a separate
     // groupBy+join would prune different columns and re-scan the
@@ -349,7 +381,7 @@ object TextAnalysis {
       (sum(col("tf")).cast("double") /
         count_distinct(col("doc_id")).cast("double")).as("avgdl"))
     val qterms = q.select(col("doc_id").as("query_id"),
-      explode(array_distinct(toks(col("text")))).as("term"))
+      explode(col("qsig")).as("term"))
     // Per-query rarest-M term budget — small, broadcast onto tf.
     val qsel = Window.partitionBy("query_id")
       .orderBy(col("df").asc, col("term").asc)
@@ -385,13 +417,13 @@ object TextAnalysis {
     // ≤ terms × cap rows) by doc_id co-locates every (query, doc)
     // group in one task, so the partial agg fully reduces and the
     // final merge sees one row per group. The partition count scales
-    // with the expanded row count (|queries| × M × cap), not with
-    // cores — the query side is small by the same contract that lets
-    // it broadcast, so the count() over the checkpointed blocks is a
-    // cheap driver-side bound, and the explicit number keeps AQE from
-    // byte-coalescing the tiny pre-expansion shuffle into a handful of
-    // post-expansion monsters.
-    val nq = q.select(col("doc_id")).distinct().count()
+    // with the expanded row count (|distinct query sets| × M × cap),
+    // not with cores — the query side is small by the same contract
+    // that lets it broadcast, so the count() over the checkpointed
+    // blocks is a cheap driver-side bound, and the explicit number
+    // keeps AQE from byte-coalescing the tiny pre-expansion shuffle
+    // into a handful of post-expansion monsters.
+    val nq = q.count()
     val expanded = nq * Bm25QueryTerms * Bm25MaxPostings
     val parts = math.max(
       corpus.sparkSession.sessionState.conf.numShufflePartitions,
@@ -419,12 +451,18 @@ object TextAnalysis {
     val pinnedSum = (1 to Bm25QueryTerms)
       .map(i => coalesce(col(s"_s$i"), lit(0.0)))
       .reduce(_ + _)
-    scored.groupBy("query_id", "doc_id")
+    val ranked = scored.groupBy("query_id", "doc_id")
       .agg(slots.head, slots.tail: _*)
       .select(col("query_id"), col("doc_id"), round(pinnedSum, 6).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+    // Fan the per-set result back out to every member query: ranked is
+    // ≤ |sets| × k rows and fan one row per query — both tiny, joined
+    // null-safely (a rep is NULL only when every member id is NULL).
+    val fan = qg.select(col("doc_id").as("qrep"), explode(col("qids")).as("q"))
+    ranked.join(broadcast(fan), col("query_id") <=> col("qrep"))
+      .select(col("q.qid").as("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
   /** t15 — bigram language-model quality score: the CCNet-style

@@ -123,6 +123,25 @@ class PlanChecksSpec extends AnyFunSuite with BeforeAndAfterEach {
       s"documents scanned more than once:\n$fin")
   }
 
+  test("d2 collapse path: expansion legs read the twin-hub cache; documents scanned once, inside it") {
+    // The r16 collapse shape (d4's cache-topology pin, one hub here):
+    // the signature pass and both expansion legs read the persisted
+    // distinct-token-array hub — no leg re-derives tokenize/groupBy,
+    // and the documents FileScan lives in the one cached lineage.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lp = graft.ops.Dedup.minhashPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), collapse = true)
+      .queryExecution.optimizedPlan
+    val uncachedScans = lp.collect { case r: LogicalRelation => r }
+    assert(uncachedScans.isEmpty,
+      s"a leg scans parquet outside the twin hub: $uncachedScans")
+    val caches = lp.collect { case r: InMemoryRelation => r.cacheBuilder }.distinct
+    assert(caches.size == 1, s"expected the one twin hub, got ${caches.size}")
+    assert("FileScan parquet".r.findAllIn(caches.head.cachedPlan.toString).length == 1,
+      s"hub must scan documents exactly once:\n${caches.head.cachedPlan.toString.take(1500)}")
+  }
+
   test("d11: one Lloyd's-assignment pass feeds both self-join sides") {
     // The composed d11 plan is truncated by connectedComponents'
     // localCheckpoint, so pin the property on the pre-component pairs

@@ -339,6 +339,102 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhashPairs on a DUPLICATED corpus: collapse path ≡ direct path, " +
+    "and twin pairs emit at est 1.0") {
+    // 5 base texts × 4 copies: the within-group constant leg (est 1.0
+    // without a join), the cross-group expansion AND the text-keyed
+    // stat gate (depth 4.0 ≥ 1.2 → collapse) all fire — the driver
+    // fixtures are twin-free, so these legs otherwise only run at the
+    // 100× gate. The direct path is the round-2 formulation, already
+    // oracle-pinned at sf0.01; row-identity between the two paths is
+    // the collapse's entire claim.
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tomorrow",
+      "partition pruning keeps a hundred terabyte scan honest at the metadata layer",
+      "partition pruning keeps a hundred terabyte scan honest at the storage layer",
+      "watermarks bound streaming state by event time not by row count")
+    val docs = for {
+      (t, ti) <- base.zipWithIndex
+      c <- 0 until 4
+    } yield ((ti * 10 + c).toLong, t)
+    val dir = java.nio.file.Files.createTempDirectory("d2twins").toFile
+    try {
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"${dir.getPath}/documents.parquet")
+      def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val got = run(graft.ops.Dedup.d2MinhashLsh(spark, dir.getPath))
+      val direct = run(graft.ops.Dedup.minhashPairs(
+        spark.read.parquet(s"${dir.getPath}/documents.parquet")))
+      assert(got == direct, "collapse path diverged from the direct path")
+      // Every twin pair (same base text) must be present at exactly 1.0.
+      for {
+        ti <- base.indices
+        c1 <- 0 until 4
+        c2 <- c1 + 1 until 4
+      } assert(got(((ti * 10 + c1).toLong, (ti * 10 + c2).toLong)) == 1.0)
+      // The near-dup bases (0/1 and 2/3) collide on some band, so the
+      // cross-group expansion is exercised with a sub-1.0 estimate.
+      assert(got.exists(_._2 < 1.0), "no cross-group pair surfaced")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("bm25 on a DUPLICATED query side ≡ per-query singleton runs — " +
+    "the query-set collapse changes the plan, never the output") {
+    // 3 base query texts × 3 copies with distinct ids, plus one query
+    // whose TEXT differs but whose token SET matches base 0 (the
+    // collapse keys on the sorted distinct token array, so it must
+    // land in base 0's group), plus an empty-text query (no tokens →
+    // no output, uncollapsed behavior). The oracle is bm25 itself on
+    // a SINGLE query — a one-member group collapses to itself, so the
+    // singleton run is the uncollapsed semantics by construction.
+    import graft.ops.TextAnalysis
+    val corpus = Seq(
+      (1L, "spark shuffles hash partition data across executors"),
+      (2L, "broadcast joins avoid the shuffle for small dimension tables"),
+      (3L, "watermarks bound streaming state by event time"),
+      (4L, "partition pruning skips files the filter can never match"),
+      (5L, "executors spill sorted runs to disk under memory pressure"),
+      (6L, "the shuffle partition count sizes every exchange")
+    ).toDF("doc_id", "text")
+    val baseTexts = Seq(
+      "shuffle partition executors",
+      "broadcast small tables",
+      "streaming state watermarks")
+    val dup = for {
+      (t, ti) <- baseTexts.zipWithIndex
+      c <- 0 until 3
+    } yield ((100 + ti * 10 + c).toLong, t)
+    val queries = (dup :+
+      (200L, "executors partition shuffle partition") :+ // set == base 0's
+      (201L, "")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2)).toMap
+    val full = rows(TextAnalysis.bm25(corpus, queries, 3))
+    assert(!full.contains(201L), "empty-text query must emit nothing")
+    // Every copy of a base text — and the set-equal different text —
+    // reproduces its singleton list verbatim.
+    val expect = (baseTexts.zipWithIndex.map { case (t, ti) =>
+      ti -> rows(TextAnalysis.bm25(corpus,
+        Seq((999L, t)).toDF("doc_id", "text"), 3))(999L)
+    }).toMap
+    assert(expect.values.forall(_.nonEmpty))
+    for {
+      (t, ti) <- baseTexts.zipWithIndex
+      c <- 0 until 3
+    } assert(full((100 + ti * 10 + c).toLong) === expect(ti),
+      s"copy $c of base $ti diverged from its singleton run")
+    assert(full(200L) === expect(0), "set-equal text missed its group")
+    assert(full.keySet === (dup.map(_._1).toSet + 200L))
+  }
+
   test("d15PrefixJaccard on a DUPLICATED corpus ≡ brute force — the " +
     "exact-twin collapse changes the plan, never the output") {
     // Purpose-built corpus: each of 5 base texts duplicated 4× (so the
