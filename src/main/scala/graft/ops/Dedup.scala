@@ -1307,7 +1307,56 @@ object Dedup {
     * dedup; K is the noise floor, not a budget knob.
     */
   def d12SubstrSpans(s: SparkSession, dir: String): DataFrame =
-    substrSpans(load(s, dir, "documents"))
+    substrSpans(load(s, dir, "documents"),
+      collapse = twinGate(s, dir, Seq("text")))
+
+  /** EXACT-TWIN COLLAPSE for the whole window-hash family (round 16,
+    * d4/d2's pattern): every per-position expression — the K-char
+    * window md5s, the winnow local-min, the island merge, the scrub
+    * fold — is a pure function of the document's TEXT, and the only
+    * corpus-global terms are per-key occurrence aggregates (d12's
+    * count ≥ 2, t13's max(ev)) that depend on texts and group sizes,
+    * never on which twin contributed. So the md5-heavy gram pass runs
+    * over one representative per distinct text — a count-weighted
+    * occurrence sum (mult) preserves d12's corpus-wide ≥ 2 semantics
+    * exactly: a text duplicated m ≥ 2 times has EVERY window duplicated
+    * and flags end to end, which is precisely why the 100× gate made
+    * this family's walls ~linear in the duplication factor — and
+    * per-document results expand back through group membership
+    * (output-bound; spans/fingerprints/scrubbed text are identical
+    * across twins). Stat-gated per corpus via [[twinGate]] on text;
+    * the frame-level cores below keep the direct path as their
+    * composition default.
+    */
+  private def textHub(docs: DataFrame): DataFrame =
+    OpCaches.persisted(docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        count(lit(1)).as("mult")))
+
+  /** d12's flagged-window pipeline over a [[textHub]]: the gram pass
+    * runs per representative and the corpus-wide occurrence count is
+    * the mult-weighted sum over the window-key partition.
+    */
+  private def repDupSpans(hub: DataFrame): DataFrame =
+    islands(windowGrams(hub.select(col("doc_id"), col("text"), col("mult")),
+        passthrough = Seq("mult"))
+      .withColumn("n_occ", sum(col("mult")).over(Window.partitionBy("gk")))
+      .filter(col("n_occ") >= 2))
+
+  /** Fan per-representative rows back out to every member; `doc_id` is
+    * replaced (widened like d4's expansion — analysis-time nullability
+    * parity with the direct path), all other columns ride along.
+    */
+  private def expandByMembers(rep: DataFrame, hub: DataFrame): DataFrame = {
+    val rest = rep.columns.filter(_ != "doc_id").toSeq
+    rep.withColumnRenamed("doc_id", "rep")
+      .join(hub.select(col("doc_id").as("rep"), col("members")), Seq("rep"))
+      .select(explode(col("members")).as("docx") +: rest.map(col): _*)
+      .select(when(col("docx").isNotNull, col("docx")).as("doc_id") +:
+        rest.map(col): _*)
+  }
 
   /** Segment stride for the window-hash pass: documents are first
     * exploded into stride-sized segments (with K-1 chars of overlap so
@@ -1327,6 +1376,13 @@ object Dedup {
     * merge is by running max of covered end, so adjacency collapses).
     */
   private[graft] def substrSpans(docs: DataFrame): DataFrame =
+    substrSpans(docs, collapse = false)
+
+  private[graft] def substrSpans(docs: DataFrame, collapse: Boolean): DataFrame = {
+    if (collapse) {
+      val hub = textHub(docs)
+      return expandByMembers(repDupSpans(hub), hub)
+    }
     // Occurrence count as a WINDOW count over the gk partition (t10's
     // shape): structurally ONE hashing pass — a groupBy+join-back
     // formulation re-ran the scan→window-hash pipeline per branch
@@ -1339,6 +1395,7 @@ object Dedup {
     islands(windowGrams(docs)
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gk")))
       .filter(col("n_occ") >= 2))
+  }
 
   /** The segmented window-hash pass: one `(doc_id, off, gk)` row per
     * K-char window position, plus `passthrough` columns carried from
@@ -1418,10 +1475,21 @@ object Dedup {
     * scan is the cheap leg and joins only the span-bearing minority.
     */
   def d13SpanScrub(s: SparkSession, dir: String): DataFrame =
-    spanScrub(load(s, dir, "documents"))
+    spanScrub(load(s, dir, "documents"),
+      collapse = twinGate(s, dir, Seq("text")))
 
   private[graft] def spanScrub(docs: DataFrame): DataFrame =
-    scrubWith(docs, substrSpans(docs))
+    spanScrub(docs, collapse = false)
+
+  private[graft] def spanScrub(docs: DataFrame, collapse: Boolean): DataFrame = {
+    if (!collapse) return scrubWith(docs, substrSpans(docs))
+    // Twins share their spans AND therefore their scrubbed text: scrub
+    // once per representative, expand the (clean_text, removed) rows.
+    // One hub serves the gram pass, the scrub rejoin and the fan-out.
+    val hub = textHub(docs)
+    expandByMembers(
+      scrubWith(hub.select(col("doc_id"), col("text")), repDupSpans(hub)), hub)
+  }
 
   /** t13 — contamination SPANS: the decontamination twin of d12. A
     * corpus document's span is flagged when it occurs VERBATIM inside
@@ -1442,9 +1510,13 @@ object Dedup {
     // Both sides live in one table, so tag in a single projection —
     // a corpus/eval filter pair unioned back together would scan (and
     // re-hash) the table once per side.
-    contamSpansTagged(load(s, dir, "documents")
+    contamSpansTagged(t1314Tagged(s, dir),
+      collapse = twinGate(s, dir, Seq("text")))
+
+  private def t1314Tagged(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
       .select(col("doc_id"), col("text"),
-        when(col("source") <=> lit(EvalSrc), 1).otherwise(0).as("ev")))
+        when(col("source") <=> lit(EvalSrc), 1).otherwise(0).as("ev"))
 
   /** t14 — contamination SCRUB: t13's spans excised from the corpus
     * (eval docs are not part of the output). Every corpus document
@@ -1452,6 +1524,16 @@ object Dedup {
     * the empty string.
     */
   def t14ContamScrub(s: SparkSession, dir: String): DataFrame = {
+    if (twinGate(s, dir, Seq("text"))) {
+      // Collapsed: scrub once per distinct CORPUS text (the ev = 0 side
+      // of t13's tagged hub — the same hub instance feeds the span
+      // pass, the scrub rejoin and the fan-out) and expand.
+      val hub = taggedHub(t1314Tagged(s, dir))
+      val corpusHub = hub.filter(col("ev") === 0)
+      return expandByMembers(
+        scrubWith(corpusHub.select(col("doc_id"), col("text")),
+          repContamSpans(hub)), corpusHub)
+    }
     val d = load(s, dir, "documents")
     scrubWith(d.filter(!(col("source") <=> lit(EvalSrc))),
       t13ContamSpans(s, dir))
@@ -1472,7 +1554,35 @@ object Dedup {
         .unionByName(eval.select(col("doc_id"), col("text"), lit(1).as("ev"))))
 
   private def contamSpansTagged(tagged: DataFrame): DataFrame =
+    contamSpansTagged(tagged, collapse = false)
+
+  private def contamSpansTagged(tagged: DataFrame, collapse: Boolean): DataFrame = {
+    if (collapse) {
+      // Group by (text, ev): an eval and a corpus copy of one text are
+      // NOT interchangeable (the tag decides which side flags), but
+      // copies within a side are; the contamination verdict reads only
+      // max(ev) per window key, so group multiplicity is irrelevant
+      // here — the collapse is tag-exact with no weighting needed.
+      val hub = taggedHub(tagged)
+      return expandByMembers(repContamSpans(hub), hub)
+    }
     islands(windowGrams(tagged, passthrough = Seq("ev"))
+      .withColumn("hit", max(col("ev")).over(Window.partitionBy("gk")))
+      .filter(col("ev") === 0 && col("hit") === 1))
+  }
+
+  private def taggedHub(tagged: DataFrame): DataFrame =
+    OpCaches.persisted(tagged
+      .groupBy(col("text"), col("ev"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        sort_array(collect_list(col("doc_id"))).as("members")))
+
+  /** t13's flagged-window pipeline over a [[taggedHub]] — rep-level
+    * grams with the ev tag; only ev = 0 reps emit spans.
+    */
+  private def repContamSpans(hub: DataFrame): DataFrame =
+    islands(windowGrams(hub.select(col("doc_id"), col("text"), col("ev")),
+        passthrough = Seq("ev"))
       .withColumn("hit", max(col("ev")).over(Window.partitionBy("gk")))
       .filter(col("ev") === 0 && col("hit") === 1))
 
@@ -1507,9 +1617,23 @@ object Dedup {
     * every-doc coverage take min(gk) per short doc separately).
     */
   def d14Winnow(s: SparkSession, dir: String): DataFrame =
-    winnow(load(s, dir, "documents"))
+    winnow(load(s, dir, "documents"),
+      collapse = twinGate(s, dir, Seq("text")))
 
-  private[graft] def winnow(docs: DataFrame): DataFrame = {
+  private[graft] def winnow(docs: DataFrame): DataFrame =
+    winnow(docs, collapse = false)
+
+  private[graft] def winnow(docs: DataFrame, collapse: Boolean): DataFrame = {
+    if (!collapse) return winnowDirect(docs)
+    // The fingerprint set is per-document with no corpus-global term at
+    // all, so the collapse is the plain text hub: select once per
+    // distinct text, expand (doc_id, off, gk) rows — the 28M-row
+    // output write is the remaining floor at the 100× gate.
+    val hub = textHub(docs)
+    expandByMembers(winnowDirect(hub.select(col("doc_id"), col("text"))), hub)
+  }
+
+  private def winnowDirect(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("off")
       .rowsBetween(Window.currentRow, WinnowW - 1)
     windowGrams(docs)
@@ -1529,7 +1653,7 @@ object Dedup {
   /** Excise `spans` from `docs`, `passThrough` columns carried beside
     * the scrubbed text (curation needs source/lang to survive).
     */
-  private[ops] def scrubWith(docs: DataFrame, spans: DataFrame,
+  private[graft] def scrubWith(docs: DataFrame, spans: DataFrame,
       passThrough: Seq[String] = Nil): DataFrame = {
     val sp = spans
       .groupBy("doc_id")

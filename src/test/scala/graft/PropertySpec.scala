@@ -339,6 +339,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("window-hash family on a DUPLICATED corpus: collapse ≡ direct " +
+    "for d12, d13, t13, t14 and d14") {
+    // Texts share a 72-char boilerplate prefix (cross-TEXT duplicated
+    // spans survive the collapse), are duplicated 2-3× (the twin legs
+    // fire — depth 2.1 ≥ 1.2 trips the text gate), and the eval text
+    // appears verbatim both as eval copies and as a corpus doc plus an
+    // embedded substring (t13's tag-split groups: same text, both
+    // sides). Direct forms are the committed frame-level cores.
+    import graft.ops.Dedup
+    val b = "this exact boilerplate header sentence repeats verbatim across many documents"
+    val ev = "benchmark evaluation question text that must be detected verbatim in the corpus"
+    val t0 = b + " alpha continuation with more unique words here"
+    val t1 = b + " beta continuation with other unique words here"
+    val tu = "entirely unrelated text with no duplicated spans anywhere inside it at all"
+    val t3 = "prefix words then " + ev + " and suffix words after"
+    val rows = Seq(
+      (1L, "src1", t0), (2L, "src2", t0), (3L, "src1", t0),
+      (4L, "src1", t1), (5L, "src2", t1),
+      (6L, "src1", tu),
+      (7L, "src1", t3), (8L, "src2", t3),
+      (9L, "src1", ev),
+      (20L, "src0", ev), (21L, "src0", ev))
+    val dir = java.nio.file.Files.createTempDirectory("spanTwins").toFile
+    try {
+      rows.toDF("doc_id", "source", "text").write.mode("overwrite")
+        .parquet(s"${dir.getPath}/documents.parquet")
+      val all = spark.read.parquet(s"${dir.getPath}/documents.parquet")
+        .select("doc_id", "text")
+      val corpus = spark.read.parquet(s"${dir.getPath}/documents.parquet")
+        .filter(!(col("source") <=> lit("src0"))).select("doc_id", "text")
+      val eval = spark.read.parquet(s"${dir.getPath}/documents.parquet")
+        .filter(col("source") <=> lit("src0")).select("doc_id", "text")
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq.toList).toSet
+      val pairs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+        ("d12", Dedup.d12SubstrSpans(spark, dir.getPath), Dedup.substrSpans(all)),
+        ("d13", Dedup.d13SpanScrub(spark, dir.getPath), Dedup.spanScrub(all)),
+        ("t13", Dedup.t13ContamSpans(spark, dir.getPath),
+          Dedup.contamSpans(corpus, eval)),
+        ("t14", Dedup.t14ContamScrub(spark, dir.getPath),
+          Dedup.scrubWith(corpus, Dedup.contamSpans(corpus, eval))),
+        ("d14", Dedup.d14Winnow(spark, dir.getPath), Dedup.winnow(all)))
+      for ((name, got, want) <- pairs) {
+        val (g, w) = (set(got), set(want))
+        assert(g.nonEmpty, s"$name produced no rows — vacuous")
+        assert(g == w, s"$name collapse diverged from direct")
+      }
+      // The collapse actually engaged (gate depth 11/6 ≥ 1.2).
+      assert(graft.ops.Dedup.twinGate(spark, dir.getPath, Seq("text")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("minhashPairs on a DUPLICATED corpus: collapse path ≡ direct path, " +
     "and twin pairs emit at est 1.0") {
     // 5 base texts × 4 copies: the within-group constant leg (est 1.0
