@@ -1006,11 +1006,26 @@ object Dedup {
     * as before.
     */
   def d9DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(
-      graft.Tables.spread(load(s, dir, "documents"))
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 3))
-    val grp = sigs.groupBy("sig")
+    val toked = graft.Tables.spread(load(s, dir, "documents"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    // The sig-level grouping above collapses the GRAPH but still pays
+    // the md5 signature pass once per copy. Behind the shared text
+    // gate (round 16, d2's hub): hash once per distinct token array
+    // and let the signature grouping merge the token groups' member
+    // lists — min-of-mins is the global min, and flatten-of-lists is
+    // the original membership, so `grp` is value-identical and every
+    // downstream step (banding, CC, expansion) is untouched.
+    val grp = if (twinGate(s, dir, Seq("text"))) {
+      val tg = OpCaches.persisted(toked.groupBy("t")
+        .agg(min(col("doc_id")).as("doc_id"),
+          collect_list(col("doc_id")).as("ms")))
+      minhashSigs(tg.select(col("doc_id"), col("t")))
+        .join(tg.select(col("doc_id"), col("ms")), Seq("doc_id"))
+        .groupBy("sig")
+        .agg(min(col("doc_id")).as("rep"),
+          sort_array(flatten(collect_list(col("ms")))).as("members"))
+    } else minhashSigs(toked).groupBy("sig")
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"))
     // Rep-level band collisions — the same banding as minhashPairs,

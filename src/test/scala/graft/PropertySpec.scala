@@ -434,6 +434,23 @@ class PropertySpec extends AnyFunSuite {
       // The near-dup bases (0/1 and 2/3) collide on some band, so the
       // cross-group expansion is exercised with a sub-1.0 estimate.
       assert(got.exists(_._2 < 1.0), "no cross-group pair surfaced")
+      // d9 on the same corpus (its gate also trips): clusters must be
+      // the transitive closure of the direct pair graph with min-id
+      // labels — the collapsed signature pass may not change adjacency.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long =
+        if (parent.getOrElse(x, x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      for (((a, b), _) <- direct) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expectClusters = direct.keySet.flatMap(p => Seq(p._1, p._2))
+        .map(d => d -> find(d)).toMap
+      val gotClusters = graft.ops.Dedup.d9DedupClusters(spark, dir.getPath)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotClusters == expectClusters,
+        "d9's collapsed signature pass changed the cluster graph")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
