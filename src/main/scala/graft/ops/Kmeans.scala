@@ -96,21 +96,62 @@ object Kmeans {
       .select(col("id"), col("best.cell").as("cell"), col("q"),
         col("best.dist").as("dist"))
 
+  /** EXACT WEIGHTED-TWIN COLLAPSE for the update aggregations (round
+    * 16, the dedup family's pattern carried into training): assignment
+    * is a pure function of the quantized vector, and because every
+    * update statistic is an exact INTEGER sum, a duplicated vector's
+    * contribution is exactly `weight × q_i` — integer multiplication,
+    * associative, bit-equal to summing the copies. So behind a
+    * memoized embeddings-duplication probe, each Lloyd's round
+    * aggregates one row per DISTINCT vector (weight-carrying, hub
+    * persisted once for ALL rounds) instead of re-scanning the corpus
+    * — ~95× less distance arithmetic per round at the 100× gate. The
+    * centroid sequence is IDENTICAL by induction (same sums, same
+    * counts, same floorDiv), and the final assignment still runs over
+    * the full corpus, so every consumer's output is bit-identical.
+    * Init also reads the full frame (two first-k seed vectors may
+    * share a value but must stay distinct centroids). Unique-vector
+    * corpora keep the scan-per-round form: the scaladoc above is
+    * explicit that caching a 100 TB corpus is not a plan, and the
+    * hub IS the corpus when nothing is duplicated.
+    */
+  private val embGates = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
+  private[graft] def embTwinGate(s: SparkSession, dir: String): Boolean =
+    embGates.computeIfAbsent(dir, _ => {
+      val st = graft.Tables.spread(load(s, dir, "embeddings"))
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(xxhash64(col("embedding"))).as("nd"))
+        .head
+      st.getLong(0) * 10L >= st.getLong(1) * 12L
+    })
+
   /** Lloyd's: `iters` × (assign → integer-mean update), then a final
     * assignment against the trained centroids. `e` must be
     * `(id: long, q: array<long>)` with `dim`-length vectors. Returns the
     * final assignment frame and the trained centroids.
     */
   private[graft] def lloyd(e: DataFrame, init: Seq[(Long, Seq[Long])],
-      iters: Int = Iters, dim: Int = Dim): (DataFrame, Seq[(Long, Seq[Long])]) = {
+      iters: Int = Iters, dim: Int = Dim,
+      collapse: Boolean = false): (DataFrame, Seq[(Long, Seq[Long])]) = {
+    val hub = if (!collapse) null else OpCaches.persisted(
+      e.groupBy(col("q")).agg(count(lit(1)).as("w")))
     var cents = init
     for (_ <- 1 to iters) {
-      val a = assign(e, cents)
-      val sums = (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s_$i"))
-      // k rows × (dim+1) longs — the bounded driver hop.
-      val stats = a.groupBy("cell")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
+      val stats = (if (collapse) {
+        val a = hub
+          .select(col("w"), col("q"), bestCell(col("q"), cents).as("best"))
+          .filter(lit(cents.nonEmpty))
+        val sums = (1 to dim).map(i =>
+          sum(element_at(col("q"), i) * col("w")).as(s"s_$i"))
+        a.groupBy(col("best.cell").as("cell"))
+          .agg(sum(col("w")).as("n"), sums: _*)
+      } else {
+        val a = assign(e, cents)
+        val sums = (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s_$i"))
+        // k rows × (dim+1) longs — the bounded driver hop.
+        a.groupBy("cell").agg(count(lit(1)).as("n"), sums: _*)
+      }).collect()
         .map(r => r.getLong(0) -> r).toMap
       cents = cents.map { case (cell, prev) =>
         stats.get(cell) match {
@@ -132,7 +173,7 @@ object Kmeans {
   def trainCentroids(s: SparkSession, dir: String,
       k: Int = K, iters: Int = Iters): Seq[(Long, Seq[Long])] = {
     val e = corpus(s, dir)
-    lloyd(e, initFrom(e, k), iters)._2
+    lloyd(e, initFrom(e, k), iters, collapse = embTwinGate(s, dir))._2
   }
 
   /** Per-subspace PQ codebook training over each subspace's subvectors
@@ -147,7 +188,8 @@ object Kmeans {
   def trainPqCodebooks(s: SparkSession, dir: String,
       k: Int = K, iters: Int = Iters): Seq[(Int, Long, Seq[Long])] = {
     val subs = quantizedSubvectors(s, dir).persist()
-    try trainPqOn(subs, k, iters) finally subs.unpersist()
+    try trainPqOn(subs, k, iters, collapse = embTwinGate(s, dir))
+    finally subs.unpersist()
   }
 
   private def quantizedSubvectors(s: SparkSession, dir: String): DataFrame =
@@ -173,10 +215,10 @@ object Kmeans {
     * keeping for the bounded training window.)
     */
   private def trainPqOn(subs: DataFrame, k: Int,
-      iters: Int): Seq[(Int, Long, Seq[Long])] = {
+      iters: Int, collapse: Boolean = false): Seq[(Int, Long, Seq[Long])] = {
     val e = subs.select(col("sub_idx").cast("int").as("gid"),
       col("vec_id").as("id"), col("q"))
-    lloydGrouped(e, initGrouped(e, k), iters, Similarity.PqSubDim)._2
+    lloydGrouped(e, initGrouped(e, k), iters, Similarity.PqSubDim, collapse)._2
   }
 
   /** Grouped assignment: like [[assign]] but each row picks the argmin
@@ -185,34 +227,48 @@ object Kmeans {
     * Still narrow; the inner-join semantics of the old broadcast-join form
     * (rows whose gid has no centroids vanish) are kept by the null filter.
     */
-  private def assignGrouped(e: DataFrame,
-      cents: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+  private def groupedBest(cents: Seq[(Int, Long, Seq[Long])]): Column = {
     val byGid = cents.groupBy(_._1).view.mapValues(_.map(c => (c._2, c._3)))
       .toSeq.sortBy(_._1)
-    val best = byGid.foldLeft(lit(null).cast("struct<dist:bigint,cell:bigint>")) {
+    byGid.foldLeft(lit(null).cast("struct<dist:bigint,cell:bigint>")) {
       case (acc, (g, cs)) =>
         when(col("gid") === g, bestCell(col("q"), cs)).otherwise(acc)
     }
-    e.select(col("gid"), col("id"), col("q"), best.as("best"))
+  }
+
+  private def assignGrouped(e: DataFrame,
+      cents: Seq[(Int, Long, Seq[Long])]): DataFrame =
+    e.select(col("gid"), col("id"), col("q"), groupedBest(cents).as("best"))
       .filter(col("best").isNotNull)
       .select(col("gid"), col("id"), col("best.cell").as("cell"), col("q"),
         col("best.dist").as("dist"))
-  }
 
   /** Grouped Lloyd's: [[lloyd]] with an extra group key on every step —
     * N independent k-means in one job per round. `e` must be
     * `(gid: int, id: long, q: array<long>)`.
     */
   private[graft] def lloydGrouped(e: DataFrame, init: Seq[(Int, Long, Seq[Long])],
-      iters: Int, dim: Int): (DataFrame, Seq[(Int, Long, Seq[Long])]) = {
+      iters: Int, dim: Int,
+      collapse: Boolean = false): (DataFrame, Seq[(Int, Long, Seq[Long])]) = {
+    // Same weighted-twin collapse as [[lloyd]], keyed per subspace.
+    val hub = if (!collapse) null else OpCaches.persisted(
+      e.groupBy(col("gid"), col("q")).agg(count(lit(1)).as("w")))
     var cents = init
     for (_ <- 1 to iters) {
-      val a = assignGrouped(e, cents)
-      val sums = (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s_$i"))
-      // (k x groups) rows x (dim+2) values — still the bounded driver hop.
-      val stats = a.groupBy("gid", "cell")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
+      val stats = (if (collapse) {
+        val a = hub
+          .select(col("gid"), col("w"), col("q"), groupedBest(cents).as("best"))
+          .filter(col("best").isNotNull)
+        val sums = (1 to dim).map(i =>
+          sum(element_at(col("q"), i) * col("w")).as(s"s_$i"))
+        a.groupBy(col("gid"), col("best.cell").as("cell"))
+          .agg(sum(col("w")).as("n"), sums: _*)
+      } else {
+        val a = assignGrouped(e, cents)
+        val sums = (1 to dim).map(i => sum(element_at(col("q"), i)).as(s"s_$i"))
+        // (k x groups) rows x (dim+2) values — still the bounded driver hop.
+        a.groupBy("gid", "cell").agg(count(lit(1)).as("n"), sums: _*)
+      }).collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
       cents = cents.map { case (g, cell, prev) =>
         stats.get((g, cell)) match {
@@ -259,7 +315,7 @@ object Kmeans {
     */
   private[ops] def assignedWithVec(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
-    lloyd(e, initFrom(e, K))._1
+    lloyd(e, initFrom(e, K), collapse = embTwinGate(s, dir))._1
   }
 
   /** s7 — k-means cell assignment after [[Iters]] Lloyd's iterations:

@@ -339,6 +339,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lloyd on DUPLICATED vectors: weighted collapse ≡ direct — " +
+    "identical centroid sequence and final assignment") {
+    // 5 distinct quantized vectors × 4 copies. Integer sums make the
+    // weighted form exact (w × q_i is the same long as q_i summed w
+    // times), so the trained centroids must be EQUAL, not just close.
+    import graft.ops.Kmeans
+    val base = Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(100L, 90L, 80L, 70L),
+      Seq(-5L, 0L, 5L, 10L), Seq(40L, 40L, 40L, 40L),
+      Seq(7L, -7L, 7L, -7L))
+    val e = (for {
+      (v, vi) <- base.zipWithIndex
+      c <- 0 until 4
+    } yield ((vi * 10 + c).toLong, v)).toDF("id", "q")
+    val init = Seq(0L -> base(0), 1L -> base(1))
+    val (aD, cD) = Kmeans.lloyd(e, init, iters = 3, dim = 4, collapse = false)
+    val (aC, cC) = Kmeans.lloyd(e, init, iters = 3, dim = 4, collapse = true)
+    assert(cC == cD, "weighted update diverged from the per-copy update")
+    assert(aC.collect().map(_.toSeq).toSet == aD.collect().map(_.toSeq).toSet)
+    // Grouped (PQ) variant: two subspaces over the same duplicates.
+    val eg = (for {
+      (v, vi) <- base.zipWithIndex
+      c <- 0 until 4
+      g <- 0 until 2
+    } yield (g, (vi * 10 + c).toLong, v.map(_ + g))).toDF("gid", "id", "q")
+    val initG = Seq((0, 0L, base(0)), (0, 1L, base(1)),
+      (1, 0L, base(0).map(_ + 1)), (1, 1L, base(1).map(_ + 1)))
+    val (_, gD) = Kmeans.lloydGrouped(eg, initG, iters = 3, dim = 4,
+      collapse = false)
+    val (_, gC) = Kmeans.lloydGrouped(eg, initG, iters = 3, dim = 4,
+      collapse = true)
+    assert(gC == gD, "grouped weighted update diverged")
+  }
+
   test("window-hash family on a DUPLICATED corpus: collapse ≡ direct " +
     "for d12, d13, t13, t14 and d14") {
     // Texts share a 72-char boilerplate prefix (cross-TEXT duplicated
