@@ -1343,7 +1343,7 @@ object Dedup {
     * the frame-level cores below keep the direct path as their
     * composition default.
     */
-  private def textHub(docs: DataFrame): DataFrame =
+  private[ops] def textHub(docs: DataFrame): DataFrame =
     OpCaches.persisted(docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"),
@@ -1364,7 +1364,7 @@ object Dedup {
     * replaced (widened like d4's expansion — analysis-time nullability
     * parity with the direct path), all other columns ride along.
     */
-  private def expandByMembers(rep: DataFrame, hub: DataFrame): DataFrame = {
+  private[ops] def expandByMembers(rep: DataFrame, hub: DataFrame): DataFrame = {
     val rest = rep.columns.filter(_ != "doc_id").toSeq
     rep.withColumnRenamed("doc_id", "rep")
       .join(hub.select(col("doc_id").as("rep"), col("members")), Seq("rep"))

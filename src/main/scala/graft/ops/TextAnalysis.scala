@@ -498,10 +498,57 @@ object TextAnalysis {
     * without a bigram still appear (n_bigrams 0, score null).
     */
   def t15LmScore(s: SparkSession, dir: String): DataFrame =
-    lmScore(load(s, dir, "documents"))
+    lmScore(load(s, dir, "documents"),
+      collapse = Dedup.twinGate(s, dir, Seq("text")))
 
   /** Frame-based core over any `(doc_id, text)` corpus. */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame): DataFrame = lmScore(docs, collapse = false)
+
+  /** EXACT TWIN COLLAPSE for t15 (round 16, the window-hash family's
+    * rule applied to the LM pass): a document's per-position p sequence
+    * is a pure function of its TEXT, and both model counts are exact
+    * INTEGER occurrence sums over the corpus — so behind the shared
+    * text [[Dedup.twinGate]], the bigram explode + stacked windows +
+    * position fold run once per DISTINCT text over [[Dedup.textHub]],
+    * with the window counts mult-weighted (sum(mult) over the same
+    * partitions ≡ count(1) over the per-copy rows, Long-for-Long) and
+    * scores fanned back through group membership. Bit-exact at any
+    * duplication depth: integer sums are associative, the quotient is
+    * the same two longs cast to double, and each text's position order
+    * is its own. Twin-free corpora keep the original single-pass plan
+    * below (zero overhead beyond the memoized probe).
+    */
+  private[graft] def lmScore(docs: DataFrame, collapse: Boolean): DataFrame = {
+    if (collapse) {
+      val hub = Dedup.textHub(docs.select(col("doc_id"), col("text")))
+      val bg = hub
+        .select(col("doc_id"), col("mult"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("mult"),
+          posexplode(
+            when(size(col("tk")) >= 2,
+              transform(sequence(lit(1), size(col("tk")) - 1),
+                i => struct(element_at(col("tk"), i).as("w1"),
+                  element_at(col("tk"), i + 1).as("w2"))))
+              .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+        .select(col("doc_id"), col("mult"), (col("pos") + 1).as("pos"),
+          col("col.w1").as("w1"), col("col.w2").as("w2"))
+      val p = bg
+        .withColumn("n2", sum(col("mult")).over(Window.partitionBy("w1", "w2")))
+        .withColumn("n1", sum(col("mult")).over(Window.partitionBy("w1")))
+        .select(col("doc_id"), col("pos"),
+          (col("n2").cast("double") / col("n1").cast("double")).as("p"))
+      val scored = p.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (aggregate(col("ps"), lit(0.0), (acc, x) => acc + x.getField("p")) /
+            col("n_bigrams").cast("double")).as("lm_score"))
+      return docs.select(col("doc_id"))
+        .join(Dedup.expandByMembers(scored, hub), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("lm_score"))
+    }
     // toks materialized in its own projection: a lambda body referencing
     // an enclosing expression re-evaluates it per element (t10's lesson).
     val bg = graft.Tables.spread(docs)
@@ -564,10 +611,57 @@ object TextAnalysis {
     * hot w1 — linear cost either way.
     */
   def t16Importance(s: SparkSession, dir: String): DataFrame =
-    importanceWeights(load(s, dir, "documents"))
+    importanceWeights(load(s, dir, "documents"),
+      collapse = Dedup.twinGate(s, dir, Seq("lang", "text")))
 
   /** Frame-based core over any `(doc_id, lang, text)` corpus. */
-  def importanceWeights(docs: DataFrame): DataFrame = {
+  def importanceWeights(docs: DataFrame): DataFrame =
+    importanceWeights(docs, collapse = false)
+
+  /** EXACT TWIN COLLAPSE for t16 (t15's rule with the target flag in
+    * the key): a document's bucket sequence is a pure function of its
+    * TEXT, and both bucket counts are exact integer sums where each
+    * row contributes (tgt, 1) — so the hub groups by (tgt, text)
+    * (collapsing same-text docs across all non-target langs too),
+    * weights the window sums by mult (`sum(mult*tgt)` ≡ `sum(tgt)`
+    * per copy, `sum(mult)` ≡ `count(1)` — Long-for-Long), and fans
+    * per-representative scores back through membership. The gate key
+    * is (lang, text): distinct(tgt, text) ≤ distinct(lang, text), so
+    * the probe can only under-fire, never mis-fire.
+    */
+  private[graft] def importanceWeights(docs: DataFrame, collapse: Boolean): DataFrame = {
+    if (collapse) {
+      val hub = OpCaches.persisted(docs
+        .select(col("doc_id"),
+          (col("lang") <=> lit(ImpTargetLang)).cast("int").as("tgt"),
+          col("text"))
+        .groupBy(col("tgt"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          sort_array(collect_list(col("doc_id"))).as("members"),
+          count(lit(1)).as("mult")))
+      val tk = hub
+        .select(col("doc_id"), col("tgt"), col("mult"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("tgt"), col("mult"), posexplode(col("tk")))
+        .select(col("doc_id"), col("tgt"), col("mult"), (col("pos") + 1).as("pos"),
+          conv(substring(md5(col("col")), 1, 2), 16, 10).cast("long").as("b"))
+      val r = tk
+        .withColumn("cnt_t",
+          sum(col("mult") * col("tgt")).over(Window.partitionBy("b")))
+        .withColumn("cnt_r", sum(col("mult")).over(Window.partitionBy("b")))
+        .select(col("doc_id"), col("pos"),
+          (col("cnt_t").cast("double") / col("cnt_r").cast("double")).as("r"))
+      val scored = r.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sort_array(collect_list(struct(col("pos"), col("r")))).as("rs"))
+        .select(col("doc_id"), col("n_tokens"),
+          (aggregate(col("rs"), lit(0.0), (a, x) => a + x.getField("r")) /
+            col("n_tokens").cast("double")).as("imp_weight"))
+      return docs.select(col("doc_id"))
+        .join(Dedup.expandByMembers(scored, hub), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("imp_weight"))
+    }
     val tk = graft.Tables.spread(docs)
       .select(col("doc_id"),
         (col("lang") <=> lit(ImpTargetLang)).cast("int").as("tgt"),

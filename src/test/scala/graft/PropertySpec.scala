@@ -752,4 +752,52 @@ class PropertySpec extends AnyFunSuite {
     // Docs 1 and 2 normalize to "a b" (one group, keeper 1); doc 3 alone.
     assert(groups == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("t15/t16 on a DUPLICATED corpus: twin collapse ≡ direct, " +
+    "bit-for-bit on the score doubles") {
+    // Texts duplicated 2-4× (avg depth ≥ 1.2 trips both gates), with
+    // mixed langs so t16's tgt flag splits one text across hub groups
+    // (same text under en AND de — the (tgt, text) key's hard case),
+    // shared bigrams across texts (the model counts aggregate across
+    // groups), a sub-2-token doc (n_bigrams 0, null score) and a null
+    // text. Direct forms are the committed frame-level cores; scores
+    // must match BIT-FOR-BIT (integer-weighted sums, same quotient),
+    // not approximately — so compare raw doubles, no rounding.
+    val b = "the quick brown fox jumps over the lazy dog again and again"
+    val t0 = b + " alpha tail"
+    val t1 = b + " beta tail words"
+    val rows = Seq(
+      (1L, t0, "en", "src1"), (2L, t0, "en", "src2"), (3L, t0, "de", "src1"),
+      (4L, t1, "en", "src1"), (5L, t1, "de", "src2"), (6L, t1, "de", "src3"),
+      (7L, t1, "de", "src1"),
+      (8L, "single", "en", "src1"),
+      (9L, null.asInstanceOf[String], "de", "src1"))
+    val dir = java.nio.file.Files.createTempDirectory("lmTwins").toFile
+    try {
+      rows.toDF("doc_id", "text", "lang", "source").write.mode("overwrite")
+        .parquet(s"${dir.getPath}/documents.parquet")
+      val docs = spark.read.parquet(s"${dir.getPath}/documents.parquet")
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq.toList).toSet
+      import graft.ops.TextAnalysis
+      // Gates actually engage on this corpus (9 docs / 4 distinct texts;
+      // 6 distinct (lang, text) pairs — 9/6 = 1.5 ≥ 1.2).
+      assert(graft.ops.Dedup.twinGate(spark, dir.getPath, Seq("text")))
+      assert(graft.ops.Dedup.twinGate(spark, dir.getPath, Seq("lang", "text")))
+      val lmGot = set(TextAnalysis.t15LmScore(spark, dir.getPath))
+      val lmWant = set(TextAnalysis.lmScore(docs))
+      assert(lmGot.nonEmpty && lmGot == lmWant, "t15 collapse diverged")
+      val impGot = set(TextAnalysis.t16Importance(spark, dir.getPath))
+      val impWant = set(TextAnalysis.importanceWeights(docs))
+      assert(impGot.nonEmpty && impGot == impWant, "t16 collapse diverged")
+      // The collapse paths were exercised, not vacuously equal: the
+      // weighted hub really has multi-member groups on this corpus.
+      assert(lmGot.size == rows.size && impGot.size == rows.size)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
 }
