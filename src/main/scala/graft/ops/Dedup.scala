@@ -806,6 +806,52 @@ object Dedup {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+    d8bNearDupMultibandImpl(e,
+      collapse = graft.ops.Kmeans.embTwinGate(s, dir))
+  }
+
+  /** TWIN COLLAPSE (round 16, [[Similarity.vecHub]] family note): the
+    * banding, the cap and the score are pure functions of the vector
+    * VALUE plus a weighted bucket population, so candidate generation
+    * and cosine run once per distinct-vector GROUP pair and member
+    * pairs expand back — d5's chunked cross expansion (explode side A
+    * into rows before pairing with side B; explicit repartition on the
+    * exploded member because AQE's byte-based sizing is blind to the
+    * expansion) plus its sorted-members within-group leg.
+    */
+  private[graft] def d8bNearDupMultibandImpl(e: DataFrame,
+      collapse: Boolean): DataFrame = {
+    if (collapse) {
+      val hub = Similarity.vecHub(e, "vec_id", "v")
+      val gp = Similarity.groupPairs(
+        Similarity.cappedBandsGrouped(hub, "vec_id", "v"), "vec_id", "v")
+        .filter(col("cos_sim") >= 0.3)
+      val mem = hub.select(col("vec_id").as("rep"), col("members"))
+      val parts = e.sparkSession.sessionState.conf.numShufflePartitions
+      val cross = gp.filter(col("ga") =!= col("gb"))
+        .join(mem.select(col("rep").as("ga"), col("members").as("ma")), Seq("ga"))
+        .join(mem.select(col("rep").as("gb"), col("members").as("mb")), Seq("gb"))
+        .select(col("gb"), col("cos_sim"), col("mb"), explode(col("ma")).as("x"))
+        .repartition(parts, col("x"), col("gb"))
+        .select(col("cos_sim"), col("x"), explode(col("mb")).as("y"))
+        .select(least(col("x"), col("y")).as("va"),
+          greatest(col("x"), col("y")).as("vb"), col("cos_sim"))
+        // when(isNotNull, ..) widens nullability back to the direct
+        // path's (d4's expansion precedent: analysis-time schema parity).
+        .select(when(col("va").isNotNull, col("va")).as("vec_a"),
+          when(col("vb").isNotNull, col("vb")).as("vec_b"), col("cos_sim"))
+      val within = gp.filter(col("ga") === col("gb"))
+        .join(mem.select(col("rep").as("ga"), col("members").as("ma")), Seq("ga"))
+        .filter(size(col("ma")) >= 2)
+        .select(col("cos_sim"), col("ma"), posexplode(col("ma")).as(Seq("i", "x")))
+        .repartition(parts, col("x"))
+        .select(col("x").as("va"),
+          explode(slice(col("ma"), col("i") + lit(2), size(col("ma")))).as("vb"),
+          col("cos_sim"))
+        .select(when(col("va").isNotNull, col("va")).as("vec_a"),
+          when(col("vb").isNotNull, col("vb")).as("vec_b"), col("cos_sim"))
+      return cross.unionByName(within)
+    }
     val c = Similarity.cappedBands(e, "vec_id", "v")
     c.as("a")
       .join(c.as("b"),

@@ -753,6 +753,68 @@ class PropertySpec extends AnyFunSuite {
     assert(groups == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("capped-band family (s2b/s6/d8b) on DUPLICATED embeddings: " +
+    "twin collapse ≡ direct, including ties, self-exclusion and " +
+    "singleton-bucket drops") {
+    // 48-dim sign-LSH fixture (BandBits 12 × BandTables 4). Groups:
+    //   q ×3  — ones with dims 47-48 zeroed: collides with a/b/d in
+    //           tables 0-2 but NOT table 3 (multi-table dedup), and
+    //           self-collides (s2b/s6 self-exclusion: member 1 IS the
+    //           smallest id of its own top group);
+    //   a ×2 / b ×1 — differ from q only in dims 47-48, with SWAPPED
+    //           magnitudes (1,2)/(2,1): equal norms and equal dots vs
+    //           every other vector ⇒ byte-equal cosine TIES, broken by
+    //           member id across groups;
+    //   c ×3  — all-negative: collides with nothing but itself (pure
+    //           within-group leg, negative self-candidates for s2b/s6,
+    //           d8b keeps it via cos(c,c)=1.0);
+    //   d ×2  — sign flip in dim 1 only (table-0 bucket differs,
+    //           tables 1-3 collide);
+    //   w ×1  — alternating signs: singleton in every bucket, dropped
+    //           by the ≥2 side of the cap in BOTH formulations.
+    val ones = Seq.tabulate(48)(_ => 1.0f)
+    def vWith(over: (Int, Float)*): Seq[Float] =
+      over.foldLeft(ones) { case (v, (i, x)) => v.updated(i - 1, x) }
+    val q = vWith(47 -> 0.0f, 48 -> 0.0f)
+    val a = vWith(47 -> 1.0f, 48 -> 2.0f)
+    val b = vWith(47 -> 2.0f, 48 -> 1.0f)
+    val c = ones.map(x => -x)
+    val d = vWith(1 -> -1.0f)
+    val w = Seq.tabulate(48)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      1L -> q, 2L -> q, 3L -> q, 10L -> a, 11L -> a, 20L -> b,
+      30L -> c, 31L -> c, 32L -> c, 40L -> d, 41L -> d, 60L -> w)
+    val e = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq.toList).toSet
+    import graft.ops.{Dedup, Similarity}
+    val pairs = Seq(
+      ("d8b", Dedup.d8bNearDupMultibandImpl(e, collapse = true),
+        Dedup.d8bNearDupMultibandImpl(e, collapse = false)),
+      ("s2b", Similarity.s2bAnnMultibandImpl(e, collapse = true),
+        Similarity.s2bAnnMultibandImpl(e, collapse = false)),
+      ("s6", Similarity.s6AnnRerankImpl(e, collapse = true),
+        Similarity.s6AnnRerankImpl(e, collapse = false)))
+    for ((name, got, want) <- pairs) {
+      val (g, v) = (set(got), set(want))
+      assert(g.nonEmpty, s"$name produced no rows — vacuous")
+      assert(g == v, s"$name collapse diverged from direct")
+    }
+    // Non-vacuous shape checks on the direct output the collapse had to
+    // reproduce: within-group and cross-group d8b pairs both present;
+    // the singleton-bucket vector is absent everywhere; s2b's
+    // self-exclusion picked the second member for the group minimum.
+    val d8b = set(Dedup.d8bNearDupMultibandImpl(e, collapse = false))
+    assert(d8b.exists(r => r.head == 1L && r(1) == 2L))   // within q-group
+    assert(d8b.exists(r => r.head == 1L && r(1) == 10L))  // cross q→a
+    assert(!d8b.exists(r => r.head == 60L || r(1) == 60L))
+    val s2b = Similarity.s2bAnnMultibandImpl(e, collapse = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2b(1L) == 2L && s2b(2L) == 1L && s2b(3L) == 1L)
+  }
+
   test("t15/t16 on a DUPLICATED corpus: twin collapse ≡ direct, " +
     "bit-for-bit on the score doubles") {
     // Texts duplicated 2-4× (avg depth ≥ 1.2 trips both gates), with
