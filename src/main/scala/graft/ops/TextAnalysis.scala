@@ -756,7 +756,8 @@ object TextAnalysis {
     */
   def t10Contamination(s: SparkSession, dir: String): DataFrame =
     contamination(graft.Tables.spread(load(s, dir, "documents")),
-      EvalSource, MaxContamPostings)
+      EvalSource, MaxContamPostings,
+      collapse = Dedup.twinGate(s, dir, Seq("source", "text")))
 
   /** Core of t10 over any (doc_id, source, text) frame. The posting cap
     * is applied with a window count BEFORE collect_set (the cappedBands
@@ -783,6 +784,56 @@ object TextAnalysis {
     *    tokenize+shingle pass costs more than the window sort it saves.
     */
   def contamination(docs: DataFrame, evalSource: String,
+      maxPostings: Int): DataFrame =
+    contamination(docs, evalSource, maxPostings, collapse = false)
+
+  /** EXACT TWIN COLLAPSE for t10 (round 16, t13's tagged-hub rule): a
+    * document's distinct shingle set is a pure function of its TEXT,
+    * the only source-dependence is the eval FLAG, and both per-shingle
+    * corpus terms are integer occurrence sums — the posting cap is a
+    * whole-shingle FILTER (`_np <= cap` drops every row of an over-cap
+    * shingle), so it weights exactly. The shingle pass runs once per
+    * distinct (ev, text); `_np`/`n_eval` become mult-weighted sums over
+    * the same shingle partition; a text present on BOTH sides splits
+    * into two hub rows whose mults land on the correct sides (t13's
+    * tag-split case); per-representative hit counts expand back through
+    * the non-eval groups' membership. Null-id members vanish from
+    * `members` (collect_list skips nulls) exactly as the direct
+    * collect_set skips them, while their rows still weight `mult`.
+    */
+  private[graft] def contamination(docs: DataFrame, evalSource: String,
+      maxPostings: Int, collapse: Boolean): DataFrame = {
+    if (collapse) {
+      val hub = OpCaches.persisted(docs
+        .select(col("doc_id"), (col("source") <=> evalSource).as("ev"),
+          col("text"))
+        .groupBy(col("ev"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          sort_array(collect_list(col("doc_id"))).as("members"),
+          count(lit(1)).as("mult")))
+      val rep = hub
+        .select(col("doc_id"), col("ev"), col("mult"), toks(col("text")).as("t"))
+        .select(col("doc_id"), col("ev"), col("mult"),
+          explode(array_distinct(ngrams(col("t"), 5))).as("sh"))
+        .withColumn("_np",
+          sum(when(!col("ev"), col("mult")).otherwise(0L))
+            .over(Window.partitionBy("sh")))
+        .filter(col("_np") <= maxPostings)
+        .groupBy("sh")
+        .agg(
+          sum(when(col("ev"), col("mult")).otherwise(0L)).as("n_eval"),
+          collect_set(when(!col("ev"), col("doc_id"))).as("docs"))
+        .filter(col("n_eval") > 0)
+        .select(explode(col("docs")).as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_shingles"))
+      return Dedup.expandByMembers(rep,
+        hub.filter(!col("ev")).select(col("doc_id"), col("members")))
+    }
+    contaminationDirect(docs, evalSource, maxPostings)
+  }
+
+  private def contaminationDirect(docs: DataFrame, evalSource: String,
       maxPostings: Int): DataFrame =
     // Null-SAFE source comparison throughout: with ===/=!= a null-source
     // doc satisfies NEITHER side (three-valued logic), so it would never

@@ -374,7 +374,7 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("window-hash family on a DUPLICATED corpus: collapse ≡ direct " +
-    "for d12, d13, t13, t14 and d14") {
+    "for d12, d13, t13, t14, d14 and t10") {
     // Texts share a 72-char boilerplate prefix (cross-TEXT duplicated
     // spans survive the collapse), are duplicated 2-3× (the twin legs
     // fire — depth 2.1 ≥ 1.2 trips the text gate), and the eval text
@@ -407,6 +407,7 @@ class PropertySpec extends AnyFunSuite {
         .filter(col("source") <=> lit("src0")).select("doc_id", "text")
       def set(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(_.toSeq.toList).toSet
+      val withSource = spark.read.parquet(s"${dir.getPath}/documents.parquet")
       val pairs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
         ("d12", Dedup.d12SubstrSpans(spark, dir.getPath), Dedup.substrSpans(all)),
         ("d13", Dedup.d13SpanScrub(spark, dir.getPath), Dedup.spanScrub(all)),
@@ -414,7 +415,14 @@ class PropertySpec extends AnyFunSuite {
           Dedup.contamSpans(corpus, eval)),
         ("t14", Dedup.t14ContamScrub(spark, dir.getPath),
           Dedup.scrubWith(corpus, Dedup.contamSpans(corpus, eval))),
-        ("d14", Dedup.d14Winnow(spark, dir.getPath), Dedup.winnow(all)))
+        ("d14", Dedup.d14Winnow(spark, dir.getPath), Dedup.winnow(all)),
+        // t10 joined the family in the r16 third pass: its (ev, text)
+        // tagged hub runs the 5-gram pass per distinct pair, with the
+        // whole-shingle posting cap as a mult-weighted sum. src0 is the
+        // engine's EvalSource; ev appears as BOTH eval copies and a
+        // corpus doc (tag-split), and t3 embeds ev's shingles.
+        ("t10", graft.ops.TextAnalysis.t10Contamination(spark, dir.getPath),
+          graft.ops.TextAnalysis.contamination(withSource, "src0", 1000)))
       for ((name, got, want) <- pairs) {
         val (g, w) = (set(got), set(want))
         assert(g.nonEmpty, s"$name produced no rows — vacuous")
