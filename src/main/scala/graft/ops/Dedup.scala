@@ -289,7 +289,11 @@ object Dedup {
         .agg(count(lit(1)).as("n"),
           approx_count_distinct(xxhash64(keyCols.map(col): _*)).as("nd"))
         .head
-      st.getLong(0) * 10L >= st.getLong(1) * 12L
+      // n > 0: an empty corpus has no twins (0 >= 0 would read as
+      // "duplicated" and route degenerate inputs onto the collapse
+      // plans, whose expanded-id nullability differs — caught by
+      // DegenerateCorpusSpec's schema-parity gate on t10, round 17).
+      st.getLong(0) > 0L && st.getLong(0) * 10L >= st.getLong(1) * 12L
     })
 
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =

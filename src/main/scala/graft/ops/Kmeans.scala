@@ -123,7 +123,9 @@ object Kmeans {
         .agg(count(lit(1)).as("n"),
           approx_count_distinct(xxhash64(col("embedding"))).as("nd"))
         .head
-      st.getLong(0) * 10L >= st.getLong(1) * 12L
+      // n > 0: empty corpus = no twins (Dedup.twinGate's rule — 0 >= 0
+      // must not route degenerate inputs onto the collapse plans).
+      st.getLong(0) > 0L && st.getLong(0) * 10L >= st.getLong(1) * 12L
     })
 
   /** Lloyd's: `iters` × (assign → integer-mean update), then a final

@@ -438,6 +438,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("twin gates read FALSE on an empty corpus (0 >= 0 is not duplication)") {
+    // Regression pin (round 17): with n = nd = 0 the old `n*10 >= nd*12`
+    // read TRUE on an empty corpus and routed degenerate inputs onto the
+    // collapse plans, whose expanded-id nullability differs from the
+    // direct plans' — t10's empty-corpus schema drifted from its
+    // sf0.001 schema (DegenerateCorpusSpec caught it at r17 re-entry).
+    val dir = java.nio.file.Files.createTempDirectory("emptyGate").toFile
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"${dir.getPath}/embeddings.parquet")
+      assert(!graft.ops.Dedup.twinGate(spark, dir.getPath, Seq("text")),
+        "text twinGate must read false on an empty corpus")
+      assert(!graft.ops.Kmeans.embTwinGate(spark, dir.getPath),
+        "embeddings twinGate must read false on an empty corpus")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("minhashPairs on a DUPLICATED corpus: collapse path ≡ direct path, " +
     "and twin pairs emit at est 1.0") {
     // 5 base texts × 4 copies: the within-group constant leg (est 1.0
