@@ -188,20 +188,42 @@ object Dedup {
   /** d3 — SimHash (16-bit): per token md5, hex-digit parity at position i
     * votes ±1 on bit i; the signed sums per document give the signature.
     * One explode + one aggregation — linear in corpus size.
+    *
+    * EXACT TWIN COLLAPSE (round 17): the signature is a pure function of
+    * the TEXT alone (no corpus-level statistic at all), so behind the
+    * shared text [[twinGate]] the md5 explode + 16 bit sums run once per
+    * DISTINCT text over [[textHub]] and signatures fan back through
+    * group membership — no weighting needed anywhere. The
+    * [[hasNullDocId]] guard covers the one semantic the hub cannot
+    * reproduce: the direct groupBy merges ALL null-id documents into a
+    * single signature row, while collect_list drops them from members
+    * (same rule for d7/t6; fixture and gate corpora carry none).
     */
-  def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+  def d3Simhash(s: SparkSession, dir: String): DataFrame =
+    d3SimhashImpl(s, dir,
+      collapse = twinGate(s, dir, Seq("text")) && !hasNullDocId(s, dir))
+
+  private[graft] def d3SimhashImpl(s: SparkSession, dir: String,
+      collapse: Boolean): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val tokHash = graft.Tables.spread(load(s, dir, "documents"))
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"))
-    val bitSums = (1 to 16).map(i =>
-      sum(when(substring(col("h"), i, 1).isin(oddHex.map(x => x: Any): _*), 1)
-        .otherwise(-1)).as(s"s_$i"))
-    tokHash.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (1 to 16).map(i => when(col(s"s_$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    def signature(rows: DataFrame): DataFrame = {
+      val tokHash = rows
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("h"))
+      val bitSums = (1 to 16).map(i =>
+        sum(when(substring(col("h"), i, 1).isin(oddHex.map(x => x: Any): _*), 1)
+          .otherwise(-1)).as(s"s_$i"))
+      tokHash.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (1 to 16).map(i => when(col(s"s_$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+    }
+    if (collapse) {
+      val hub = textHub(load(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      expandByMembers(signature(hub), hub)
+    } else signature(graft.Tables.spread(load(s, dir, "documents")))
   }
 
   /** Inverted-index posting-list cap: shingles appearing in more than
@@ -295,6 +317,20 @@ object Dedup {
       // DegenerateCorpusSpec's schema-parity gate on t10, round 17).
       st.getLong(0) > 0L && st.getLong(0) * 10L >= st.getLong(1) * 12L
     })
+
+  /** Memoized null-doc_id probe for the d3/d7/t6 family (round 17),
+    * whose DIRECT forms groupBy(doc_id) — merging every null-id
+    * document into one output group — while the hub expansion drops
+    * null members (collect_list skips nulls). Those operators collapse
+    * only on corpora with zero null ids; evaluated lazily AFTER the
+    * twin gate (short-circuit), so twin-free corpora never pay it.
+    */
+  private val nullIdGates = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
+  private[graft] def hasNullDocId(s: SparkSession, dir: String): Boolean =
+    nullIdGates.computeIfAbsent(dir, _ =>
+      load(s, dir, "documents").filter(col("doc_id").isNull)
+        .limit(1).count() > 0L)
 
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     d4NgramJaccardImpl(s, dir, twinGate(s, dir, Seq("source", "text")))
@@ -1780,13 +1816,29 @@ object Dedup {
     * pinning the aggregate's semantics declaratively).
     */
   def d7Simhash64(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.spread(load(s, dir, "documents"))
+    d7Simhash64Impl(s, dir,
+      collapse = twinGate(s, dir, Seq("text")) && !hasNullDocId(s, dir))
+
+  /** d3's twin collapse, same reasoning verbatim: the 64-bit signature
+    * is a pure per-text function (the two md5s per token dominate the
+    * wall), so it runs once per distinct text and fans back through
+    * membership. Null-id guard shared with d3/t6.
+    */
+  private[graft] def d7Simhash64Impl(s: SparkSession, dir: String,
+      collapse: Boolean): DataFrame = {
+    def signature(rows: DataFrame): DataFrame = rows
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"),
         concat(md5(concat(lit("0:"), col("tok"))),
           md5(concat(lit("1:"), col("tok")))).as("h"))
       .groupBy("doc_id")
       .agg(graft.functions.SimHash64Agg.simhash64(col("h")).as("simhash64"))
+    if (collapse) {
+      val hub = textHub(load(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      expandByMembers(signature(hub), hub)
+    } else signature(graft.Tables.spread(load(s, dir, "documents")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,

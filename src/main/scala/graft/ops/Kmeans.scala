@@ -239,11 +239,36 @@ object Kmeans {
   }
 
   private def assignGrouped(e: DataFrame,
-      cents: Seq[(Int, Long, Seq[Long])]): DataFrame =
-    e.select(col("gid"), col("id"), col("q"), groupedBest(cents).as("best"))
-      .filter(col("best").isNotNull)
+      cents: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    // One filtered branch per subspace, unioned — NOT the single nested
+    // groupedBest CASE chain (round-17 measurement: the chain form ran
+    // the 100×-gate final assignment at ~19 µs/row, 15 s of s8's 17 s
+    // wall; the branch form with one s7-sized bestCell per branch is
+    // ~10× faster; see OPTIMIZATION_r17.md). Row set is identical: gids
+    // partition the input, rows whose gid has no centroids are dropped
+    // by both forms, and `when(lit(true), …)` pins the analyzed
+    // nullability to the old chain's (nullable best).
+    val byGid = cents.groupBy(_._1).view.mapValues(_.map(c => (c._2, c._3)))
+      .toSeq.sortBy(_._1)
+    val assigned =
+      if (byGid.isEmpty)
+        // Empty-cents semantics: zero rows (every gid lacks centroids).
+        // A constant-false filter with a non-null dummy best, so the
+        // degenerate schema's nullability matches the branch form below
+        // exactly (DegenerateCorpusSpec pins degenerate == sf0.001).
+        // dist: null literal (nullable, like the kernel's dist over a
+        // nullable vector column); cell: 0L (non-null, like lit(cell)).
+        e.filter(lit(false)).select(col("gid"), col("id"), col("q"),
+          struct(lit(null).cast("long").as("dist"), lit(0L).as("cell")).as("best"))
+      else byGid.map { case (g, cs) =>
+        e.filter(col("gid") === g)
+          .select(col("gid"), col("id"), col("q"),
+            bestCell(col("q"), cs).as("best"))
+      }.reduce(_ unionByName _)
+    assigned.filter(col("best").isNotNull)
       .select(col("gid"), col("id"), col("best.cell").as("cell"), col("q"),
         col("best.dist").as("dist"))
+  }
 
   /** Grouped Lloyd's: [[lloyd]] with an extra group key on every step —
     * N independent k-means in one job per round. `e` must be
@@ -347,7 +372,14 @@ object Kmeans {
     // frame stays valid (the d9 retention pattern, bounded by output).
     val subs = quantizedSubvectors(s, dir).persist()
     try {
-      val books = trainPqOn(subs, K, Iters)
+      // collapse gate (round 17): this call was the ONE trainPqOn site
+      // missing the round-16 weighted-twin collapse — trainPqCodebooks
+      // (s4/s5's path) passed it, so s8's training re-scanned the full
+      // subvector frame per Lloyd's round at the 100× gate. Same
+      // bit-identity argument as lloyd/lloydGrouped (PropertySpec pins
+      // direct ≡ weighted); the final per-id assignment below is
+      // unchanged.
+      val books = trainPqOn(subs, K, Iters, collapse = embTwinGate(s, dir))
       // Code assignment is the same row-local grouped argmin training
       // uses — trained books are driver literals, so no join, no argmin
       // shuffle (tie-break (dist, cent_id) preserved by bestCell).

@@ -124,6 +124,15 @@ object TextAnalysis {
     * at identical (tf, df), where scores are bit-equal and the term-name
     * tie-break decides.
     */
+  // NEGATIVE RESULT (round 17, recorded so it is not re-attempted): the
+  // d3/d7-style text-hub twin collapse was built for t6, measured on the
+  // 100× gate corpus as a same-day pair (q1 calibrator flat), and made
+  // t6 SLOWER — 10.6 → 15.7 s. Unlike the simhashes (two md5s per
+  // token), t6's per-text work is one tokenize + a hash aggregation with
+  // map-side partials; the hub's full-text shuffle + membership-expand
+  // join cost more than the per-copy tf work they avoid. Reverted per
+  // guide §1 (measure, keep only what pays); q35b's r16 revert is the
+  // precedent.
   def t6TfIdf(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).as("n_docs")) // lazy scalar, broadcast below

@@ -438,6 +438,98 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("d3/d7 on a DUPLICATED corpus: collapse path ≡ direct path " +
+    "(per-text signatures fanned back through membership)") {
+    // 3 texts × 3 copies + a singleton + empty + null text: the text hub,
+    // the membership expansion and the no-token drop all fire. Driver
+    // fixtures are twin-free, so these legs otherwise only execute at
+    // the 100× gate. (t6 was measured on this corpus too and its
+    // collapse REVERTED — see the negative-result note on t6TfIdf.)
+    val t1 = "alpha beta gamma delta alpha beta"
+    val t2 = "alpha beta gamma delta epsilon zeta"
+    val t3 = "zeta eta theta iota kappa lambda zeta"
+    val t4 = "mu nu xi omicron pi rho sigma tau"
+    val rows = Seq(
+      (1L, t1), (2L, t1), (3L, t1),
+      (4L, t2), (5L, t2), (6L, t2),
+      (7L, t3), (8L, t3), (9L, t3),
+      (10L, t4), (11L, ""), (12L, null.asInstanceOf[String]))
+    val dir = java.nio.file.Files.createTempDirectory("sigTwins").toFile
+    try {
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("src1"))
+        .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      // The public entries must take the collapse branch on this corpus.
+      assert(graft.ops.Dedup.twinGate(spark, dir.getPath, Seq("text")))
+      assert(!graft.ops.Dedup.hasNullDocId(spark, dir.getPath))
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq.toList).toSet
+      val pairs: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+        ("d3", graft.ops.Dedup.d3Simhash(spark, dir.getPath),
+          graft.ops.Dedup.d3SimhashImpl(spark, dir.getPath, collapse = false)),
+        ("d7", graft.ops.Dedup.d7Simhash64(spark, dir.getPath),
+          graft.ops.Dedup.d7Simhash64Impl(spark, dir.getPath, collapse = false)))
+      for ((name, got, want) <- pairs) {
+        val (g, w) = (set(got), set(want))
+        assert(g.nonEmpty, s"$name produced no rows — vacuous")
+        assert(g == w, s"$name collapse diverged from direct")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  test("s8_pq_trained on a UNIFORMLY DUPLICATED embeddings corpus: " +
+    "collapsed training reproduces the base corpus's codes per copy") {
+    // Whole-corpus duplication k×: every Lloyd's update sees sums k·s and
+    // counts k·n, and floorDiv(k·s, k·n) = floorDiv(s, n), so the trained
+    // codebooks equal the base corpus's; assignment is a pure function of
+    // (vector, books) — each copy must land on its base twin's
+    // (sub_idx, code, dist) exactly. This pins the round-17 WIRING of the
+    // weighted-twin collapse into s8PqTrained's training call (the math
+    // itself is pinned by the lloyd/lloydGrouped direct≡weighted tests).
+    val baseN = 10
+    val copies = 3
+    val dim = graft.ops.Kmeans.Dim
+    def vec(id: Int): Seq[Float] =
+      (0 until dim).map(i => (((id * 31 + i * 7) % 13) - 6) / 10.0f)
+    val base = (0 until baseN).map(id => (id.toLong, vec(id)))
+    val dup = (0 until copies).flatMap(c =>
+      base.map { case (id, v) => (id + c.toLong * baseN, v) })
+    val bDir = java.nio.file.Files.createTempDirectory("pqBase").toFile
+    val dDir = java.nio.file.Files.createTempDirectory("pqDup").toFile
+    try {
+      base.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"${bDir.getPath}/embeddings.parquet")
+      dup.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"${dDir.getPath}/embeddings.parquet")
+      assert(!graft.ops.Kmeans.embTwinGate(spark, bDir.getPath),
+        "base corpus must train on the direct path")
+      assert(graft.ops.Kmeans.embTwinGate(spark, dDir.getPath),
+        "duplicated corpus must train on the collapsed path")
+      val baseOut = graft.ops.Kmeans.s8PqTrained(spark, bDir.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val dupOut = graft.ops.Kmeans.s8PqTrained(spark, dDir.getPath)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(dupOut.size == copies * baseOut.size, "row count per copy")
+      dupOut.foreach { case ((id, sub), got) =>
+        val want = baseOut((id % baseN, sub))
+        assert(got == want,
+          s"copy vec $id sub $sub diverged: got $got, base twin $want")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+      }
+      rm(bDir); rm(dDir)
+    }
+  }
+
   test("twin gates read FALSE on an empty corpus (0 >= 0 is not duplication)") {
     // Regression pin (round 17): with n = nd = 0 the old `n*10 >= nd*12`
     // read TRUE on an empty corpus and routed degenerate inputs onto the
