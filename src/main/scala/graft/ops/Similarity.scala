@@ -587,11 +587,11 @@ object Similarity {
     * `(cent_id, c_sub, cv)` driver-side rows. The oracled [[s4PqCodes]]
     * feeds the first-`PqCodes` seed codebook; [[s4PqCodesTrained]] feeds
     * per-subspace k-means centroids through the same shape. The argmin
-    * is row-local — a CASE chain over the subspace id, each arm
-    * `least()` over that subspace's k struct(dist, cent_id) columns —
-    * so the exploded corpus never shuffles and never joins: the old
-    * broadcast-join + min_by-by-(vec_id, sub_idx) form pushed every
-    * subvector row through an aggregation exchange.
+    * is row-local — one filtered branch per subspace id, each branch
+    * `least()` over that subspace's k struct(dist, cent_id) columns,
+    * unioned — so the exploded corpus never shuffles and never joins:
+    * the old broadcast-join + min_by-by-(vec_id, sub_idx) form pushed
+    * every subvector row through an aggregation exchange.
     */
   private[ops] def s4PqCodesWith(subs: DataFrame,
       cents: Seq[(Long, Int, Seq[Double])]): DataFrame = {
@@ -600,17 +600,26 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
     val bySub = cents.groupBy(_._2).view
       .mapValues(_.map(c => (c._1, c._3))).toSeq.sortBy(_._1)
-    // Rows whose sub_idx has no codebook vanish, like the old inner join.
-    val best = bySub.foldLeft(lit(null).cast("struct<dist:double,code:bigint>")) {
-      case (acc, (sub, cs)) =>
+    // One filtered branch per subspace, unioned — NOT a nested CASE
+    // chain over sub_idx (Kmeans.assignGrouped's round-17 lesson: the
+    // chain form ran s8's 100×-gate assignment at ~19 µs/row; each
+    // branch here is one independent least()-of-k expression). Rows
+    // whose sub_idx has no codebook vanish, like the old inner join;
+    // the empty-codebook dummy mirrors the branch form's nullability
+    // (nullable dist, non-null code) for degenerate-schema parity.
+    val assigned =
+      if (bySub.isEmpty)
+        subs.filter(lit(false)).select(col("vec_id"), col("sub_idx"),
+          struct(lit(null).cast("double").as("dist"), lit(0L).as("code")).as("b"))
+      else bySub.map { case (sub, cs) =>
         val cands = cs.map { case (cid, cv) =>
           struct(sqd(cv).as("dist"), lit(cid).as("code"))
         }
-        when(col("sub_idx") === sub,
-          if (cands.sizeIs == 1) cands.head else least(cands: _*)).otherwise(acc)
-    }
-    subs.select(col("vec_id"), col("sub_idx"), best.as("b"))
-      .filter(col("b").isNotNull)
+        subs.filter(col("sub_idx") === sub)
+          .select(col("vec_id"), col("sub_idx"),
+            (if (cands.sizeIs == 1) cands.head else least(cands: _*)).as("b"))
+      }.reduce(_ unionByName _)
+    assigned.filter(col("b").isNotNull)
       .select(col("vec_id"), col("sub_idx").cast("long").as("sub_idx"),
         col("b.code").as("code"))
   }
