@@ -161,6 +161,8 @@ object Functions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sq_dist_long", exprs => SqDistLong(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq_dist_double", exprs => SqDistDouble(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -180,6 +182,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SqDistLong].getName, "sq_dist_long"),
       (exprs: Seq[Expression]) => SqDistLong(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sq_dist_double"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SqDistDouble].getName, "sq_dist_double"),
+      (exprs: Seq[Expression]) => SqDistDouble(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SingleElementOverlapToContains)
   }
 }

@@ -39,6 +39,14 @@ object Similarity {
     dot / sqrt(na * nb)
   }
 
+  /** Composed-builtins form of the double squared-L2 kernel — kept as the
+    * semantic spec [[graft.functions.SqDistDouble]] is tested bit-identical
+    * against (FunctionsSpec): the same sequential left-to-right fold, so
+    * swapping forms cannot move a hash-compared result.
+    */
+  def sqDistDoubleComposed(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
   /** DuckDB-side cosine over float-list columns, widened to double. */
   def cosineSql(a: String, b: String): String =
     s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
@@ -595,9 +603,15 @@ object Similarity {
     */
   private[ops] def s4PqCodesWith(subs: DataFrame,
       cents: Seq[(Long, Int, Seq[Double])]): DataFrame = {
-    def sqd(cv: Seq[Double]): Column = aggregate(
-      zip_with(col("sv"), array(cv.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    // Native fused-double kernel (SqDistLong's template): the composed
+    // aggregate(zip_with(…)) form evaluated every candidate's per-element
+    // lambdas outside whole-stage codegen — this is the per-row hot loop
+    // (rows × k candidates), and the swap is bit-identical by construction
+    // (same sequential fold; FunctionsSpec pins it against the composed
+    // spec form, sqDistDoubleComposed).
+    def sqd(cv: Seq[Double]): Column =
+      graft.functions.SqDistDouble.sq_dist_double(
+        col("sv"), array(cv.map(lit): _*))
     val bySub = cents.groupBy(_._2).view
       .mapValues(_.map(c => (c._1, c._3))).toSeq.sortBy(_._1)
     // One filtered branch per subspace, unioned — NOT a nested CASE
@@ -660,9 +674,8 @@ object Similarity {
     val queries = subs
       .filter(col("vec_id") >= PqCodes && col("vec_id") < PqCodes + PqQueries)
       .select(col("vec_id").as("query_id"), col("sub_idx").as("q_sub"), col("sv").as("qv"))
-    val sqDist = aggregate(
-      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    val sqDist =
+      graft.functions.SqDistDouble.sq_dist_double(col("qv"), col("cv"))
     // Distance tables: queries × subspaces × centroids (tiny — broadcast;
     // the codebook side is the collected literal rows, not a subtree).
     import s.implicits._

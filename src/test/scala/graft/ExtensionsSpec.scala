@@ -56,6 +56,15 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("injectFunction: sq_dist_double resolves in SQL with the sequential-fold result") {
+    withExtensionSession { ext =>
+      val row = ext.sql(
+        "SELECT sq_dist_double(array(1.0d, 2.0d, 3.0d), array(4.0d, 6.0d, 3.0d)) AS d")
+        .collect()(0)
+      assert(row.getDouble(0) == 25.0) // 3² + 4² + 0²
+    }
+  }
+
   test("injectOptimizerRule: single-element arrays_overlap rewrites to array_contains") {
     withExtensionSession { ext =>
       // Parquet-backed scan: a local relation would constant-fold the

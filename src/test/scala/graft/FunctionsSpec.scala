@@ -65,6 +65,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNulls == Seq((None, None), (Some(25L), Some(25L))))
   }
 
+  test("native sq_dist_double == composed double squared-L2, incl. edge cases") {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(5000)
+      .select(
+        graft.functions.SqDistDouble.sq_dist_double(col("a.v"), col("b.v")).as("native"),
+        Similarity.sqDistDoubleComposed(col("a.v"), col("b.v")).as("composed"))
+    assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
+    assert(pairs.filter(col("native").isNull).count() == 0)
+    // identical vectors → 0.0; empty arrays → 0.0 (the fold's seed);
+    // length mismatch → null (like the composed zip_with null pad)
+    val edge = Seq(
+      (Seq(1.5, -2.0), Seq(1.5, -2.0)),
+      (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("a", "b")
+      .select(graft.functions.SqDistDouble.sq_dist_double($"a", $"b").as("d"))
+      .as[Option[Double]].collect().toSeq
+    assert(edge == Seq(Some(0.0), Some(0.0)))
+    val mism = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b")
+      .select(graft.functions.SqDistDouble.sq_dist_double($"a", $"b").as("d"))
+      .as[Option[Double]].collect().toSeq
+    assert(mism == Seq(None))
+    // Null ELEMENTS poison the distance to null, exactly like the
+    // composed zip_with fold — ArrayData.getDouble would silently read a
+    // null slot as 0.0 without the explicit per-element checks.
+    val withNulls = Seq(
+      (Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(4.0), Some(6.0))))
+      .toDF("a", "b")
+      .select(
+        graft.functions.SqDistDouble.sq_dist_double($"a", $"b").as("native"),
+        Similarity.sqDistDoubleComposed($"a", $"b").as("composed"))
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    assert(withNulls == Seq((None, None), (Some(25.0), Some(25.0))))
+  }
+
   test("hoisted-norm dot-product cosine == fused cosine, bit for bit") {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
